@@ -1,0 +1,428 @@
+"""The per-document extraction kernel: HTML → (plain text, spans).
+
+This is a from-scratch re-derivation of the reference's scalar
+pipeline (reference: html_parser.py:366-639) on the pure-stdlib DOM
+of :mod:`.dom`.  Stage structure (SURVEY.md §3.1):
+
+1. root selection at ``start_parsing_at_tag`` (default ``body``) and
+   re-wrap under a synthetic ``html`` marked for span removal
+   (reference: html_parser.py:429-443),
+2. minification — comment removal + whitespace collapse, ``<pre>``
+   exempt (reference: html_parser.py:446),
+3. tree rewriting: consecutive-tag folding (html_parser.py:267-313),
+   top-down then bottom-up subtree removal with tail-preserving
+   deletion (html_parser.py:222-264,316-363,583-607),
+4. DFS linearization with the block/inline whitespace state machine
+   (html_parser.py:496-581),
+5. relative-position renumbering (html_parser.py:474-494).
+
+Divergences from the reference (deliberate, documented):
+
+* folding a tag that is neither block nor inline-spacing uses
+  ``fake_tag_basic`` instead of crashing on the reference's undefined
+  ``self.fake_tag`` (html_parser.py:302 latent AttributeError),
+* unparseable input degrades to an empty result with
+  ``malformed=True`` instead of raising (north_rule requires a
+  malformed-HTML fallback metric).
+"""
+
+from __future__ import annotations
+
+import sys
+from collections import defaultdict
+from dataclasses import dataclass
+
+from .config import ExtractionConfig, TagToRemove, TagToRemoveWithContent
+from .constants import (
+    BLOCK_CONTENT_SEPARATOR,
+    BLOCK_ELEMENTS,
+    FAKE_TAG_BASIC,
+    FAKE_TAG_BLOCK,
+    FAKE_TAG_INLINE,
+    INLINE_ELEMENTS_SPACING,
+    MEDIA_TAGS,
+    PLAIN_TEXT_SEPARATOR,
+    PRE_TAG,
+)
+from .dom import Node, parse_document
+from .minify import minify_tree
+
+_FAKE_TAGS = (FAKE_TAG_BLOCK, FAKE_TAG_INLINE, FAKE_TAG_BASIC)
+
+# deep pathological nesting shouldn't kill the executor
+_MIN_RECURSION = 50_000
+
+
+@dataclass
+class Span:
+    """One emitted span (reference Metadata dataclass, html_parser.py:109-123)."""
+
+    char_start_idx: int
+    relative_start_pos: int
+    value: str  # tag name
+    attrs: list
+    attr_values: list
+    char_end_idx: int | None = None
+    relative_end_pos: int | None = None
+    key: str = "html"
+    type: str = "local"
+    kind: str = "text"  # "text" | "media" (interleaved contract)
+    media_ref: str = ""
+    offset: int = -1  # document-order rank, filled after renumbering
+
+
+@dataclass
+class ExtractResult:
+    text: str
+    spans: list  # list[Span] in reference emission (post-)order
+    malformed: bool = False
+
+
+class AttributeCleaner:
+    """Attribute projection (reference: html_parser.py:126-149)."""
+
+    def __init__(self, attrs_to_keep):
+        self.attrs_to_keep = attrs_to_keep
+
+    def __call__(self, attrib: dict) -> tuple[list, list]:
+        keep = self.attrs_to_keep
+        if keep is None:
+            return list(attrib.keys()), list(attrib.values())
+        names = [k for k in attrib if k in keep]
+        return names, [attrib[k] for k in names]
+
+
+class TagFilter:
+    """Span-drop and subtree-drop predicates (reference: html_parser.py:152-264)."""
+
+    def __init__(self, cfg: ExtractionConfig, tags_to_remove_alone: list):
+        self.txt_max_chr_len_alone = cfg.txt_max_chr_len_alone
+        self.txt_min_chr_len_alone = cfg.txt_min_chr_len_alone
+        self.tags_exceptions_alone = cfg.tags_exceptions_alone or []
+        self.txt_max_chr_len_with_content = cfg.txt_max_chr_len_with_content
+        self.txt_min_chr_len_with_content = cfg.txt_min_chr_len_with_content
+        self.tags_exceptions_with_content = cfg.tags_exceptions_with_content or []
+        self.tags_to_remove_alone = {t.tag: t for t in tags_to_remove_alone}
+        self.tags_to_remove_with_content = {
+            t.tag: t for t in (cfg.tags_to_remove_with_content or [])
+        }
+        for t in self.tags_to_remove_with_content.values():
+            if t.method not in ("top-down", "bottom-up"):
+                raise ValueError(
+                    f"invalid removal method {t.method!r} for tag {t.tag!r}; "
+                    "valid methods are 'top-down' and 'bottom-up'"
+                )
+
+    def drop_span(self, span: Span) -> bool:
+        # reference: html_parser.py:195-220
+        tag = span.value
+        n = (
+            span.char_end_idx - span.char_start_idx
+            if span.char_end_idx is not None
+            else 0
+        )
+        rule = self.tags_to_remove_alone.get(tag)
+        if rule is not None and rule.content_min_char_length <= n <= rule.content_max_char_length:
+            return True
+        if tag not in self.tags_exceptions_alone:
+            if self.txt_min_chr_len_alone <= n <= self.txt_max_chr_len_alone:
+                return True
+        return False
+
+    def drop_subtree_top_down(self, tag: str, text: str) -> bool:
+        # reference: html_parser.py:222-246
+        rule = self.tags_to_remove_with_content.get(tag)
+        if rule is not None and rule.method != "top-down":
+            return False
+        n = len(text)
+        if rule is not None and rule.content_min_char_length <= n <= rule.content_max_char_length:
+            return True
+        if tag not in self.tags_exceptions_with_content:
+            if self.txt_min_chr_len_with_content <= n <= self.txt_max_chr_len_with_content:
+                return True
+        return False
+
+    def drop_subtree_bottom_up(self, tag: str, text: str) -> bool:
+        # reference: html_parser.py:248-264
+        rule = self.tags_to_remove_with_content.get(tag)
+        if rule is None or rule.method != "bottom-up":
+            return False
+        return rule.content_min_char_length <= len(text) <= rule.content_max_char_length
+
+
+class ConsecutiveTagFolder:
+    """Collapse single-child same-tag chains (reference: html_parser.py:267-313).
+
+    Chain continuation uses the ``previous_tag`` marker attribute the
+    way the reference does, including the quirk that a continuation
+    stamps the *fake* tag as ``previous_tag`` so chains deeper than
+    three stop folding — observable behavior preserved.
+    """
+
+    ATTRIB_SEPARATOR = " "
+
+    def __init__(self, block_elements: list, consecutive_tags_to_fold):
+        self.fold_tags = consecutive_tags_to_fold or []
+        self.block_elements = block_elements
+
+    def __call__(self, root: Node) -> None:
+        tag = root.tag
+        if not (
+            (tag in self.fold_tags and len(root) == 1 and root[0].tag == tag)
+            or (
+                tag in _FAKE_TAGS
+                and len(root) == 1
+                and "previous_tag" in root.attrib
+                and root[0].tag == root.attrib["previous_tag"]
+            )
+        ):
+            return
+
+        child = root[0]
+        if tag in self.block_elements:
+            child.tag = FAKE_TAG_BLOCK
+        elif tag in INLINE_ELEMENTS_SPACING:
+            child.tag = FAKE_TAG_INLINE
+        else:
+            child.tag = FAKE_TAG_BASIC
+
+        fold_root = root
+        while fold_root.tag in _FAKE_TAGS:
+            fold_root = fold_root.getparent()
+
+        for key, value in child.attrib.items():
+            if key in fold_root.attrib:
+                fold_root.attrib[key] += self.ATTRIB_SEPARATOR + value
+            else:
+                fold_root.attrib[key] = value
+        child.attrib["previous_tag"] = tag
+
+
+def _splice_tail_before_delete(node: Node) -> None:
+    """Tail-preserving deletion splice (reference: html_parser.py:316-363)."""
+    if not node.tail:
+        return
+    sep = PLAIN_TEXT_SEPARATOR
+    previous = node.getprevious()
+    if previous is not None:
+        if previous.tail is None:
+            previous.tail = node.tail
+        elif (
+            previous.text
+            and not previous.text.endswith(sep)
+            and not node.tail.startswith(sep)
+        ):
+            previous.text = previous.text + sep + node.tail
+        elif (
+            previous.text
+            and previous.text.endswith(sep)
+            and node.tail.startswith(sep)
+        ):
+            previous.text = previous.text[: -len(sep)] + node.tail
+        elif (
+            previous.tail
+            and not previous.tail.endswith(sep)
+            and not node.tail.startswith(sep)
+        ):
+            previous.tail = previous.tail + sep + node.tail
+        else:
+            previous.tail = previous.tail + node.tail
+    else:
+        parent = node.getparent()
+        if parent.text is None:
+            parent.text = node.tail
+        elif not parent.text.endswith(sep) and not node.tail.startswith(sep):
+            parent.text = parent.text + sep + node.tail
+        elif parent.text.endswith(sep) and node.tail.startswith(sep):
+            parent.text = parent.text[: -len(sep)] + node.tail
+        else:
+            parent.text = parent.text + node.tail
+
+
+def remove_keeping_tail(node: Node) -> None:
+    _splice_tail_before_delete(node)
+    node.getparent().remove(node)
+
+
+class _Extractor:
+    """One-shot extraction state machine (reference TextAndMetadataCleaner)."""
+
+    def __init__(self, cfg: ExtractionConfig):
+        self.cfg = cfg
+        # fake tags are always span-dropped (reference: html_parser.py:390-403)
+        alone = list(cfg.tags_to_remove_alone or []) + [
+            TagToRemove(FAKE_TAG_BLOCK),
+            TagToRemove(FAKE_TAG_INLINE),
+            TagToRemove(FAKE_TAG_BASIC),
+        ]
+        self.block_elements = list(BLOCK_ELEMENTS)
+        if cfg.convert_br_tag_to_breaking_line:
+            # reference: html_parser.py:405-408
+            self.block_elements.remove("br")
+            alone.append(TagToRemove("br"))
+        self.folder = ConsecutiveTagFolder(self.block_elements, cfg.consecutive_tags_to_fold)
+        self.attr_cleaner = AttributeCleaner(cfg.attrs_to_keep)
+        self.tag_filter = TagFilter(cfg, alone)
+
+    # ---- tree rewriting (reference: html_parser.py:583-607) ---------------
+    def _clean_tree(self, root: Node) -> None:
+        self.folder(root)
+
+        text = root.subtree_text()
+        if self.tag_filter.drop_subtree_top_down(root.tag, text):
+            remove_keeping_tail(root)
+            return
+
+        # lxml child iterators pre-fetch the next sibling, so a child
+        # removing itself does not skip its successor — iterate a copy
+        for child in list(root.children):
+            self._clean_tree(child)
+
+        text = root.subtree_text()
+        if self.tag_filter.drop_subtree_bottom_up(root.tag, text):
+            remove_keeping_tail(root)
+
+    # ---- linearization (reference: html_parser.py:496-581) ----------------
+    def _append_text_content(self, txt: str) -> None:
+        if self.current_tag == PRE_TAG:
+            self.text += txt
+            return
+        txt = txt.replace("\u00a0", " ")  # NBSP -> space (html_parser.py:511)
+        buf = self.text
+        c = buf[-1] if buf else " "
+        out = []
+        for c2 in txt:
+            if c2 == "\r" or c2 == "\n":
+                c2 = " "
+            if not c.isspace() or not c2.isspace():
+                out.append(c2)
+            c = c2
+        self.text = buf + "".join(out)
+
+    @staticmethod
+    def _append_block_separator(sb: str) -> str:
+        if sb:
+            if sb[-1] == PLAIN_TEXT_SEPARATOR:
+                sb = sb[:-1] + BLOCK_CONTENT_SEPARATOR
+            elif sb[-1] != BLOCK_CONTENT_SEPARATOR:
+                sb += BLOCK_CONTENT_SEPARATOR
+        return sb
+
+    @staticmethod
+    def _append_inline_separator(sb: str) -> str:
+        if sb and sb[-1] != PLAIN_TEXT_SEPARATOR and sb[-1] != BLOCK_CONTENT_SEPARATOR:
+            sb += PLAIN_TEXT_SEPARATOR
+        return sb
+
+    def _add_text(self, tag: str, new_text) -> None:
+        if tag in self.block_elements:
+            self.text = self._append_block_separator(self.text)
+        elif tag in INLINE_ELEMENTS_SPACING:
+            self.text = self._append_inline_separator(self.text)
+        if new_text:
+            self._append_text_content(new_text)
+        self._char_idx = len(self.text)
+
+    def _linearize(self, root: Node) -> None:
+        self.current_tag = root.tag
+
+        attrs, values = self.attr_cleaner(root.attrib)
+        span = Span(
+            char_start_idx=self._char_idx,
+            relative_start_pos=self._pos_counter[self._char_idx],
+            value=root.tag,
+            attrs=attrs,
+            attr_values=values,
+            kind="media" if root.tag in MEDIA_TAGS else "text",
+            media_ref=root.attrib.get("src", "") if root.tag in MEDIA_TAGS else "",
+        )
+        self._pos_counter[self._char_idx] += 1
+
+        if self.cfg.convert_br_tag_to_breaking_line and root.tag == "br":
+            self.text += "\n"  # reference: html_parser.py:470-472
+
+        self._add_text(root.tag, root.text)
+        for child in root.children:
+            self._linearize(child)
+        self.current_tag = root.tag
+
+        span.char_end_idx = self._char_idx
+        span.relative_end_pos = self._pos_counter[self._char_idx]
+        self._pos_counter[self._char_idx] += 1
+
+        self._add_text(root.tag, root.tail)
+
+        if not self.tag_filter.drop_span(span):
+            self.spans.append(span)
+
+    # ---- relative-position renumbering (reference: html_parser.py:474-494)
+    @staticmethod
+    def _renumber(spans: list) -> None:
+        by_idx: dict = defaultdict(dict)
+        for s in spans:
+            by_idx[s.char_start_idx][s.relative_start_pos] = ("start", s)
+            by_idx[s.char_end_idx][s.relative_end_pos] = ("end", s)
+        for events in by_idx.values():
+            idx = 0
+            for pos in sorted(events.keys()):
+                which, s = events[pos]
+                if which == "start":
+                    s.relative_start_pos = idx
+                else:
+                    s.relative_end_pos = idx
+                idx += 1
+
+    # ---- driver ------------------------------------------------------------
+    def run(self, html_str: str) -> ExtractResult:
+        root, malformed = parse_document(html_str)
+
+        if self.cfg.start_parsing_at_tag is not None:
+            start = root.find_first(self.cfg.start_parsing_at_tag)
+            if start is None:
+                return ExtractResult("", [], malformed=True)
+            # reference wraps the serialized subtree in a synthetic
+            # <html> and marks it span-removed (html_parser.py:437-443)
+            wrapper = Node("html")
+            wrapper.append(start)
+            self.tag_filter.tags_to_remove_alone["html"] = TagToRemove("html")
+            root = wrapper
+
+        minify_tree(root)
+
+        self._clean_tree(root)
+
+        self.spans: list[Span] = []
+        self._char_idx = 0
+        self._pos_counter: dict = defaultdict(int)
+        self.text = ""
+        self._linearize(root)
+
+        self._renumber(self.spans)
+
+        order = sorted(
+            range(len(self.spans)),
+            key=lambda i: (
+                self.spans[i].char_start_idx,
+                self.spans[i].relative_start_pos,
+            ),
+        )
+        for rank, i in enumerate(order):
+            self.spans[i].offset = rank
+
+        return ExtractResult(self.text, self.spans, malformed)
+
+
+def extract(html_str: str, cfg: ExtractionConfig | None = None) -> ExtractResult:
+    """Extract (plain_text, spans) from an HTML string.
+
+    Public scalar entry point — the analogue of the reference's
+    ``get_clean_text_and_metadata`` (html_parser.py:610-639).
+    """
+    if cfg is None:
+        cfg = ExtractionConfig()
+    if sys.getrecursionlimit() < _MIN_RECURSION:
+        sys.setrecursionlimit(_MIN_RECURSION)
+    try:
+        return _Extractor(cfg).run(html_str)
+    except RecursionError:
+        return ExtractResult("", [], malformed=True)

@@ -1,0 +1,75 @@
+"""Tree-level HTML minifier.
+
+The reference runs ``htmlmin.minify(html, remove_comments=True,
+keep_pre=True)`` on the serialized body string before re-parsing
+(reference: html_parser.py:446).  Offline we emulate the observable
+subset directly on the DOM tree, which is equivalent because the
+reference immediately re-parses the minified string:
+
+* comments are removed; the text on either side of a comment joins
+  into a single run before whitespace collapsing,
+* every run of ASCII whitespace in text content collapses to a single
+  space,
+* content inside ``<pre>``/``<textarea>`` subtrees is preserved
+  verbatim (``keep_pre=True``).
+
+The reference's second ``minify`` (html_parser.py:455) feeds a string
+that is never re-parsed — dead code — so no second pass exists here.
+"""
+
+from __future__ import annotations
+
+import re
+
+from .constants import PRESERVE_WHITESPACE_TAGS
+from .dom import COMMENT_TAG, Node
+
+# ASCII whitespace only: NBSP survives minification and is handled by
+# the linearizer's whitespace machine (reference: html_parser.py:511).
+_WS_RUN = re.compile(r"[ \t\n\r\f\v]+")
+
+
+def _collapse(s: str | None) -> str | None:
+    if not s:
+        return s
+    return _WS_RUN.sub(" ", s)
+
+
+def _strip_comments(node: Node) -> None:
+    """Remove comment children, joining the surrounding text runs."""
+    if not node.children:
+        return
+    kept: list[Node] = []
+    for child in node.children:
+        if child.tag == COMMENT_TAG:
+            tail = child.tail or ""
+            if tail:
+                if kept:
+                    kept[-1].tail = (kept[-1].tail or "") + tail
+                else:
+                    node.text = (node.text or "") + tail
+        else:
+            kept.append(child)
+    if len(kept) != len(node.children):
+        node.children = kept
+    for child in kept:
+        _strip_comments(child)
+
+
+def _collapse_ws(node: Node) -> None:
+    if node.tag in PRESERVE_WHITESPACE_TAGS:
+        # keep_pre: subtree text verbatim, but the element's tail is
+        # outside the preserved region
+        node.tail = _collapse(node.tail)
+        return
+    node.text = _collapse(node.text)
+    node.tail = _collapse(node.tail)
+    for child in node.children:
+        _collapse_ws(child)
+
+
+def minify_tree(root: Node) -> Node:
+    """In-place minification; returns ``root`` for chaining."""
+    _strip_comments(root)
+    _collapse_ws(root)
+    return root
