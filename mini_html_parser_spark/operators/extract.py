@@ -1,0 +1,171 @@
+"""Spark-side extraction operator.
+
+Input contract (BASELINE.json ``input_hint``): a table of interleaved
+text + media documents::
+
+    doc_id: string
+    spans:  array<struct<kind:string, text:string, media_ref:string, offset:int>>
+
+A document's renderable HTML is the concatenation of its spans in
+``offset`` order, each ``media`` span standing for
+``<img src="{media_ref}" alt="">`` (FIXTURES.md §1; mirrors the
+reference emitting ``img`` as a zero-length inline span carrying
+``src`` — reference html_parser.py:75 and the 6 img rows of
+parse_scripts/data_test/wiki_page_metadata.jsonl).
+
+The whole per-document kernel runs inside ONE Arrow-batched pandas
+UDF (SURVEY.md §2A): per-row Python exists only *inside* the
+vectorized batch, never at the DataFrame level.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..kernel import ExtractionConfig, extract
+from ..kernel.config import NAMED_CONFIGS
+
+# ---- schemas (FIXTURES.md §1/§2) -----------------------------------------
+
+INPUT_SPAN_SCHEMA = StructType([
+    StructField("kind", StringType()),
+    StructField("text", StringType()),
+    StructField("media_ref", StringType()),
+    StructField("offset", IntegerType()),
+])
+
+DOCUMENTS_SCHEMA = StructType([
+    StructField("doc_id", StringType()),
+    StructField("spans", ArrayType(INPUT_SPAN_SCHEMA)),
+])
+
+OUTPUT_SPAN_SCHEMA = StructType([
+    StructField("key", StringType()),
+    StructField("type", StringType()),
+    StructField("char_start_idx", IntegerType()),
+    StructField("relative_start_pos", IntegerType()),
+    StructField("char_end_idx", IntegerType()),
+    StructField("relative_end_pos", IntegerType()),
+    StructField("value", StringType()),
+    StructField("attrs", ArrayType(StringType())),
+    StructField("attr_values", ArrayType(StringType())),
+    StructField("kind", StringType()),
+    StructField("media_ref", StringType()),
+    StructField("offset", IntegerType()),
+])
+
+EXTRACTED_SCHEMA = StructType([
+    StructField("doc_id", StringType()),
+    StructField("text", StringType()),
+    StructField("spans", ArrayType(OUTPUT_SPAN_SCHEMA)),
+    StructField("n_spans", IntegerType()),
+    StructField("malformed", BooleanType()),
+    StructField("n_chars", LongType()),
+])
+
+
+def assemble_html(spans) -> str:
+    """Interleaved spans → renderable HTML string (offset order)."""
+    if spans is None:
+        return ""
+    parts = []
+    for s in sorted(spans, key=lambda x: x["offset"]):
+        if s["kind"] == "media":
+            parts.append(f'<img src="{s["media_ref"] or ""}" alt="">')
+        else:
+            parts.append(s["text"] or "")
+    return "".join(parts)
+
+
+def span_to_row(s) -> dict:
+    return {
+        "key": s.key,
+        "type": s.type,
+        "char_start_idx": s.char_start_idx,
+        "relative_start_pos": s.relative_start_pos,
+        "char_end_idx": s.char_end_idx,
+        "relative_end_pos": s.relative_end_pos,
+        "value": s.value,
+        "attrs": list(s.attrs),
+        "attr_values": [v if v is not None else "" for v in s.attr_values],
+        "kind": s.kind,
+        "media_ref": s.media_ref,
+        "offset": s.offset,
+    }
+
+
+def _resolve_config(config) -> ExtractionConfig:
+    if isinstance(config, str):
+        return NAMED_CONFIGS[config]()
+    return config if config is not None else ExtractionConfig()
+
+
+def extract_documents(
+    df: DataFrame,
+    config: ExtractionConfig | str = "boilerplate_strip",
+    html_col: str | None = None,
+) -> DataFrame:
+    """documents → extracted: the corpus parse job as one narrow stage.
+
+    ``df`` either carries interleaved ``spans`` (input_hint shape) or a
+    raw HTML string column named by ``html_col``.  Runs the kernel via
+    ``mapInPandas`` so each Arrow batch is processed vectorized; no
+    shuffle is introduced — partitioning/salting is the caller's
+    concern (see pipeline.repartition_for_extraction).
+    """
+    cfg = _resolve_config(config)
+    use_spans = html_col is None
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("doc_id", "text", "spans", "n_spans", "malformed", "n_chars")}
+            htmls = (
+                pdf["spans"].map(assemble_html) if use_spans else pdf[html_col]
+            )
+            for doc_id, html in zip(pdf["doc_id"], htmls):
+                r = extract(html if isinstance(html, str) else "", cfg)
+                out["doc_id"].append(str(doc_id))
+                out["text"].append(r.text)
+                out["spans"].append([span_to_row(s) for s in r.spans])
+                out["n_spans"].append(len(r.spans))
+                out["malformed"].append(bool(r.malformed))
+                out["n_chars"].append(len(r.text))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(process, schema=EXTRACTED_SCHEMA)
+
+
+def explode_spans(extracted: DataFrame) -> DataFrame:
+    """extracted → one row per span (reference B11, compute_aggregate_stats.py:48)."""
+    return (
+        extracted
+        .select("doc_id", "text", F.explode("spans").alias("span"))
+        .select(
+            "doc_id",
+            "text",
+            F.col("span.value").alias("tag"),
+            F.col("span.char_start_idx").alias("char_start_idx"),
+            F.col("span.char_end_idx").alias("char_end_idx"),
+            F.col("span.relative_start_pos").alias("relative_start_pos"),
+            F.col("span.relative_end_pos").alias("relative_end_pos"),
+            F.col("span.attrs").alias("attrs"),
+            F.col("span.attr_values").alias("attr_values"),
+            F.col("span.kind").alias("kind"),
+            F.col("span.media_ref").alias("media_ref"),
+            F.col("span.offset").alias("offset"),
+        )
+    )

@@ -1,0 +1,83 @@
+"""Multimodal column plumbing.
+
+Image/audio/video payloads are opaque ``binary`` columns with a typed
+metadata struct.  Decode / feature-extract / resize / frame-sample run
+as Arrow-batched ``mapInPandas`` stages; the actual codec call is
+STUBBED (no image/audio libs in this container) behind
+``try-import`` with a deterministic fake, but the Spark-side plumbing
+— schema, batch shape, UDF signature, partitioning neutrality — is
+real and tested.
+"""
+
+from __future__ import annotations
+
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    BinaryType, IntegerType, LongType, StringType, StructField, StructType,
+)
+
+MEDIA_FEATURES_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("media_ref", StringType()),
+    StructField("byte_len", LongType()),
+    StructField("format", StringType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("n_frames_sampled", IntegerType()),
+])
+
+
+def attach_media_payload(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stand-in opaque payload: the utf-8 bytes of the text column plus
+    a media_ref; on a real corpus this column comes from the lakehouse."""
+    return df.select(
+        F.col(id_col),
+        F.concat(F.lit("media://blob/"), F.col(id_col).cast("string")).alias("media_ref"),
+        F.encode(F.col(text_col), "utf-8").cast(BinaryType()).alias("payload"),
+    )
+
+
+def _decode_stub(payload: bytes) -> dict:
+    """Deterministic fake decode.  A real deployment swaps this for
+    PIL/ffmpeg behind the same signature."""
+    try:  # pragma: no cover - exercised only when PIL exists
+        import PIL.Image  # noqa: F401
+        raise NotImplementedError(
+            "real image decode not wired in this sandbox; deterministic "
+            "fake features are used instead"
+        )
+    except ImportError:
+        pass
+    n = len(payload or b"")
+    return {
+        "format": ["png", "jpeg", "webp"][n % 3],
+        "width": 64 + (n % 97) * 4,
+        "height": 64 + (n * 7 % 89) * 4,
+        "n_frames_sampled": 1 + n % 8,
+    }
+
+
+def extract_media_features(media: DataFrame) -> DataFrame:
+    """mapInPandas decode/feature stage over the binary payload."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_decode_stub(p) for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "media_ref": pdf["media_ref"],
+                "byte_len": pdf["payload"].map(lambda b: len(b or b"")).astype("int64"),
+                "format": [f["format"] for f in feats],
+                "width": pd.array([f["width"] for f in feats], dtype="int32"),
+                "height": pd.array([f["height"] for f in feats], dtype="int32"),
+                "n_frames_sampled": pd.array(
+                    [f["n_frames_sampled"] for f in feats], dtype="int32"
+                ),
+            })
+
+    return media.mapInPandas(run, schema=MEDIA_FEATURES_SCHEMA)

@@ -1,0 +1,142 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths:
+
+* brute-force cosine top-k — the exact baseline; one scan, one
+  TakeOrderedAndProject, all arithmetic in built-in higher-order
+  functions (zip_with/aggregate) so it whole-stage-codegens;
+* LSH-bucketed ANN (random hyperplanes) — the scale path: sign-bit
+  bucket per document, exact cosine only within the query's bucket
+  (probe neighbors by flipping bits for recall).
+"""
+
+from __future__ import annotations
+
+import math
+import struct as _struct
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _dot(a: F.Column, b: F.Column) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: F.Column) -> F.Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_col(a: F.Column, b: F.Column) -> F.Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k against a literal query vector."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = df.select(
+        F.col(id_col),
+        F.round(cosine_col(F.col(vec_col).cast("array<double>"), q), 6).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+# ---- random-hyperplane LSH ---------------------------------------------------
+
+def _plane_component(plane: int, dim: int) -> float:
+    """Deterministic pseudo-random plane component in [-1, 1] from a
+    splitmix64-style avalanche of (plane, dim) — no RNG state."""
+    x = (plane * 0x9E3779B97F4A7C15 + dim * 0xBF58476D1CE4E5B9 + 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    x ^= x >> 30
+    x = (x * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    x ^= x >> 27
+    x = (x * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    x ^= x >> 31
+    return (x / 2**64) * 2.0 - 1.0
+
+
+def hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
+    return [[_plane_component(p, d) for d in range(dim)] for p in range(n_planes)]
+
+
+def lsh_bucket_col(vec: F.Column, planes: list[list[float]]) -> F.Column:
+    bits = [
+        F.when(_dot(vec, F.array(*[F.lit(c) for c in plane])) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i, plane in enumerate(planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("int")
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """ANN top-k: restrict exact cosine to buckets within
+    ``probe_hamming`` bit flips of the query's bucket (multi-probe)."""
+    dim = len(query_vec)
+    planes = hyperplanes(n_planes, dim)
+    q_bucket = 0
+    for i, plane in enumerate(planes):
+        if sum(px * qx for px, qx in zip(plane, query_vec)) >= 0:
+            q_bucket |= 1 << i
+    probe = {q_bucket}
+    if probe_hamming >= 1:
+        for i in range(n_planes):
+            probe.add(q_bucket ^ (1 << i))
+
+    vec = F.col(vec_col).cast("array<double>")
+    bucketed = df.withColumn("bucket", lsh_bucket_col(vec, planes))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = bucketed.filter(F.col("bucket").isin(sorted(probe))).select(
+        F.col(id_col),
+        F.round(cosine_col(vec, q), 6).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via LSH bucket self-join —
+    exact cosine computed only inside buckets (never O(n²))."""
+    first = df.select(F.col(vec_col)).first()
+    if first is None:
+        return df.sparkSession.createDataFrame([], "id_a long, id_b long, cosine double")
+    dim = len(first[0])
+    planes = hyperplanes(n_planes, dim)
+    vec = F.col(vec_col).cast("array<double>")
+    b = df.select(F.col(id_col), vec.alias("v")).withColumn(
+        "bucket", lsh_bucket_col(F.col("v"), planes)
+    )
+    l, r = b.alias("l"), b.alias("r")
+    pairs = l.join(
+        r,
+        (F.col("l.bucket") == F.col("r.bucket"))
+        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    ).select(
+        F.col(f"l.{id_col}").alias("id_a"),
+        F.col(f"r.{id_col}").alias("id_b"),
+        F.round(cosine_col(F.col("l.v"), F.col("r.v")), 6).alias("cosine"),
+    )
+    return pairs.filter(F.col("cosine") >= threshold)

@@ -1,0 +1,111 @@
+"""Text-analysis operators for a training-data pipeline.
+
+All four stay JVM-side (built-in ``pyspark.sql.functions`` only — no
+Python in the hot path), so they whole-stage-codegen and push down:
+
+* language-ID: stopword-hit n-gram heuristic,
+* quality scoring: length / punctuation / stopword ratios,
+* token counting: whitespace + a BPE-ish regex token stream,
+* document fingerprinting: normalized rolling-hash (md5) fingerprint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# tiny per-language stopword markers (heuristic; padded with spaces so
+# they only hit as whole words)
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "is"],
+    "fr": ["le", "la", "et", "est"],
+    "de": ["der", "und", "die", "ist"],
+    "es": ["el", "los", "que", "es"],
+}
+
+TOKEN_REGEX = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def _count_word(text: Column, word: str) -> Column:
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    needle = f" {word} "
+    return (
+        (F.length(padded) - F.length(F.regexp_replace(padded, needle, " ")))
+        / (len(needle) - 1)
+    ).cast("long")
+
+
+def lang_score_columns(text: Column) -> list[Column]:
+    return [
+        sum(_count_word(text, w) for w in words).alias(f"score_{lang}")
+        for lang, words in LANG_MARKERS.items()
+    ]
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Pick the language whose markers hit most (ties → lexicographic).
+
+    Expressed as greatest-of-structs so the whole operator is one
+    codegen'd projection.
+    """
+    text = F.col(text_col)
+    scored = df.select(
+        "*", *lang_score_columns(text)
+    )
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(
+        *[
+            F.struct(
+                F.col(f"score_{l}").alias("s"),
+                # invert lexicographic rank so greatest() breaks score
+                # ties toward the alphabetically-first language
+                F.lit(len(langs) - i).alias("r"),
+                F.lit(l).alias("lang"),
+            )
+            for i, l in enumerate(langs)
+        ]
+    )
+    return scored.withColumn(
+        "detected_lang",
+        F.when(best["s"] > 0, best["lang"]).otherwise(F.lit("und")),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length/punct/stopword quality heuristics (all built-in exprs)."""
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    tokens = F.split(F.trim(text), r"\s+")
+    n_tokens = F.size(tokens)
+    n_punct = F.length(text) - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    stop_hits = sum(_count_word(text, w) for ws in LANG_MARKERS.values() for w in ws)
+    return (
+        df.withColumn("n_chars_q", n_chars.cast("long"))
+        .withColumn("n_tokens", n_tokens.cast("long"))
+        .withColumn(
+            "avg_token_len",
+            F.round((n_chars - n_tokens + 1) / n_tokens, 4).cast("double"),
+        )
+        .withColumn("punct_ratio", F.round(n_punct / n_chars, 4).cast("double"))
+        .withColumn("stopword_ratio", F.round(stop_hits / n_tokens, 4).cast("double"))
+        .withColumn(
+            "quality_ok",
+            (n_tokens >= 5) & (n_chars >= 20) & ((n_punct / n_chars) < 0.2),
+        )
+    )
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace + BPE-ish regex token counts."""
+    text = F.col(text_col)
+    return df.withColumn(
+        "ws_tokens", F.size(F.split(F.trim(text), r"\s+")).cast("long")
+    ).withColumn(
+        "bpe_ish_tokens", F.size(F.regexp_extract_all(text, F.lit(TOKEN_REGEX), F.lit(0))).cast("long")
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Normalized content fingerprint: lowercase, strip non-alnum,
+    md5 — stable across whitespace/punctuation jitter."""
+    normalized = F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9]", "")
+    return df.withColumn("fingerprint", F.md5(normalized))

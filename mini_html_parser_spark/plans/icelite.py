@@ -1,0 +1,113 @@
+"""icelite — a minimal Iceberg-style snapshot/manifest table layer.
+
+The sandbox has no Iceberg runtime jar, so snapshot semantics
+(reference B8's resume + north_rule's per-partition lineage) are
+provided by parquet data files + JSON manifests with an interface
+shaped so a real Iceberg catalog drops in on a cluster
+(``spark.jars.packages org.apache.iceberg:...`` + ``MERGE``/append).
+
+Layout::
+
+    <table>/data/snap-<n>/bucket=<k>/*.parquet   (one dir per commit)
+    <table>/_icelite/snap-<n>.json               (manifest, written last)
+
+A manifest records: snapshot id, parent id, data dir, committed
+buckets, per-bucket row counts (lineage), and job-level metrics.
+Readers union all committed data dirs; a crashed write never commits
+(manifest is the atomic commit point).  Resume = anti-join of input
+buckets against the committed bucket set — no per-row bookkeeping.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, functions as F
+
+
+class IceliteTable:
+    def __init__(self, path: str):
+        self.path = path
+        self.manifest_dir = os.path.join(path, "_icelite")
+
+    # ---- manifest plumbing -------------------------------------------------
+    def snapshots(self) -> list[dict]:
+        if not os.path.isdir(self.manifest_dir):
+            return []
+        snaps = []
+        for name in sorted(os.listdir(self.manifest_dir)):
+            if name.startswith("snap-") and name.endswith(".json"):
+                with open(os.path.join(self.manifest_dir, name)) as f:
+                    snaps.append(json.load(f))
+        return snaps
+
+    def current_snapshot(self) -> dict | None:
+        snaps = self.snapshots()
+        return snaps[-1] if snaps else None
+
+    def committed_buckets(self) -> set[int]:
+        buckets: set[int] = set()
+        for s in self.snapshots():
+            buckets.update(int(b) for b in s["bucket_rows"].keys())
+        return buckets
+
+    # ---- read / resume -----------------------------------------------------
+    def read(self, spark) -> DataFrame:
+        dirs = [s["data_dir"] for s in self.snapshots()]
+        if not dirs:
+            raise FileNotFoundError(f"icelite table {self.path} has no snapshots")
+        return spark.read.option("basePath", self.path).parquet(*dirs)
+
+    def filter_pending(self, df: DataFrame, bucket_col: str = "bucket") -> DataFrame:
+        """Drop rows whose bucket is already committed (resume).
+
+        The committed-bucket set is tiny metadata (manifest-level, like
+        Iceberg partition summaries), so this is a partition-pruning
+        filter, not a data-scale anti-join.
+        """
+        done = self.committed_buckets()
+        if not done:
+            return df
+        return df.filter(~F.col(bucket_col).isin(sorted(done)))
+
+    # ---- write / commit ----------------------------------------------------
+    def commit_append(
+        self,
+        df: DataFrame,
+        partition_col: str = "bucket",
+        metrics: dict | None = None,
+    ) -> dict | None:
+        """Write ``df`` partitioned by ``partition_col`` and commit a
+        snapshot manifest recording per-bucket lineage row counts."""
+        parent = self.current_snapshot()
+        snap_n = (parent["sequence"] + 1) if parent else 0
+        data_dir = os.path.join(self.path, "data", f"snap-{snap_n}")
+
+        df.write.partitionBy(partition_col).mode("overwrite").parquet(data_dir)
+
+        # lineage: rows per bucket of what we just wrote (cheap: parquet
+        # footer counts via a metadata-only scan of the new dir)
+        spark = df.sparkSession
+        written = spark.read.option("basePath", data_dir).parquet(data_dir)
+        rows = written.groupBy(partition_col).count().collect()
+        bucket_rows = {str(r[partition_col]): r["count"] for r in rows}
+        if not bucket_rows:
+            return None
+
+        manifest = {
+            "sequence": snap_n,
+            "snapshot_id": uuid.uuid4().hex,
+            "parent_id": parent["snapshot_id"] if parent else None,
+            "data_dir": data_dir,
+            "bucket_rows": bucket_rows,
+            "total_rows": int(sum(bucket_rows.values())),
+            "metrics": metrics or {},
+        }
+        os.makedirs(self.manifest_dir, exist_ok=True)
+        tmp = os.path.join(self.manifest_dir, f".snap-{snap_n}.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=2)
+        os.replace(tmp, os.path.join(self.manifest_dir, f"snap-{snap_n:06d}.json"))
+        return manifest

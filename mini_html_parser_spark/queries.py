@@ -1,0 +1,826 @@
+"""Query surface for the driver contract (__spark_entry__.py).
+
+Every operator family from SURVEY.md §2 gets a named query
+``(spark, sf_dir) -> DataFrame`` and — wherever ANSI-SQL can express
+the same semantics — a DuckDB oracle string over the driver's
+pre-registered views.
+
+Extraction queries synthesize HTML from the flat ``documents`` table
+with SQL string concatenation; because the driver's text corpus is
+whitespace-clean, the kernel's output span offsets are closed-form
+arithmetic over ``length(text)`` — so even the full HTML extraction
+path is oracle-checked (span-sequence equality per BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .operators import dedup, multimodal, sampling, similarity, stats, text_analysis
+from .operators.extract import extract_documents, explode_spans
+from .sources.readers import load_table
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# =========================================================================
+# Extraction family (kernel through Spark; oracle = closed-form offsets)
+# =========================================================================
+
+# HTML template: <html><head><title>t</title></head><body>
+#   <h1>Title {doc_id}</h1><div class="main"><p>{text}</p></div>
+#   <footer>boilerplate footer</footer></body></html>
+# Under boilerplate_strip the footer subtree is removed; survivors are
+# body/h1/div/p with offsets:   L = length('Title ' || doc_id),
+# T = length(text):
+#   body: cs=0   rs=0  ce=L+T+2  re=1  offset=0
+#   h1:   cs=0   rs=1  ce=L      re=0  offset=1
+#   div:  cs=L+1 rs=0  ce=L+T+2  re=0  offset=2
+#   p:    cs=L+1 rs=1  ce=L+T+1  re=0  offset=3
+
+def _flagship_documents(docs: DataFrame) -> DataFrame:
+    html = F.concat(
+        F.lit('<html><head><title>t</title></head><body><h1>Title '),
+        F.col("doc_id").cast("string"),
+        F.lit('</h1><div class="main"><p>'),
+        F.col("text"),
+        F.lit('</p></div><footer>boilerplate footer</footer></body></html>'),
+    )
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("html").alias("kind"),
+                html.alias("text"),
+                F.lit("").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+
+
+def q_extract_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ext = extract_documents(_flagship_documents(_docs(spark, sf_dir)), "boilerplate_strip")
+    return (
+        explode_spans(ext)
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.col("tag"),
+            "char_start_idx", "relative_start_pos",
+            "char_end_idx", "relative_end_pos", "offset",
+        )
+    )
+
+
+ORACLE_FLAGSHIP = """
+WITH base AS (
+  SELECT doc_id,
+         CAST(length('Title ' || CAST(doc_id AS VARCHAR)) AS INTEGER) AS l,
+         CAST(length(text) AS INTEGER) AS t
+  FROM documents
+)
+SELECT doc_id, 'body' AS tag,
+       CAST(0 AS INTEGER) AS char_start_idx, CAST(0 AS INTEGER) AS relative_start_pos,
+       CAST(l + t + 2 AS INTEGER) AS char_end_idx, CAST(1 AS INTEGER) AS relative_end_pos,
+       CAST(0 AS INTEGER) AS offset FROM base
+UNION ALL
+SELECT doc_id, 'h1', 0, 1, l, 0, 1 FROM base
+UNION ALL
+SELECT doc_id, 'div', l + 1, 0, l + t + 2, 0, 2 FROM base
+UNION ALL
+SELECT doc_id, 'p', l + 1, 1, l + t + 1, 0, 3 FROM base
+"""
+
+
+def q_extract_interleaved_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved text+media document: media span anchored in order,
+    must come out as a zero-length media span at the exact offset."""
+    docs = _docs(spark, sf_dir)
+    inter = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("html").alias("kind"),
+                F.concat(F.lit("<html><body><p>"), F.col("text"), F.lit(" ")).alias("text"),
+                F.lit("").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            ),
+            F.struct(
+                F.lit("media").alias("kind"),
+                F.lit("").alias("text"),
+                F.concat(F.lit("media://img/"), F.col("doc_id").cast("string")).alias("media_ref"),
+                F.lit(1).alias("offset"),
+            ),
+            F.struct(
+                F.lit("html").alias("kind"),
+                F.lit("</p></body></html>").alias("text"),
+                F.lit("").alias("media_ref"),
+                F.lit(2).alias("offset"),
+            ),
+        ).alias("spans"),
+    )
+    ext = extract_documents(inter, "keep_everything")
+    return explode_spans(ext).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "tag", "kind", "media_ref",
+        "char_start_idx", "relative_start_pos",
+        "char_end_idx", "relative_end_pos", "offset",
+    )
+
+
+ORACLE_INTERLEAVED = """
+WITH base AS (
+  SELECT doc_id, CAST(length(text) AS INTEGER) AS t FROM documents
+)
+SELECT doc_id, 'body' AS tag, 'text' AS kind, '' AS media_ref,
+       CAST(0 AS INTEGER) AS char_start_idx, CAST(0 AS INTEGER) AS relative_start_pos,
+       CAST(t + 1 AS INTEGER) AS char_end_idx, CAST(3 AS INTEGER) AS relative_end_pos,
+       CAST(0 AS INTEGER) AS offset FROM base
+UNION ALL
+SELECT doc_id, 'p', 'text', '', 0, 1, t + 1, 2, 1 FROM base
+UNION ALL
+SELECT doc_id, 'img', 'media', 'media://img/' || CAST(doc_id AS VARCHAR),
+       t + 1, 0, t + 1, 1, 2 FROM base
+"""
+
+
+def q_extract_tag_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ext = extract_documents(_flagship_documents(_docs(spark, sf_dir)), "boilerplate_strip")
+    return (
+        explode_spans(ext)
+        .groupBy("tag")
+        .agg(F.count("*").alias("n_spans"))
+    )
+
+
+ORACLE_TAG_HISTOGRAM = """
+SELECT tag, count(*) AS n_spans
+FROM documents, (VALUES ('body'), ('h1'), ('div'), ('p')) AS tags(tag)
+GROUP BY tag
+"""
+
+
+def q_extract_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The extracted plain text itself: 'Title {id}\\n{text}\\n'."""
+    ext = extract_documents(_flagship_documents(_docs(spark, sf_dir)), "boilerplate_strip")
+    return ext.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("text").alias("plain_text"),
+        F.col("n_chars").alias("n_chars_out"),
+        F.col("malformed").cast("int").alias("malformed"),
+    )
+
+
+ORACLE_TEXT_ROUNDTRIP = """
+SELECT doc_id,
+       'Title ' || CAST(doc_id AS VARCHAR) || chr(10) || text || chr(10) AS plain_text,
+       CAST(length(text) + length('Title ' || CAST(doc_id AS VARCHAR)) + 2 AS BIGINT) AS n_chars_out,
+       CAST(0 AS INTEGER) AS malformed
+FROM documents
+"""
+
+
+def q_extract_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B18+B20 through the REAL extraction: corpus describe() of the
+    per-(doc,tag) text_length_mean stat."""
+    ext = extract_documents(_flagship_documents(_docs(spark, sf_dir)), "boilerplate_strip")
+    per_doc = stats.span_stats(ext)
+    described = stats.tag_stats(per_doc).filter(F.col("stat_col") == "text_length_mean")
+    return described.select(
+        "tag",
+        F.col("count").alias("n_docs"),
+        F.round("mean", 4).alias("mean"),
+        F.round("std", 4).alias("std"),
+        F.round("min", 4).alias("min"),
+        F.round("p25", 4).alias("p25"),
+        F.round("p50", 4).alias("p50"),
+        F.round("p75", 4).alias("p75"),
+        F.round("max", 4).alias("max"),
+    )
+
+
+ORACLE_SPAN_STATS = """
+WITH base AS (
+  SELECT doc_id,
+         length('Title ' || CAST(doc_id AS VARCHAR)) AS l,
+         length(text) AS t
+  FROM documents
+), per_doc AS (
+  SELECT doc_id, 'body' AS tag, CAST(l + t + 2 AS DOUBLE) AS v FROM base
+  UNION ALL SELECT doc_id, 'h1',  CAST(l AS DOUBLE) FROM base
+  UNION ALL SELECT doc_id, 'div', CAST(t + 1 AS DOUBLE) FROM base
+  UNION ALL SELECT doc_id, 'p',   CAST(t AS DOUBLE) FROM base
+)
+SELECT tag, count(v) AS n_docs,
+       round(avg(v), 4) AS mean,
+       round(stddev_samp(v), 4) AS std,
+       round(min(v), 4) AS min,
+       round(quantile_cont(v, 0.25), 4) AS p25,
+       round(quantile_cont(v, 0.50), 4) AS p50,
+       round(quantile_cont(v, 0.75), 4) AS p75,
+       round(max(v), 4) AS max
+FROM per_doc GROUP BY tag
+"""
+
+
+# =========================================================================
+# Relational operators (B9–B23)
+# =========================================================================
+
+def q_agg_median_by_lang(spark, sf_dir):
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+            F.round(F.median("n_chars"), 6).alias("median_chars"),
+            F.round(F.stddev("n_chars"), 6).alias("std_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+ORACLE_AGG_MEDIAN = """
+SELECT lang, count(*) AS n_docs,
+       round(avg(n_chars), 6) AS avg_chars,
+       round(median(n_chars), 6) AS median_chars,
+       round(stddev_samp(n_chars), 6) AS std_chars,
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+FROM documents GROUP BY lang
+"""
+
+
+def q_describe_two_level(spark, sf_dir):
+    per_group = (
+        _docs(spark, sf_dir)
+        .groupBy("lang", "source")
+        .agg(F.avg("n_chars").alias("grp_mean"))
+    )
+    return per_group.groupBy("lang").agg(
+        F.count("grp_mean").alias("n_groups"),
+        F.round(F.avg("grp_mean"), 6).alias("mean"),
+        F.round(F.stddev("grp_mean"), 6).alias("std"),
+        F.round(F.min("grp_mean"), 6).alias("min"),
+        F.round(F.percentile("grp_mean", F.lit(0.25)), 6).alias("p25"),
+        F.round(F.percentile("grp_mean", F.lit(0.50)), 6).alias("p50"),
+        F.round(F.percentile("grp_mean", F.lit(0.75)), 6).alias("p75"),
+        F.round(F.max("grp_mean"), 6).alias("max"),
+    )
+
+
+ORACLE_DESCRIBE_TWO_LEVEL = """
+WITH per_group AS (
+  SELECT lang, source, avg(n_chars) AS grp_mean
+  FROM documents GROUP BY lang, source
+)
+SELECT lang, count(grp_mean) AS n_groups,
+       round(avg(grp_mean), 6) AS mean,
+       round(stddev_samp(grp_mean), 6) AS std,
+       round(min(grp_mean), 6) AS min,
+       round(quantile_cont(grp_mean, 0.25), 6) AS p25,
+       round(quantile_cont(grp_mean, 0.50), 6) AS p50,
+       round(quantile_cont(grp_mean, 0.75), 6) AS p75,
+       round(max(grp_mean), 6) AS max
+FROM per_group GROUP BY lang
+"""
+
+
+def q_explode_tokens_topk(spark, sf_dir):
+    return (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )
+
+
+ORACLE_EXPLODE_TOKENS = """
+SELECT token, count(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+WHERE token <> ''
+GROUP BY token ORDER BY n DESC, token ASC LIMIT 20
+"""
+
+
+def q_filter_topk(spark, sf_dir):
+    return (
+        _docs(spark, sf_dir)
+        .filter((F.col("lang") == "en") & (F.col("n_chars") > 200))
+        .select("doc_id", "source", "n_chars")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .limit(100)
+    )
+
+
+ORACLE_FILTER_TOPK = """
+SELECT doc_id, source, n_chars FROM documents
+WHERE lang = 'en' AND n_chars > 200
+ORDER BY n_chars DESC, doc_id ASC LIMIT 100
+"""
+
+
+def q_derived_columns(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    toks = F.size(F.split(F.trim("text"), " "))
+    return docs.select(
+        "doc_id",
+        (F.col("n_chars") - toks + 1).cast("bigint").alias("alpha_chars"),
+        F.round(F.col("n_chars") / toks, 6).alias("chars_per_token"),
+        (F.col("n_chars") % 7).cast("bigint").alias("bucket7"),
+    )
+
+
+ORACLE_DERIVED = """
+SELECT doc_id,
+       CAST(n_chars - len(string_split(trim(text), ' ')) + 1 AS BIGINT) AS alpha_chars,
+       round(n_chars / len(string_split(trim(text), ' ')), 6) AS chars_per_token,
+       CAST(n_chars % 7 AS BIGINT) AS bucket7
+FROM documents
+"""
+
+
+def q_substring_span_join(spark, sf_dir):
+    """B15: span→doc association as a real broadcast equi-join."""
+    docs = _docs(spark, sf_dir)
+    dim = docs.groupBy("lang").agg(F.avg("n_chars").alias("lang_avg"))
+    return (
+        docs.join(F.broadcast(dim), "lang")
+        .select(
+            "doc_id", "lang",
+            F.substring("text", 1, 40).alias("head40"),
+            F.round(F.col("n_chars") / F.col("lang_avg"), 6).alias("rel_len"),
+        )
+    )
+
+
+ORACLE_SUBSTRING_JOIN = """
+WITH dim AS (SELECT lang, avg(n_chars) AS lang_avg FROM documents GROUP BY lang)
+SELECT d.doc_id, d.lang, substring(d.text, 1, 40) AS head40,
+       round(d.n_chars / dim.lang_avg, 6) AS rel_len
+FROM documents d JOIN dim USING (lang)
+"""
+
+
+def q_sample_exact_n(spark, sf_dir):
+    return sampling.sample_exact_n(_docs(spark, sf_dir), 500, seed=42).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+ORACLE_SAMPLE = """
+SELECT doc_id, lang, n_chars FROM documents
+ORDER BY md5(CAST(doc_id AS VARCHAR) || '#42') ASC, doc_id ASC LIMIT 500
+"""
+
+
+def q_row_number_enumerate(spark, sf_dir):
+    out = sampling.enumerate_rows(_docs(spark, sf_dir), "lang", "doc_id")
+    return out.filter(F.col("row_idx") < 10).select("lang", "doc_id", "row_idx")
+
+
+ORACLE_ROW_NUMBER = """
+SELECT lang, doc_id, row_idx FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_id) - 1 AS row_idx
+  FROM documents
+) WHERE row_idx < 10
+"""
+
+
+def q_union_accumulate(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    en = docs.filter(F.col("lang") == "en")
+    fr = docs.filter(F.col("lang") == "fr")
+    return en.unionByName(fr).groupBy("source").agg(
+        F.count("*").alias("n"), F.sum("n_chars").alias("chars")
+    )
+
+
+ORACLE_UNION = """
+SELECT source, count(*) AS n, sum(n_chars) AS chars FROM (
+  SELECT * FROM documents WHERE lang = 'en'
+  UNION ALL SELECT * FROM documents WHERE lang = 'fr'
+) GROUP BY source
+"""
+
+
+def q_null_fill_coalesce(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(
+            F.coalesce(F.nullif(F.col("source"), F.lit("src0")), F.lit("fallback")).alias("src")
+        )
+        .groupBy("src")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+ORACLE_NULL_FILL = """
+SELECT coalesce(nullif(source, 'src0'), 'fallback') AS src, count(*) AS n
+FROM documents GROUP BY src
+"""
+
+
+def q_cast_rename_project(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("id"),
+        F.col("n_chars").cast("double").alias("chars_f"),
+        F.upper(F.col("lang")).alias("lang_uc"),
+    )
+
+
+ORACLE_CAST_RENAME = """
+SELECT doc_id AS id, CAST(n_chars AS DOUBLE) AS chars_f, upper(lang) AS lang_uc
+FROM documents
+"""
+
+
+# =========================================================================
+# Dedup / similarity / text analysis / multimodal
+# =========================================================================
+
+def _dup_corpus(spark, sf_dir):
+    """documents ∪ copies of a deterministic 10% slice → known dups."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(copies)
+
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_duplicates(_dup_corpus(spark, sf_dir)).select(
+        "content_hash", "keep_id", "n_copies"
+    )
+
+
+ORACLE_DEDUP_EXACT = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+)
+SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+FROM corpus GROUP BY md5(text) HAVING count(*) > 1
+"""
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """MinHash-LSH candidates + exact n-gram Jaccard verify at
+    threshold 1.0 (identical shingle sets).  Identical sets have
+    identical minhash signatures, so LSH recall is exact at this
+    threshold and the oracle is an O(n) shingle-set-fingerprint join
+    (the 0.8-threshold near-dup behavior is pinned by pytest instead —
+    its oracle would be an O(n²) pairwise scan)."""
+    corpus = _dup_corpus(spark, sf_dir)
+    cands = dedup.minhash_lsh_candidates(corpus, num_hashes=32, bands=8)
+    return dedup.jaccard_verify(cands, corpus, threshold=1.0).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+ORACLE_NGRAM_JACCARD = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+), sh AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(
+           list_transform(
+             range(0, greatest(len(string_split_regex(trim(text), '\\s+')) - 3, 0) + 1),
+             i -> array_to_string(list_slice(string_split_regex(trim(text), '\\s+'), i + 1, i + 3), ' ')
+           )
+         )), '|')) AS fp
+  FROM corpus
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(1.0 AS DOUBLE) AS jaccard
+FROM sh a JOIN sh b ON a.fp = b.fp AND a.doc_id < b.doc_id
+"""
+
+
+def q_dedup_minhash_candidates(spark, sf_dir):
+    # approximate stage alone: rows-only check (no SQL equivalent)
+    return dedup.minhash_lsh_candidates(_dup_corpus(spark, sf_dir))
+
+
+def q_dedup_simhash(spark, sf_dir):
+    # rows-only: simhash signatures + ≤3-bit near-dup pairs
+    sigs = dedup.simhash(_dup_corpus(spark, sf_dir))
+    return dedup.simhash_candidates(sigs).select("id_a", "id_b", "hamming")
+
+
+def q_similarity_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return similarity.brute_force_topk(emb, qvec, k=10)
+
+
+ORACLE_SIMILARITY = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q)), 6) AS cosine
+FROM embeddings
+ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
+
+
+def q_similarity_lsh(spark, sf_dir):
+    # ANN path: rows-only (recall vs brute force asserted in pytest)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return similarity.lsh_topk(emb, qvec, k=10)
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-dup detection with planted duplicate
+    vectors (vec_id + 1e6).  Identical vectors share every LSH bucket
+    bit, so recall is exact at cosine=1.0 and the oracle is the
+    planted-pair list (organic pairs never reach 0.999 on this data)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(copies)
+    return similarity.embedding_near_duplicates(corpus, threshold=0.999)
+
+
+ORACLE_EMBEDDING_NEAR_DUPS = """
+SELECT vec_id AS id_a, vec_id + 1000000 AS id_b, CAST(1.0 AS DOUBLE) AS cosine
+FROM embeddings WHERE vec_id % 10 = 0
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    out = text_analysis.language_id(_docs(spark, sf_dir))
+    return out.groupBy("lang", "detected_lang").agg(F.count("*").alias("n"))
+
+
+def _oracle_lang_scores() -> str:
+    parts = []
+    for lang, words in sorted(text_analysis.LANG_MARKERS.items()):
+        terms = " + ".join(
+            f"CAST((length(p.pt) - length(replace(p.pt, ' {w} ', ' '))) / {len(w) + 2 - 1} AS BIGINT)"
+            for w in words
+        )
+        parts.append(f"({terms}) AS score_{lang}")
+    return ", ".join(parts)
+
+
+ORACLE_LANG_ID = f"""
+WITH p AS (SELECT lang, ' ' || text || ' ' AS pt FROM documents),
+scored AS (SELECT lang, {_oracle_lang_scores()} FROM p),
+det AS (
+  SELECT lang,
+    CASE
+      WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr AND score_de > 0 THEN 'de'
+      WHEN score_en >= score_es AND score_en >= score_fr AND score_en > 0 THEN 'en'
+      WHEN score_es >= score_fr AND score_es > 0 THEN 'es'
+      WHEN score_fr > 0 THEN 'fr'
+      ELSE 'und'
+    END AS detected_lang
+  FROM scored
+)
+SELECT lang, detected_lang, count(*) AS n FROM det GROUP BY lang, detected_lang
+"""
+
+
+def q_quality_scores(spark, sf_dir):
+    out = text_analysis.quality_score(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", "n_tokens", "avg_token_len", "punct_ratio",
+        F.col("quality_ok").cast("int").alias("quality_ok"),
+    )
+
+
+ORACLE_QUALITY = """
+WITH t AS (
+  SELECT doc_id, text, length(text) AS nc,
+         len(string_split_regex(trim(text), '\\s+')) AS nt,
+         length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS np
+  FROM documents
+)
+SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
+       round((nc - nt + 1) / nt, 4) AS avg_token_len,
+       round(np / nc, 4) AS punct_ratio,
+       CAST(CASE WHEN nt >= 5 AND nc >= 20 AND np / nc < 0.2 THEN 1 ELSE 0 END AS INTEGER) AS quality_ok
+FROM t
+"""
+
+
+def q_token_counts(spark, sf_dir):
+    out = text_analysis.token_counts(_docs(spark, sf_dir))
+    return out.select("doc_id", "ws_tokens", "bpe_ish_tokens")
+
+
+ORACLE_TOKEN_COUNTS = """
+SELECT doc_id,
+       CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS bpe_ish_tokens
+FROM documents
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    out = text_analysis.fingerprint(_docs(spark, sf_dir))
+    return out.select("doc_id", "fingerprint")
+
+
+ORACLE_FINGERPRINT = """
+SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint
+FROM documents
+"""
+
+
+def q_multimodal_features(spark, sf_dir):
+    media = multimodal.attach_media_payload(_docs(spark, sf_dir))
+    return multimodal.extract_media_features(media)
+
+
+ORACLE_MULTIMODAL = """
+WITH m AS (SELECT doc_id, octet_length(encode(text)) AS bl FROM documents)
+SELECT doc_id, 'media://blob/' || CAST(doc_id AS VARCHAR) AS media_ref,
+       CAST(bl AS BIGINT) AS byte_len,
+       CASE bl % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format,
+       CAST(64 + (bl % 97) * 4 AS INTEGER) AS width,
+       CAST(64 + (bl * 7 % 89) * 4 AS INTEGER) AS height,
+       CAST(1 + bl % 8 AS INTEGER) AS n_frames_sampled
+FROM m
+"""
+
+
+# =========================================================================
+# Events (windowing) and TPC-H-ish joins
+# =========================================================================
+
+def q_events_window_agg(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH").alias("hour"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("total"))
+    )
+
+
+ORACLE_EVENTS_WINDOW = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, event_type,
+       count(*) AS n, round(sum(value), 6) AS total
+FROM events GROUP BY hour, event_type
+"""
+
+
+def q_events_sessionize(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    marked = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+    )
+    return marked.groupBy("user_id").agg(
+        F.sum("new_session").alias("n_sessions"), F.count("*").alias("n_events")
+    )
+
+
+ORACLE_EVENTS_SESSIONIZE = """
+WITH marked AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+FROM marked GROUP BY user_id
+"""
+
+
+def q_join_broadcast_revenue(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("p_brand"))
+        .limit(10)
+    )
+
+
+ORACLE_JOIN_REVENUE = """
+SELECT p_brand, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand ORDER BY revenue DESC, p_brand ASC LIMIT 10
+"""
+
+
+def q_anti_join_resume(spark, sf_dir):
+    """The icelite resume pattern (B8) as a relational query: work
+    units (orders) minus already-committed ones (orders w/ lineitem)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pending = orders.join(li, orders.o_orderkey == li.l_orderkey, "left_anti")
+    return pending.groupBy("o_orderstatus").agg(F.count("*").alias("n_pending"))
+
+
+ORACLE_ANTI_JOIN = """
+SELECT o_orderstatus, count(*) AS n_pending
+FROM orders WHERE NOT EXISTS (
+  SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+) GROUP BY o_orderstatus
+"""
+
+
+# =========================================================================
+# Registry
+# =========================================================================
+
+QUERIES = {
+    # extraction kernel through Spark (oracle-checked span equality)
+    "extract_flagship": q_extract_flagship,
+    "extract_interleaved_media": q_extract_interleaved_media,
+    "extract_tag_histogram": q_extract_tag_histogram,
+    "extract_text_roundtrip": q_extract_text_roundtrip,
+    "extract_span_stats": q_extract_span_stats,
+    # relational (B9–B23)
+    "agg_median_by_lang": q_agg_median_by_lang,
+    "describe_two_level": q_describe_two_level,
+    "explode_tokens_topk": q_explode_tokens_topk,
+    "filter_topk": q_filter_topk,
+    "derived_columns": q_derived_columns,
+    "substring_span_join": q_substring_span_join,
+    "sample_exact_n": q_sample_exact_n,
+    "row_number_enumerate": q_row_number_enumerate,
+    "union_accumulate": q_union_accumulate,
+    "null_fill_coalesce": q_null_fill_coalesce,
+    "cast_rename_project": q_cast_rename_project,
+    # training-data operators
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_candidates": q_dedup_minhash_candidates,
+    "dedup_simhash": q_dedup_simhash,
+    "similarity_bruteforce_topk": q_similarity_bruteforce,
+    "similarity_lsh_topk": q_similarity_lsh,
+    "embedding_near_dups": q_embedding_near_dups,
+    "lang_id_heuristic": q_lang_id,
+    "quality_scores": q_quality_scores,
+    "token_counts": q_token_counts,
+    "fingerprint": q_fingerprint,
+    "multimodal_features": q_multimodal_features,
+    # events / joins
+    "events_window_agg": q_events_window_agg,
+    "events_sessionize": q_events_sessionize,
+    "join_broadcast_revenue": q_join_broadcast_revenue,
+    "anti_join_resume": q_anti_join_resume,
+}
+
+ORACLES = {
+    "extract_flagship": ORACLE_FLAGSHIP,
+    "extract_interleaved_media": ORACLE_INTERLEAVED,
+    "extract_tag_histogram": ORACLE_TAG_HISTOGRAM,
+    "extract_text_roundtrip": ORACLE_TEXT_ROUNDTRIP,
+    "extract_span_stats": ORACLE_SPAN_STATS,
+    "agg_median_by_lang": ORACLE_AGG_MEDIAN,
+    "describe_two_level": ORACLE_DESCRIBE_TWO_LEVEL,
+    "explode_tokens_topk": ORACLE_EXPLODE_TOKENS,
+    "filter_topk": ORACLE_FILTER_TOPK,
+    "derived_columns": ORACLE_DERIVED,
+    "substring_span_join": ORACLE_SUBSTRING_JOIN,
+    "sample_exact_n": ORACLE_SAMPLE,
+    "row_number_enumerate": ORACLE_ROW_NUMBER,
+    "union_accumulate": ORACLE_UNION,
+    "null_fill_coalesce": ORACLE_NULL_FILL,
+    "cast_rename_project": ORACLE_CAST_RENAME,
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
+    "similarity_bruteforce_topk": ORACLE_SIMILARITY,
+    "lang_id_heuristic": ORACLE_LANG_ID,
+    "quality_scores": ORACLE_QUALITY,
+    "token_counts": ORACLE_TOKEN_COUNTS,
+    "fingerprint": ORACLE_FINGERPRINT,
+    "multimodal_features": ORACLE_MULTIMODAL,
+    "events_window_agg": ORACLE_EVENTS_WINDOW,
+    "events_sessionize": ORACLE_EVENTS_SESSIONIZE,
+    "join_broadcast_revenue": ORACLE_JOIN_REVENUE,
+    "anti_join_resume": ORACLE_ANTI_JOIN,
+    "embedding_near_dups": ORACLE_EMBEDDING_NEAR_DUPS,
+    # rows-only (approximate/stateful, no SQL equivalent):
+    #   dedup_minhash_candidates, dedup_simhash, similarity_lsh_topk
+}
