@@ -48,6 +48,9 @@ from .dom import Node, parse_document
 from .minify import minify_tree
 
 _FAKE_TAGS = (FAKE_TAG_BLOCK, FAKE_TAG_INLINE, FAKE_TAG_BASIC)
+_INLINE_SET = frozenset(INLINE_ELEMENTS_SPACING)
+# \s in unicode mode matches exactly the str.isspace() character class
+_WS_RUN_COLLAPSE = __import__("re").compile(r"(\s)\s+")
 
 # deep pathological nesting shouldn't kill the executor
 _MIN_RECURSION = 50_000
@@ -149,6 +152,38 @@ class TagFilter:
             return False
         return rule.content_min_char_length <= len(text) <= rule.content_max_char_length
 
+    # -- lazy-text fast paths ------------------------------------------------
+    # The reference serializes the whole subtree to text at EVERY node
+    # just to measure its length (html_parser.py:590-593,602-605) — an
+    # O(size × depth) cost per document.  When the decision doesn't
+    # actually depend on the length (rule bounds are [0, inf], or no
+    # rule and global thresholds disabled — the production configs),
+    # the text is never needed.  decide_* returns (verdict, needs_text);
+    # when needs_text is True the caller re-asks with the real text.
+
+    def decide_top_down(self, tag: str) -> tuple[bool, bool]:
+        rule = self.tags_to_remove_with_content.get(tag)
+        if rule is not None and rule.method != "top-down":
+            return False, False
+        if rule is not None:
+            if rule.content_min_char_length <= 0 and rule.content_max_char_length == float("inf"):
+                return True, False
+            return False, True  # non-trivial bounds → need the text
+        if (
+            tag not in self.tags_exceptions_with_content
+            and self.txt_max_chr_len_with_content > -float("inf")
+        ):
+            return False, True  # global threshold enabled → need text
+        return False, False
+
+    def decide_bottom_up(self, tag: str) -> tuple[bool, bool]:
+        rule = self.tags_to_remove_with_content.get(tag)
+        if rule is None or rule.method != "bottom-up":
+            return False, False
+        if rule.content_min_char_length <= 0 and rule.content_max_char_length == float("inf"):
+            return True, False
+        return False, True
+
 
 class ConsecutiveTagFolder:
     """Collapse single-child same-tag chains (reference: html_parser.py:267-313).
@@ -198,8 +233,52 @@ class ConsecutiveTagFolder:
         child.attrib["previous_tag"] = tag
 
 
+def _splice_tail_on_removal(node: Node, kept_siblings: list, parent: Node) -> None:
+    """Tail-preserving deletion splice (reference: html_parser.py:316-363)
+    with the previous-sibling lookup supplied by the caller (earlier
+    removed siblings are already gone at splice time, exactly as in
+    the reference's in-tree deletion order)."""
+    if not node.tail:
+        return
+    sep = PLAIN_TEXT_SEPARATOR
+    previous = kept_siblings[-1] if kept_siblings else None
+    if previous is not None:
+        if previous.tail is None:
+            previous.tail = node.tail
+        elif (
+            previous.text
+            and not previous.text.endswith(sep)
+            and not node.tail.startswith(sep)
+        ):
+            previous.text = previous.text + sep + node.tail
+        elif (
+            previous.text
+            and previous.text.endswith(sep)
+            and node.tail.startswith(sep)
+        ):
+            previous.text = previous.text[: -len(sep)] + node.tail
+        elif (
+            previous.tail
+            and not previous.tail.endswith(sep)
+            and not node.tail.startswith(sep)
+        ):
+            previous.tail = previous.tail + sep + node.tail
+        else:
+            previous.tail = previous.tail + node.tail
+    else:
+        if parent.text is None:
+            parent.text = node.tail
+        elif not parent.text.endswith(sep) and not node.tail.startswith(sep):
+            parent.text = parent.text + sep + node.tail
+        elif parent.text.endswith(sep) and node.tail.startswith(sep):
+            parent.text = parent.text[: -len(sep)] + node.tail
+        else:
+            parent.text = parent.text + node.tail
+
+
 def _splice_tail_before_delete(node: Node) -> None:
-    """Tail-preserving deletion splice (reference: html_parser.py:316-363)."""
+    """In-tree variant of the splice (kept for remove_keeping_tail's
+    public form; reference: html_parser.py:316-363)."""
     if not node.tail:
         return
     sep = PLAIN_TEXT_SEPARATOR
@@ -260,68 +339,102 @@ class _Extractor:
             # reference: html_parser.py:405-408
             self.block_elements.remove("br")
             alone.append(TagToRemove("br"))
+        self.block_elements_set = frozenset(self.block_elements)
         self.folder = ConsecutiveTagFolder(self.block_elements, cfg.consecutive_tags_to_fold)
         self.attr_cleaner = AttributeCleaner(cfg.attrs_to_keep)
         self.tag_filter = TagFilter(cfg, alone)
 
     # ---- tree rewriting (reference: html_parser.py:583-607) ---------------
-    def _clean_tree(self, root: Node) -> None:
+    # Parent-managed deletion: a node signals "remove me" via return
+    # value and the parent splices its tail and rebuilds the child
+    # list once — identical observable semantics to the reference's
+    # self-removal (lxml child iterators pre-fetch the next sibling,
+    # so a child removing itself never skips its successor), but O(1)
+    # per removal instead of list.remove's O(children) identity scan.
+    def _clean_tree(self, root: Node) -> bool:
         self.folder(root)
 
-        text = root.subtree_text()
-        if self.tag_filter.drop_subtree_top_down(root.tag, text):
-            remove_keeping_tail(root)
-            return
+        drop, needs_text = self.tag_filter.decide_top_down(root.tag)
+        if needs_text:
+            drop = self.tag_filter.drop_subtree_top_down(root.tag, root.subtree_text())
+        if drop:
+            return True
 
-        # lxml child iterators pre-fetch the next sibling, so a child
-        # removing itself does not skip its successor — iterate a copy
-        for child in list(root.children):
-            self._clean_tree(child)
+        kept: list[Node] = []
+        changed = False
+        for child in root.children:
+            if self._clean_tree(child):
+                _splice_tail_on_removal(child, kept, root)
+                changed = True
+            else:
+                kept.append(child)
+        if changed:
+            root.children = kept
 
-        text = root.subtree_text()
-        if self.tag_filter.drop_subtree_bottom_up(root.tag, text):
-            remove_keeping_tail(root)
+        drop, needs_text = self.tag_filter.decide_bottom_up(root.tag)
+        if needs_text:
+            drop = self.tag_filter.drop_subtree_bottom_up(root.tag, root.subtree_text())
+        return drop
 
     # ---- linearization (reference: html_parser.py:496-581) ----------------
+    # The text accumulator is a chunk list with (length, last-char)
+    # tracked incrementally: the reference's `sb[:-1] + sep` /
+    # `self.text += ...` string ops copy the whole buffer and turn a
+    # 1 MB document into O(n\u00b2) character traffic.  Semantics are
+    # bit-identical: the whitespace machine's per-char loop reduces to
+    # "collapse each \\s run to its first char; drop a leading run when
+    # the buffer already ends in whitespace (or is empty)", and
+    # Python's unicode \\s is the same character class as str.isspace().
+
+    def _buf_append(self, s: str) -> None:
+        self._parts.append(s)
+        self._len += len(s)
+        self._last = s[-1]
+
     def _append_text_content(self, txt: str) -> None:
         if self.current_tag == PRE_TAG:
-            self.text += txt
+            if txt:
+                self._buf_append(txt)
             return
         txt = txt.replace("\u00a0", " ")  # NBSP -> space (html_parser.py:511)
-        buf = self.text
-        c = buf[-1] if buf else " "
-        out = []
-        for c2 in txt:
-            if c2 == "\r" or c2 == "\n":
-                c2 = " "
-            if not c.isspace() or not c2.isspace():
-                out.append(c2)
-            c = c2
-        self.text = buf + "".join(out)
+        if "\r" in txt:
+            txt = txt.replace("\r", " ")
+        if "\n" in txt:
+            txt = txt.replace("\n", " ")
+        txt = _WS_RUN_COLLAPSE.sub(r"\1", txt)
+        if not txt:
+            return
+        if (self._len == 0 or self._last.isspace()) and txt[0].isspace():
+            txt = txt[1:]
+        if txt:
+            self._buf_append(txt)
 
-    @staticmethod
-    def _append_block_separator(sb: str) -> str:
-        if sb:
-            if sb[-1] == PLAIN_TEXT_SEPARATOR:
-                sb = sb[:-1] + BLOCK_CONTENT_SEPARATOR
-            elif sb[-1] != BLOCK_CONTENT_SEPARATOR:
-                sb += BLOCK_CONTENT_SEPARATOR
-        return sb
+    def _append_block_separator(self) -> None:
+        if self._len > 0:
+            if self._last == PLAIN_TEXT_SEPARATOR:
+                # promote the trailing single space to a newline
+                p = self._parts[-1]
+                self._parts[-1] = p[:-1] + BLOCK_CONTENT_SEPARATOR
+                self._last = BLOCK_CONTENT_SEPARATOR
+            elif self._last != BLOCK_CONTENT_SEPARATOR:
+                self._buf_append(BLOCK_CONTENT_SEPARATOR)
 
-    @staticmethod
-    def _append_inline_separator(sb: str) -> str:
-        if sb and sb[-1] != PLAIN_TEXT_SEPARATOR and sb[-1] != BLOCK_CONTENT_SEPARATOR:
-            sb += PLAIN_TEXT_SEPARATOR
-        return sb
+    def _append_inline_separator(self) -> None:
+        if (
+            self._len > 0
+            and self._last != PLAIN_TEXT_SEPARATOR
+            and self._last != BLOCK_CONTENT_SEPARATOR
+        ):
+            self._buf_append(PLAIN_TEXT_SEPARATOR)
 
     def _add_text(self, tag: str, new_text) -> None:
-        if tag in self.block_elements:
-            self.text = self._append_block_separator(self.text)
-        elif tag in INLINE_ELEMENTS_SPACING:
-            self.text = self._append_inline_separator(self.text)
+        if tag in self.block_elements_set:
+            self._append_block_separator()
+        elif tag in _INLINE_SET:
+            self._append_inline_separator()
         if new_text:
             self._append_text_content(new_text)
-        self._char_idx = len(self.text)
+        self._char_idx = self._len
 
     def _linearize(self, root: Node) -> None:
         self.current_tag = root.tag
@@ -339,7 +452,7 @@ class _Extractor:
         self._pos_counter[self._char_idx] += 1
 
         if self.cfg.convert_br_tag_to_breaking_line and root.tag == "br":
-            self.text += "\n"  # reference: html_parser.py:470-472
+            self._buf_append("\n")  # reference: html_parser.py:470-472
 
         self._add_text(root.tag, root.text)
         for child in root.children:
@@ -389,13 +502,16 @@ class _Extractor:
 
         minify_tree(root)
 
-        self._clean_tree(root)
+        self._clean_tree(root)  # root itself is never removable here
 
         self.spans: list[Span] = []
         self._char_idx = 0
         self._pos_counter: dict = defaultdict(int)
-        self.text = ""
+        self._parts: list[str] = []
+        self._len = 0
+        self._last = ""
         self._linearize(root)
+        self.text = "".join(self._parts)
 
         self._renumber(self.spans)
 

@@ -74,8 +74,12 @@ def minhash_lsh_candidates(
     construction, so no skew handling needed beyond AQE.
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col), minhash_signature(shingles(F.col(text_col), shingle_n), num_hashes).alias("sig")
+    # materialize the shingle array once; computing the signature from
+    # the inline shingle expression would re-evaluate the split/
+    # sequence/distinct chain inside every one of the k hash lambdas
+    sig = (
+        df.select(F.col(id_col), shingles(F.col(text_col), shingle_n).alias("sh"))
+        .select(F.col(id_col), minhash_signature(F.col("sh"), num_hashes).alias("sig"))
     )
     banded = sig.select(
         id_col,

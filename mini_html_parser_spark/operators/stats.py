@@ -36,27 +36,63 @@ def span_rows(extracted: DataFrame, tokenizer: str = "bytes") -> DataFrame:
     GPT-2 offline-unavailable; default proxy = byte length, alt =
     whitespace token count).
     """
-    df = explode_spans(extracted)
-    df = df.withColumn(
-        "char_end_idx", F.coalesce("char_end_idx", "char_start_idx")
-    ).withColumn(
-        "text_length", (F.col("char_end_idx") - F.col("char_start_idx")).cast("double")
-    ).withColumn(
-        "self_closing", (F.col("char_end_idx") == F.col("char_start_idx")).cast("int")
-    ).withColumn(
-        "span_text",
-        F.expr("substring(text, char_start_idx + 1, char_end_idx - char_start_idx)"),
-    )
-    if tokenizer == "bytes":
-        df = df.withColumn("token_length", F.octet_length("span_text").cast("double"))
-    elif tokenizer == "whitespace":
-        df = df.withColumn(
-            "token_length",
-            F.size(F.split(F.trim(F.col("span_text")), r"\s+")).cast("double"),
-        )
-    else:
+    # Span-text slicing happens in an Arrow-batched Python stage, not
+    # in JVM expressions: two prior shapes were measured and rejected —
+    # (a) explode-then-substring duplicates the full document text
+    # into every span row (a 1 MB doc with 40k spans materializes
+    # ~40 GB through Generate); (b) substring() inside an array
+    # transform avoids the duplication but UTF8String.substringSQL
+    # seeks the char offset by scanning, O(text_len) per span →
+    # O(spans × text_len) per giant doc.  CPython slicing is O(slice)
+    # with O(1) indexing, so one pass over each doc's spans is linear.
+    if tokenizer not in ("bytes", "whitespace"):
         raise ValueError(f"unknown tokenizer {tokenizer!r}")
-    return df.drop("text")
+
+    from typing import Iterator
+
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        DoubleType, IntegerType, StringType, StructField, StructType,
+    )
+
+    schema = StructType([
+        StructField("doc_id", StringType()),
+        StructField("tag", StringType()),
+        StructField("char_start_idx", IntegerType()),
+        StructField("char_end_idx", IntegerType()),
+        StructField("text_length", DoubleType()),
+        StructField("self_closing", IntegerType()),
+        StructField("token_length", DoubleType()),
+    ])
+
+    by_bytes = tokenizer == "bytes"
+
+    def slice_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("doc_id", "tag", "char_start_idx", "char_end_idx",
+                    "text_length", "self_closing", "token_length")}
+            for doc_id, text, spans in zip(pdf["doc_id"], pdf["text"], pdf["spans"]):
+                for s in spans:
+                    start = s["char_start_idx"]
+                    end = s["char_end_idx"] if s["char_end_idx"] is not None else start
+                    piece = text[start:end]
+                    out["doc_id"].append(doc_id)
+                    out["tag"].append(s["value"])
+                    out["char_start_idx"].append(start)
+                    out["char_end_idx"].append(end)
+                    out["text_length"].append(float(end - start))
+                    out["self_closing"].append(int(end == start))
+                    if by_bytes:
+                        out["token_length"].append(float(len(piece.encode("utf-8"))))
+                    else:
+                        out["token_length"].append(float(len(piece.split())))
+            yield pd.DataFrame(out)
+
+    return extracted.select("doc_id", "text", "spans").mapInPandas(
+        slice_rows, schema=schema
+    )
 
 
 def span_stats(extracted: DataFrame, tokenizer: str = "bytes") -> DataFrame:

@@ -58,7 +58,13 @@ class IceliteTable:
         dirs = [s["data_dir"] for s in self.snapshots()]
         if not dirs:
             raise FileNotFoundError(f"icelite table {self.path} has no snapshots")
-        return spark.read.option("basePath", self.path).parquet(*dirs)
+        # one scan per snapshot dir (each with its own partition
+        # discovery root), unioned — a metadata-only plan combination
+        out = None
+        for d in dirs:
+            df = spark.read.option("basePath", d).parquet(d)
+            out = df if out is None else out.unionByName(df)
+        return out
 
     def filter_pending(self, df: DataFrame, bucket_col: str = "bucket") -> DataFrame:
         """Drop rows whose bucket is already committed (resume).
@@ -86,6 +92,18 @@ class IceliteTable:
         data_dir = os.path.join(self.path, "data", f"snap-{snap_n}")
 
         df.write.partitionBy(partition_col).mode("overwrite").parquet(data_dir)
+
+        # empty input (e.g. resume with nothing pending) writes no
+        # partition dirs — detect via listing, drop the husk, no snapshot
+        has_data = any(
+            name.startswith(f"{partition_col}=")
+            for name in (os.listdir(data_dir) if os.path.isdir(data_dir) else [])
+        )
+        if not has_data:
+            import shutil
+
+            shutil.rmtree(data_dir, ignore_errors=True)
+            return None
 
         # lineage: rows per bucket of what we just wrote (cheap: parquet
         # footer counts via a metadata-only scan of the new dir)

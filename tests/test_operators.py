@@ -1,0 +1,129 @@
+"""Operator-level tests: dedup thresholds, ANN recall, sampling
+determinism, multimodal plumbing, stats math vs pandas."""
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+from mini_html_parser_spark.operators import dedup, multimodal, sampling, similarity
+
+
+def _corpus(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again for luck"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, base.replace("lazy", "sleepy")),  # near dup of 1 (1 token of 14)
+        (4, "completely different words about spark catalyst tungsten arrow"),
+        (5, "yet another unrelated document mentioning parquet and shuffles"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    df = _corpus(spark)
+    dups = dedup.exact_duplicates(df).collect()
+    assert len(dups) == 1
+    assert dups[0]["keep_id"] == 1 and dups[0]["n_copies"] == 2
+    survivors = {r["doc_id"] for r in dedup.exact_dedup(df).collect()}
+    assert survivors == {1, 3, 4, 5}
+
+
+def test_minhash_jaccard_near_dup_threshold(spark):
+    df = _corpus(spark)
+    cands = dedup.minhash_lsh_candidates(df, num_hashes=64, bands=32)
+    pairs = dedup.jaccard_verify(cands, df, threshold=0.5)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got          # identical
+    assert (1, 3) in got or (2, 3) in got  # near dup crosses 0.5
+    assert all(a not in (4, 5) and b not in (4, 5) for a, b in got)
+
+
+def test_simhash_near_dup(spark):
+    df = _corpus(spark)
+    sigs = dedup.simhash(df)
+    vals = {r["doc_id"]: r["simhash"] for r in sigs.collect()}
+    assert vals[1] == vals[2]  # identical text → identical signature
+    pairs = dedup.simhash_candidates(sigs, max_hamming=16)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert got.get((1, 2)) == 0
+
+
+def test_lsh_topk_finds_planted_neighbors(spark):
+    """Positive scaling preserves every hyperplane sign, so scaled
+    copies of the query land in its bucket deterministically — LSH
+    must surface them as exact-cosine-1 neighbors."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
+    planted = spark.createDataFrame(
+        [(9001, [0.5 * x for x in q]), (9002, [2.0 * x for x in q])],
+        "vec_id long, embedding array<float>",
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(planted)
+
+    brute = similarity.brute_force_topk(corpus, q, k=3).collect()
+    assert [r["vec_id"] for r in brute] == [7, 9001, 9002]
+    assert all(r["cosine"] == 1.0 for r in brute)
+
+    ann = similarity.lsh_topk(corpus, q, k=3, n_planes=8, probe_hamming=0).collect()
+    assert [r["vec_id"] for r in ann] == [7, 9001, 9002]
+    assert all(r["cosine"] == 1.0 for r in ann)
+
+
+def test_sample_exact_n_deterministic(spark):
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    a = [r["doc_id"] for r in sampling.sample_exact_n(df, 50, seed=1).collect()]
+    b = [r["doc_id"] for r in sampling.sample_exact_n(df, 50, seed=1).collect()]
+    c = [r["doc_id"] for r in sampling.sample_exact_n(df, 50, seed=2).collect()]
+    assert a == b
+    assert set(a) != set(c)
+    assert len(set(a)) == 50
+
+
+def test_multimodal_plumbing(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "spark")], "doc_id long, text string"
+    )
+    media = multimodal.attach_media_payload(df)
+    feats = {r["doc_id"]: r for r in multimodal.extract_media_features(media).collect()}
+    assert feats[1]["byte_len"] == 11
+    assert feats[1]["format"] == ["png", "jpeg", "webp"][11 % 3]
+    assert feats[1]["width"] == 64 + (11 % 97) * 4
+    assert feats[2]["byte_len"] == 5
+    assert feats[1]["media_ref"] == "media://blob/1"
+
+
+def test_span_stats_match_pandas(spark):
+    """B18 two-level stats equal a pandas reimplementation of the
+    reference's groupby/describe on the same extracted spans."""
+    from mini_html_parser_spark.datagen import generate_pandas
+    from mini_html_parser_spark.operators.extract import (
+        DOCUMENTS_SCHEMA, extract_documents,
+    )
+    from mini_html_parser_spark.operators.stats import span_stats
+
+    pdf = generate_pandas(12, seed=7)
+    ext = extract_documents(
+        spark.createDataFrame(pdf, schema=DOCUMENTS_SCHEMA), "boilerplate_strip"
+    )
+    got = span_stats(ext).toPandas()
+
+    # pandas oracle (mirrors compute_aggregate_stats.py:48-90)
+    rows = []
+    for r in ext.collect():
+        for s in r["spans"]:
+            tl = float(s["char_end_idx"] - s["char_start_idx"])
+            rows.append({"doc_id": r["doc_id"], "tag": s["value"], "tl": tl})
+    odf = pd.DataFrame(rows)
+    oracle = odf.groupby(["doc_id", "tag"])["tl"].agg(
+        ["count", "mean", "median", "std", "max", "min"]
+    ).reset_index()
+
+    merged = got.merge(oracle, left_on=["doc_id", "tag"], right_on=["doc_id", "tag"])
+    assert len(merged) == len(oracle) == len(got)
+    for _, m in merged.iterrows():
+        assert m["count_per_doc"] == m["count"]
+        assert abs(m["text_length_mean"] - m["mean"]) < 1e-9
+        assert abs(m["text_length_median"] - m["median"]) < 1e-9
+        assert (pd.isna(m["text_length_std"]) and pd.isna(m["std"])) or \
+            abs(m["text_length_std"] - m["std"]) < 1e-9
