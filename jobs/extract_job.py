@@ -1,0 +1,72 @@
+"""Corpus extraction job — the spark-submit entry point.
+
+    spark-submit --py-files engine.zip jobs/extract_job.py \
+        --input  <documents parquet/iceberg dir> \
+        --output <icelite table dir> \
+        --config boilerplate_strip \
+        [--parallelism N] [--streaming]
+
+Build engine.zip with ``python tools/package_pyfiles.py``.
+
+Reads the interleaved documents table, salts/repartitions, runs the
+extraction kernel, commits an icelite snapshot with per-bucket
+lineage + metrics, and prints a one-line JSON job report.  Re-running
+against the same output resumes: committed buckets are skipped.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--config", default="boilerplate_strip",
+                   choices=["keep_everything", "boilerplate_strip", "boilerplate_strip_br"])
+    p.add_argument("--parallelism", type=int, default=None)
+    p.add_argument("--streaming", action="store_true",
+                   help="treat --input as a stream source (availableNow batch)")
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("mini-html-parser-extract").getOrCreate()
+
+    if args.streaming:
+        from mini_html_parser_spark.streaming.extract_stream import (
+            extract_stream, read_document_stream, start_extraction_sink,
+        )
+
+        q = start_extraction_sink(
+            extract_stream(read_document_stream(spark, args.input), args.config),
+            output_dir=args.output + "/data/stream",
+            checkpoint_dir=args.output + "/_checkpoint",
+        )
+        q.awaitTermination()
+        print(json.dumps({"mode": "streaming", "output": args.output}))
+        return 0
+
+    from mini_html_parser_spark.pipeline import run_extraction_job
+
+    documents = spark.read.parquet(args.input)
+    result = run_extraction_job(
+        spark, documents, args.output, config=args.config,
+        parallelism=args.parallelism,
+    )
+    snap = result["snapshot"]
+    print(json.dumps({
+        "mode": "batch",
+        "snapshot_id": snap["snapshot_id"] if snap else None,
+        "committed_rows": snap["total_rows"] if snap else 0,
+        "metrics": {k: int(v) for k, v in (result["metrics"] or {}).items()},
+        "output": args.output,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -58,6 +58,17 @@ def minhash_signature(sh: F.Column, num_hashes: int = 32) -> F.Column:
     ])
 
 
+def shingle_frame(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sh) shingle-set frame.  Callers that feed both the LSH
+    candidate stage and the Jaccard verify stage should .persist()
+    this — the shingle expression otherwise re-evaluates once per
+    join branch (4× on the full dedup pipeline, measured)."""
+    return df.select(F.col(id_col), shingles(F.col(text_col), shingle_n).alias("sh"))
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -65,6 +76,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs: same minhash band bucket.
 
@@ -77,10 +89,8 @@ def minhash_lsh_candidates(
     # materialize the shingle array once; computing the signature from
     # the inline shingle expression would re-evaluate the split/
     # sequence/distinct chain inside every one of the k hash lambdas
-    sig = (
-        df.select(F.col(id_col), shingles(F.col(text_col), shingle_n).alias("sh"))
-        .select(F.col(id_col), minhash_signature(F.col("sh"), num_hashes).alias("sig"))
-    )
+    sh = shingle_df if shingle_df is not None else shingle_frame(df, text_col, id_col, shingle_n)
+    sig = sh.select(F.col(id_col), minhash_signature(F.col("sh"), num_hashes).alias("sig"))
     banded = sig.select(
         id_col,
         F.explode(
@@ -119,9 +129,10 @@ def jaccard_verify(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.8,
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard on candidate pairs only (never O(n²))."""
-    sh = df.select(F.col(id_col), shingles(F.col(text_col), shingle_n).alias("sh"))
+    sh = shingle_df if shingle_df is not None else shingle_frame(df, text_col, id_col, shingle_n)
     a = sh.alias("a")
     b = sh.alias("b")
     joined = (

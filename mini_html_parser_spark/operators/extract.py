@@ -117,6 +117,7 @@ def extract_documents(
     df: DataFrame,
     config: ExtractionConfig | str = "boilerplate_strip",
     html_col: str | None = None,
+    passthrough_cols: list[str] | None = None,
 ) -> DataFrame:
     """documents → extracted: the corpus parse job as one narrow stage.
 
@@ -125,9 +126,17 @@ def extract_documents(
     ``mapInPandas`` so each Arrow batch is processed vectorized; no
     shuffle is introduced — partitioning/salting is the caller's
     concern (see pipeline.repartition_for_extraction).
+
+    ``passthrough_cols`` are copied verbatim to the output (e.g. the
+    salt ``bucket``, so lineage uses the exact partitioning key).
     """
     cfg = _resolve_config(config)
     use_spans = html_col is None
+    passthrough = passthrough_cols or []
+    schema = StructType(
+        EXTRACTED_SCHEMA.fields
+        + [df.schema[c] for c in passthrough]
+    )
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -144,9 +153,12 @@ def extract_documents(
                 out["n_spans"].append(len(r.spans))
                 out["malformed"].append(bool(r.malformed))
                 out["n_chars"].append(len(r.text))
-            yield pd.DataFrame(out)
+            res = pd.DataFrame(out)
+            for c in passthrough:
+                res[c] = pdf[c].reset_index(drop=True)
+            yield res
 
-    return df.mapInPandas(process, schema=EXTRACTED_SCHEMA)
+    return df.mapInPandas(process, schema=schema)
 
 
 def explode_spans(extracted: DataFrame) -> DataFrame:

@@ -482,8 +482,9 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     (the 0.8-threshold near-dup behavior is pinned by pytest instead —
     its oracle would be an O(n²) pairwise scan)."""
     corpus = _dup_corpus(spark, sf_dir)
-    cands = dedup.minhash_lsh_candidates(corpus, num_hashes=32, bands=8)
-    return dedup.jaccard_verify(cands, corpus, threshold=1.0).select(
+    sh = dedup.shingle_frame(corpus).persist()
+    cands = dedup.minhash_lsh_candidates(corpus, num_hashes=32, bands=8, shingle_df=sh)
+    return dedup.jaccard_verify(cands, corpus, threshold=1.0, shingle_df=sh).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )
 
