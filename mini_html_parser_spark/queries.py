@@ -227,6 +227,89 @@ FROM per_doc GROUP BY tag
 """
 
 
+def q_extract_br_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third production config (boilerplate_strip_br): <br> becomes a
+    literal newline and its span is dropped (reference:
+    parse_scripts/parse_natural_questions_Toy_keep_everything.py:57-105;
+    pinned offsets: L1 = len('Line one')."""
+    docs = _docs(spark, sf_dir)
+    inter = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("html").alias("kind"),
+                F.concat(
+                    F.lit("<html><body><p>Line one<br>"),
+                    F.col("text"),
+                    F.lit("</p></body></html>"),
+                ).alias("text"),
+                F.lit("").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    ext = extract_documents(inter, "boilerplate_strip_br")
+    return explode_spans(ext).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "tag", "char_start_idx", "relative_start_pos",
+        "char_end_idx", "relative_end_pos", "offset",
+    )
+
+
+ORACLE_BR_CONVERSION = """
+WITH base AS (
+  SELECT doc_id, CAST(length(text) AS INTEGER) AS t FROM documents
+)
+SELECT doc_id, 'body' AS tag,
+       CAST(0 AS INTEGER) AS char_start_idx, CAST(0 AS INTEGER) AS relative_start_pos,
+       CAST(8 + t + 2 AS INTEGER) AS char_end_idx, CAST(0 AS INTEGER) AS relative_end_pos,
+       CAST(0 AS INTEGER) AS offset FROM base
+UNION ALL
+SELECT doc_id, 'p', 0, 1, 8 + t + 1, 0, 1 FROM base
+"""
+
+
+def q_extract_config_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """keep_everything vs boilerplate_strip on the same documents:
+    the strip config removes script/footer subtrees (their text and
+    spans), keep_everything linearizes them."""
+    docs = _docs(spark, sf_dir)
+    html = F.concat(
+        F.lit("<html><body><p>"), F.col("text"),
+        F.lit("</p><script>var x=1;</script><footer>foot</footer></body></html>"),
+    )
+    inter = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(F.struct(
+            F.lit("html").alias("kind"), html.alias("text"),
+            F.lit("").alias("media_ref"), F.lit(0).alias("offset"),
+        )).alias("spans"),
+    )
+    out = None
+    for cfg in ("keep_everything", "boilerplate_strip"):
+        ext = extract_documents(inter, cfg).select(
+            F.lit(cfg).alias("config"),
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            "n_spans",
+            "n_chars",
+            F.col("malformed").cast("int").alias("malformed"),
+        )
+        out = ext if out is None else out.unionByName(ext)
+    return out
+
+
+ORACLE_CONFIG_COMPARISON = """
+WITH base AS (SELECT doc_id, length(text) AS t FROM documents)
+SELECT 'keep_everything' AS config, doc_id,
+       CAST(4 AS INTEGER) AS n_spans,
+       CAST(t + 15 AS BIGINT) AS n_chars,
+       CAST(0 AS INTEGER) AS malformed
+FROM base
+UNION ALL
+SELECT 'boilerplate_strip', doc_id, 2, t + 1, 0 FROM base
+"""
+
+
 # =========================================================================
 # Relational operators (B9–B23)
 # =========================================================================
@@ -760,6 +843,8 @@ QUERIES = {
     "extract_tag_histogram": q_extract_tag_histogram,
     "extract_text_roundtrip": q_extract_text_roundtrip,
     "extract_span_stats": q_extract_span_stats,
+    "extract_br_conversion": q_extract_br_conversion,
+    "extract_config_comparison": q_extract_config_comparison,
     # relational (B9–B23)
     "agg_median_by_lang": q_agg_median_by_lang,
     "describe_two_level": q_describe_two_level,
@@ -798,6 +883,8 @@ ORACLES = {
     "extract_tag_histogram": ORACLE_TAG_HISTOGRAM,
     "extract_text_roundtrip": ORACLE_TEXT_ROUNDTRIP,
     "extract_span_stats": ORACLE_SPAN_STATS,
+    "extract_br_conversion": ORACLE_BR_CONVERSION,
+    "extract_config_comparison": ORACLE_CONFIG_COMPARISON,
     "agg_median_by_lang": ORACLE_AGG_MEDIAN,
     "describe_two_level": ORACLE_DESCRIBE_TWO_LEVEL,
     "explode_tokens_topk": ORACLE_EXPLODE_TOKENS,
