@@ -396,12 +396,16 @@ class _Extractor:
             if txt:
                 self._buf_append(txt)
             return
-        txt = txt.replace("\u00a0", " ")  # NBSP -> space (html_parser.py:511)
+        if "\u00a0" in txt:
+            txt = txt.replace("\u00a0", " ")  # NBSP -> space (html_parser.py:511)
         if "\r" in txt:
             txt = txt.replace("\r", " ")
         if "\n" in txt:
             txt = txt.replace("\n", " ")
-        txt = _WS_RUN_COLLAPSE.sub(r"\1", txt)
+        # minification already collapsed ASCII runs, so a run here is
+        # rare (NBSP adjacency, splices) \u2014 test before paying sub()
+        if _WS_RUN_COLLAPSE.search(txt):
+            txt = _WS_RUN_COLLAPSE.sub(r"\1", txt)
         if not txt:
             return
         if (self._len == 0 or self._last.isspace()) and txt[0].isspace():
@@ -502,7 +506,15 @@ class _Extractor:
 
         minify_tree(root)
 
-        self._clean_tree(root)  # root itself is never removable here
+        # the whole rewrite pass is a no-op when the config has no
+        # fold tags, no with-content rules and no global thresholds
+        # (keep_everything): skip the traversal
+        if (
+            self.folder.fold_tags
+            or self.tag_filter.tags_to_remove_with_content
+            or self.tag_filter.txt_max_chr_len_with_content > -float("inf")
+        ):
+            self._clean_tree(root)  # root itself is never removable here
 
         self.spans: list[Span] = []
         self._char_idx = 0
