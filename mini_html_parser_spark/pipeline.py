@@ -149,6 +149,10 @@ def run_extraction_job(
     pending = table.filter_pending(salted)  # prune committed buckets
     extracted = extract_documents(pending, config, passthrough_cols=["bucket"])
     observed, obs = observed_extraction(extracted)
-    snapshot = table.commit_append(observed, partition_col="bucket")
-    metrics = obs.get if snapshot is not None else {}
+    snapshot = table.commit_append(
+        observed,
+        partition_col="bucket",
+        metrics_provider=lambda: {k: int(v) for k, v in obs.get.items()},
+    )
+    metrics = snapshot["metrics"] if snapshot is not None else {}
     return {"snapshot": snapshot, "metrics": metrics}

@@ -84,6 +84,7 @@ class IceliteTable:
         df: DataFrame,
         partition_col: str = "bucket",
         metrics: dict | None = None,
+        metrics_provider=None,
     ) -> dict | None:
         """Write ``df`` partitioned by ``partition_col`` and commit a
         snapshot manifest recording per-bucket lineage row counts."""
@@ -113,6 +114,11 @@ class IceliteTable:
         bucket_rows = {str(r[partition_col]): r["count"] for r in rows}
         if not bucket_rows:
             return None
+
+        if metrics_provider is not None:
+            # e.g. an Observation: resolvable only after the write
+            # action above has completed
+            metrics = {**(metrics or {}), **metrics_provider()}
 
         manifest = {
             "sequence": snap_n,

@@ -73,7 +73,9 @@ _tokens = st.sampled_from([
 ])
 
 
-@settings(max_examples=300, deadline=None,
+# derandomize: the gate run must be reproducible — exploratory random
+# runs happen in development (`pytest -p no:cacheprovider` loops)
+@settings(max_examples=300, deadline=None, derandomize=True,
           suppress_health_check=[hypothesis.HealthCheck.too_slow])
 @given(st.lists(_tokens, min_size=0, max_size=25))
 def test_randomized_equivalence(parts):
