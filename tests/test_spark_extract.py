@@ -105,3 +105,13 @@ def test_malformed_counter(spark):
     out = extract_documents(sdf, "keep_everything")
     rows = {r["doc_id"]: r["malformed"] for r in out.collect()}
     assert rows == {"good": False, "bad": True}
+
+
+def test_engine_parity_arrow_vs_pandas(spark, docs_pdf):
+    """The mapInArrow and mapInPandas paths must be row-identical."""
+    sdf = spark.createDataFrame(docs_pdf, schema=DOCUMENTS_SCHEMA)
+    a = extract_documents(sdf, "boilerplate_strip", engine="arrow").orderBy("doc_id").collect()
+    p = extract_documents(sdf, "boilerplate_strip", engine="pandas").orderBy("doc_id").collect()
+    assert len(a) == len(p) == N_DOCS
+    for x, y in zip(a, p):
+        assert x.asDict(recursive=True) == y.asDict(recursive=True)
