@@ -27,10 +27,20 @@ def build_session(
     app_name: str = "mini-html-parser-spark",
     master: str | None = None,
     shuffle_partitions: int = DEFAULT_SHUFFLE_PARTITIONS,
+    iceberg_catalog: str | None = None,
+    iceberg_warehouse: str | None = None,
 ) -> SparkSession:
+    """Session factory.
+
+    ``iceberg_catalog``/``iceberg_warehouse`` wire a real Iceberg
+    Hadoop catalog on clusters that ship the runtime jar
+    (``--packages org.apache.iceberg:iceberg-spark-runtime-...``);
+    offline, the icelite layer (plans/icelite.py) provides the same
+    snapshot/resume semantics over plain parquet.
+    """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
-    return (
+    builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
@@ -40,8 +50,25 @@ def build_session(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_MAX_RECORDS))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    if iceberg_catalog:
+        builder = (
+            builder
+            .config(
+                "spark.sql.extensions",
+                "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions",
+            )
+            .config(
+                f"spark.sql.catalog.{iceberg_catalog}",
+                "org.apache.iceberg.spark.SparkCatalog",
+            )
+            .config(f"spark.sql.catalog.{iceberg_catalog}.type", "hadoop")
+            .config(
+                f"spark.sql.catalog.{iceberg_catalog}.warehouse",
+                iceberg_warehouse or "warehouse",
+            )
+        )
+    return builder.getOrCreate()
 
 
 # documents above this many chars of span text are scheduled as

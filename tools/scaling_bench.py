@@ -88,7 +88,7 @@ def main() -> None:
         worker(int(sys.argv[2]), sys.argv[3])
         return
 
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 12000
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 24000
     lo = int(os.environ.get("SCALE_N", "8"))
     hi = int(os.environ.get("SCALE_4N", "32"))
 
