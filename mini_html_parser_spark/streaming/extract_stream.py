@@ -52,6 +52,54 @@ def start_extraction_sink(
     return writer.start()
 
 
+def streaming_exact_dedup(
+    documents: DataFrame, timeout_minutes: int = 60
+) -> DataFrame:
+    """Custom stateful operator: drop documents whose content hash was
+    already seen on the stream (``applyInPandasWithState`` — per-key
+    seen-flag state with a processing-time TTL).
+
+    Emits only first-seen documents as (content_hash, doc_id, n_seen).
+    The batch analogue is operators.dedup.exact_dedup; this is its
+    continuous form for a document feed.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import functions as F
+
+    hashed = documents.select(
+        F.md5(F.to_json(F.struct("spans"))).alias("content_hash"),
+        "doc_id",
+    )
+
+    def dedup_fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        (seen,) = state.get if state.exists else (0,)
+        out = []
+        if seen == 0 and len(rows) > 0:
+            out.append({
+                "content_hash": key[0],
+                "doc_id": rows["doc_id"].iloc[0],
+                "n_seen": int(seen + len(rows)),
+            })
+        state.update((seen + len(rows),))
+        state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        if out:
+            yield pd.DataFrame(out)
+
+    return hashed.groupBy("content_hash").applyInPandasWithState(
+        dedup_fn,
+        outputStructType="content_hash string, doc_id string, n_seen int",
+        stateStructType="seen int",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
 def span_rate_monitor(extracted: DataFrame, window: str = "10 seconds") -> DataFrame:
     """Windowed spans/sec with late-data watermark (stateful demo)."""
     stamped = extracted.withColumn("ingest_ts", F.current_timestamp())
