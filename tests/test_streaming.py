@@ -45,12 +45,19 @@ def test_streaming_extraction_with_resume(spark, tmp_path):
     }
 
 
+
+
 def test_streaming_stateful_dedup(spark, tmp_path):
     """applyInPandasWithState: first-seen wins across micro-batches."""
     import pandas as pd
     from mini_html_parser_spark.streaming.extract_stream import (
         read_document_stream, streaming_exact_dedup,
     )
+
+    # state-store partitions = shuffle partitions at first run; keep
+    # them minimal or the per-partition store init dominates (minutes)
+    spark = spark.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
 
     inp = str(tmp_path / "sin")
     out = str(tmp_path / "sout")
@@ -70,6 +77,7 @@ def test_streaming_stateful_dedup(spark, tmp_path):
          .option("checkpointLocation", ckpt).outputMode("append")
          .trigger(availableNow=True).start())
     q.awaitTermination(120)
+    q.stop()
     got1 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert len(got1) == 2 and "b" in got1 and ("a" in got1 or "c" in got1)
 
@@ -81,6 +89,7 @@ def test_streaming_stateful_dedup(spark, tmp_path):
           .option("checkpointLocation", ckpt).outputMode("append")
           .trigger(availableNow=True).start())
     q2.awaitTermination(120)
+    q2.stop()
     rows = spark.read.parquet(out).collect()
     ids = {r["doc_id"] for r in rows}
     assert "e" in ids and "d" not in ids   # state survived the restart
