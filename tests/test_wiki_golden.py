@@ -105,3 +105,53 @@ def test_wiki_media_spans(wiki_result):
         assert s.value == "img"
         assert s.char_start_idx == s.char_end_idx
         assert s.media_ref
+
+
+def test_wiki_through_spark_path(wiki_result):
+    """The full DataFrame pipeline (interleaved input → mapInArrow
+    kernel) must reproduce the kernel-verified wiki extraction span
+    for span."""
+    import pytest
+    pyspark = pytest.importorskip("pyspark")
+    from pyspark.sql import SparkSession
+
+    from mini_html_parser_spark.operators.extract import (
+        DOCUMENTS_SCHEMA, extract_documents,
+    )
+
+    with open(os.path.join(DATA_DIR, "raw_wiki_page.txt")) as f:
+        html = f.read()
+
+    spark = (
+        SparkSession.builder.master("local[2]")
+        .appName("wiki-golden")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    import pandas as pd
+
+    pdf = pd.DataFrame({
+        "doc_id": ["wiki"],
+        "spans": [[{"kind": "html", "text": html, "media_ref": "", "offset": 0}]],
+    })
+    row = (
+        extract_documents(
+            spark.createDataFrame(pdf, DOCUMENTS_SCHEMA), "boilerplate_strip"
+        )
+        .collect()[0]
+    )
+    assert row["text"] == wiki_result.text
+    assert row["n_spans"] == len(wiki_result.spans) == 2012
+    for got, want in zip(row["spans"], wiki_result.spans):
+        assert (
+            got["value"], got["char_start_idx"], got["relative_start_pos"],
+            got["char_end_idx"], got["relative_end_pos"],
+            list(got["attrs"]), list(got["attr_values"]),
+            got["kind"], got["media_ref"], got["offset"],
+        ) == (
+            want.value, want.char_start_idx, want.relative_start_pos,
+            want.char_end_idx, want.relative_end_pos,
+            list(want.attrs), [v or "" for v in want.attr_values],
+            want.kind, want.media_ref, want.offset,
+        )
