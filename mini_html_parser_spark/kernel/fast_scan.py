@@ -114,6 +114,43 @@ def scan(html: str, sink) -> None:
             flush_text("<")
             pos = lt + 1
             continue
+
+        # start tags dominate real documents — dispatch on them first
+        # (each .group() lookup is measurable at 50k+ tags/doc)
+        tag = m.group("start")
+        if tag is not None:
+            tag = tag.lower()
+            attrs = _parse_attrs(m.group("attrs"))
+            selfclose = m.group("selfclose")
+            if selfclose:
+                sink.handle_startendtag(tag, attrs)
+            else:
+                sink.handle_starttag(tag, attrs)
+            pos = m.end()
+
+            if tag in _RAW_TEXT_TAGS and not selfclose:
+                # raw-text mode: consume until the matching close tag,
+                # no charref resolution (stdlib convert_charrefs parity)
+                cm2 = html.find(f"</{tag}", pos)
+                if cm2 < 0:
+                    cm2 = html.lower().find(f"</{tag}", pos)
+                if cm2 < 0:
+                    # unterminated raw-text element at EOF: stdlib
+                    # drops the buffered CDATA on close()
+                    pos = n
+                    continue
+                if cm2 > pos:
+                    sink.handle_data(html[pos:cm2])
+                gt = find(">", cm2)
+                sink.handle_endtag(tag)
+                pos = (gt + 1) if gt >= 0 else n
+            continue
+
+        end_name = m.group("end")
+        if end_name is not None:
+            sink.handle_endtag(end_name.lower())
+            pos = m.end()
+            continue
         if m.group("comment") is not None:
             end = _COMMENT_END_RE.search(html, m.end())
             if end is None:
@@ -128,39 +165,9 @@ def scan(html: str, sink) -> None:
         if m.group("decl") is not None or m.group("pi") is not None:
             pos = m.end()
             continue
+        # remaining constructs: comment handled above; decl/pi/emptyend
+        # '</ >' style empty end tag: stdlib consumes silently for
+        # '</>'-like forms; treat as recovery noise
         if m.group("emptyend") is not None:
-            # '</ >' style empty end tag: stdlib consumes silently for
-            # '</>'-like forms; treat as recovery noise
             sink.malformed = True
-            pos = m.end()
-            continue
-        end_name = m.group("end")
-        if end_name is not None:
-            sink.handle_endtag(end_name.lower())
-            pos = m.end()
-            continue
-
-        tag = m.group("start").lower()
-        attrs = _parse_attrs(m.group("attrs"))
-        if m.group("selfclose"):
-            sink.handle_startendtag(tag, attrs)
-        else:
-            sink.handle_starttag(tag, attrs)
         pos = m.end()
-
-        if tag in _RAW_TEXT_TAGS and not m.group("selfclose"):
-            # raw-text mode: consume until the matching close tag,
-            # no charref resolution (stdlib convert_charrefs parity)
-            cm2 = html.find(f"</{tag}", pos)
-            if cm2 < 0:
-                cm2 = html.lower().find(f"</{tag}", pos)
-            if cm2 < 0:
-                # unterminated raw-text element at EOF: stdlib drops
-                # the buffered CDATA on close()
-                pos = n
-                continue
-            if cm2 > pos:
-                sink.handle_data(html[pos:cm2])
-            gt = find(">", cm2)
-            sink.handle_endtag(tag)
-            pos = (gt + 1) if gt >= 0 else n
