@@ -66,9 +66,18 @@ def worker(cores: int, path: str) -> None:
 
     # warm-up: same plan shape on a sample (worker imports + JIT)
     plan(0.15).collect()
-    t0 = time.perf_counter()
-    row = plan(None).collect()[0]
-    dt = time.perf_counter() - t0
+    # best-of-2 measured passes, fresh plan lineage each time (no
+    # cross-job shuffle reuse) — single-pass numbers swing ±10% on
+    # this VM (page cache / JIT / scheduler noise)
+    dt = float("inf")
+    row = None
+    for _ in range(2):
+        p = plan(None)
+        t0 = time.perf_counter()
+        r = p.collect()[0]
+        d = time.perf_counter() - t0
+        if d < dt:
+            dt, row = d, r
     print(json.dumps({
         "cores": cores,
         "n_docs": int(row["docs"]),
