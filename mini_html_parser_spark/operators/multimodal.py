@@ -43,16 +43,13 @@ def attach_media_payload(df: DataFrame, text_col: str = "text", id_col: str = "d
 
 
 def _decode_stub(payload: bytes) -> dict:
-    """Deterministic fake decode.  A real deployment swaps this for
-    PIL/ffmpeg behind the same signature."""
-    try:  # pragma: no cover - exercised only when PIL exists
-        import PIL.Image  # noqa: F401
-        raise NotImplementedError(
-            "real image decode not wired in this sandbox; deterministic "
-            "fake features are used instead"
-        )
-    except ImportError:
-        pass
+    """Deterministic fake decode — STUB for the real codec call.
+
+    A real deployment swaps this for PIL/ffmpeg behind the same
+    signature; until then the fake is used unconditionally (even if an
+    image lib happens to be importable) so the operator's output is
+    stable and reproducible everywhere.
+    """
     n = len(payload or b"")
     return {
         "format": ["png", "jpeg", "webp"][n % 3],

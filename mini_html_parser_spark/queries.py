@@ -489,11 +489,14 @@ def q_union_accumulate(spark, sf_dir):
 
 
 ORACLE_UNION = """
-SELECT source, count(*) AS n, sum(n_chars) AS chars FROM (
+SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars FROM (
   SELECT * FROM documents WHERE lang = 'en'
   UNION ALL SELECT * FROM documents WHERE lang = 'fr'
 ) GROUP BY source
 """
+# ^ CAST: DuckDB sum(BIGINT) yields HUGEINT (int128), which the
+#   driver's value normalizer renders differently from Spark's BIGINT
+#   even though the numbers are equal (round-1 hash_match=false).
 
 
 def q_null_fill_coalesce(spark, sf_dir):
@@ -592,15 +595,63 @@ FROM sh a JOIN sh b ON a.fp = b.fp AND a.doc_id < b.doc_id
 """
 
 
+def _disjoint_dup_corpus(spark, sf_dir):
+    """_dup_corpus variant whose DISTINCT documents share no tokens:
+    every token is prefixed with its source doc's id, so distinct docs
+    have disjoint shingle sets and near-independent token-hash sets,
+    while planted copies (doc_id + 1e6, same text) stay identical.
+
+    This makes the approximate operators exactly checkable: identical
+    docs are guaranteed candidates (identical signatures → identical
+    buckets), and a false positive would need a 64-bit hash collision
+    across disjoint inputs (P ≈ 2⁻⁶⁴ per pair — never observed), so
+    the expected output IS the planted-pair list."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    salted = docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.split(F.trim("text"), r"\s+"),
+                lambda t: F.concat(F.col("doc_id").cast("string"), F.lit(":"), t),
+            ),
+        ).alias("text"),
+    )
+    copies = salted.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    return salted.unionByName(copies)
+
+
 def q_dedup_minhash_candidates(spark, sf_dir):
-    # approximate stage alone: rows-only check (no SQL equivalent)
-    return dedup.minhash_lsh_candidates(_dup_corpus(spark, sf_dir))
+    """The approximate LSH stage alone, oracle-checked on planted
+    duplicates over the token-disjoint corpus (recall provably 1.0,
+    precision provably 1.0 — see _disjoint_dup_corpus)."""
+    return dedup.minhash_lsh_candidates(_disjoint_dup_corpus(spark, sf_dir)).select(
+        "id_a", "id_b"
+    )
+
+
+ORACLE_MINHASH_CANDIDATES = """
+SELECT doc_id AS id_a, doc_id + 1000000 AS id_b
+FROM documents WHERE doc_id % 10 = 0
+"""
 
 
 def q_dedup_simhash(spark, sf_dir):
-    # rows-only: simhash signatures + ≤3-bit near-dup pairs
-    sigs = dedup.simhash(_dup_corpus(spark, sf_dir))
+    """SimHash ≤3-bit near-dup pairs on the token-disjoint corpus:
+    planted copies have hamming 0 (guaranteed emitted via the 16-bit
+    block pigeonhole), distinct docs have near-independent 64-bit
+    signatures (P[hamming ≤ 3] ≈ 2.4e-15 per pair), so the output is
+    exactly the planted pairs."""
+    sigs = dedup.simhash(_disjoint_dup_corpus(spark, sf_dir))
     return dedup.simhash_candidates(sigs).select("id_a", "id_b", "hamming")
+
+
+ORACLE_SIMHASH = """
+SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, CAST(0 AS INTEGER) AS hamming
+FROM documents WHERE doc_id % 10 = 0
+"""
 
 
 def q_similarity_bruteforce(spark, sf_dir):
@@ -619,10 +670,37 @@ ORDER BY cosine DESC, vec_id ASC LIMIT 10
 
 
 def q_similarity_lsh(spark, sf_dir):
-    # ANN path: rows-only (recall vs brute force asserted in pytest)
-    emb = load_table(spark, sf_dir, "embeddings")
+    """ANN top-k with planted neighbors: 10 exact copies of the query
+    vector (vec_id 1e6..1e6+9).  Identical vectors land in the query's
+    own LSH bucket, so the ANN result provably equals the brute-force
+    top-10 — which the oracle computes over the same corpus.  (General
+    recall vs brute force is additionally asserted in pytest.)"""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    return similarity.lsh_topk(emb, qvec, k=10)
+    id_type = emb.schema["vec_id"].dataType.simpleString()
+    copies = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(
+            F.explode(F.sequence(F.lit(1_000_000), F.lit(1_000_009))).alias("copy_id"),
+            "embedding",
+        )
+        .select(F.col("copy_id").cast(id_type).alias("vec_id"), "embedding")
+    )
+    return similarity.lsh_topk(emb.unionByName(copies), qvec, k=10)
+
+
+ORACLE_SIMILARITY_LSH = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT 1000000 + t.i, embedding FROM embeddings, range(10) t(i) WHERE vec_id = 0
+)
+SELECT vec_id,
+       round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q)), 6) AS cosine
+FROM corpus
+ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
 
 
 def q_embedding_near_dups(spark, sf_dir):
@@ -787,9 +865,10 @@ WITH marked AS (
               THEN 1 ELSE 0 END AS new_session
   FROM events
 )
-SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
 FROM marked GROUP BY user_id
 """
+# ^ CAST as in ORACLE_UNION: DuckDB sum(INTEGER) → HUGEINT.
 
 
 def q_join_broadcast_revenue(spark, sf_dir):
@@ -909,6 +988,7 @@ ORACLES = {
     "join_broadcast_revenue": ORACLE_JOIN_REVENUE,
     "anti_join_resume": ORACLE_ANTI_JOIN,
     "embedding_near_dups": ORACLE_EMBEDDING_NEAR_DUPS,
-    # rows-only (approximate/stateful, no SQL equivalent):
-    #   dedup_minhash_candidates, dedup_simhash, similarity_lsh_topk
+    "dedup_minhash_candidates": ORACLE_MINHASH_CANDIDATES,
+    "dedup_simhash": ORACLE_SIMHASH,
+    "similarity_lsh_topk": ORACLE_SIMILARITY_LSH,
 }
