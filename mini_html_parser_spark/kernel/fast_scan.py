@@ -1,26 +1,44 @@
-"""Fast HTML scanner — a single-regex tokenizer frontend.
+"""Fast HTML scanner — a slim tokenizer frontend over the stdlib
+``html.parser`` matchers.
 
 Drives the same DOM-builder sink as the stdlib ``html.parser`` path
-(dom._DomParser), emitting the identical event stream for the
-behaviors this engine pins (golden tests + the 2012-span wiki
-fixture), at roughly 2-3× the speed: stdlib HTMLParser pays several
-regex attempts, ``updatepos`` bookkeeping and method dispatch per
-tag, which dominates kernel time on large documents.
+(dom._DomParser), emitting the identical event stream, at a
+measurable speedup: stdlib HTMLParser pays ``updatepos`` line
+bookkeeping (an O(chunk) newline count per event), ``interesting``
+re-searches, rawdata re-slicing and method dispatch per construct,
+which dominates kernel time on large documents.  This scanner walks
+the document once with ``str.find`` and drives the sink directly.
 
-Event-level compatibility notes (verified against the stdlib path by
-the golden suite and a randomized cross-check test):
+Equivalence contract (pinned by the golden suite, the 2012-span wiki
+fixture, and randomized cross-checks in tests/test_fast_scan.py):
+every construct is parsed with the stdlib's OWN tolerant matchers
+(``tagfind_tolerant``/``attrfind_tolerant``/
+``locatestarttagend_tolerant``/``endtagfind``) and the control flow
+mirrors ``HTMLParser.goahead``/``parse_starttag``/``parse_endtag``
+for a single ``feed(doc); close()`` cycle:
 
-* ``</>`` emits a literal ``>`` text event (lxml recovery pinned by
-  test_html_parser.py:578-583),
+* ``</>`` emits a literal ``>`` text event (the dom.py parse_endtag
+  override — lxml recovery pinned by test_html_parser.py:578-583),
 * character references resolve in text and attribute values but NOT
   inside script/style raw text (stdlib ``convert_charrefs``),
-* a ``<`` that doesn't open a tag construct is literal text,
-* comments/doctypes/processing instructions are consumed silently,
-* ``<script>``/``<style>``/``<textarea>``/``<title>`` bodies are raw
-  text until their matching close tag (stdlib CDATA_CONTENT_ELEMENTS
-  is script/style only; the extended set matches libxml2, and only
-  script/style matter to the extraction goldens — head-only tags
-  never reach //body).
+* a ``<`` that doesn't open a construct is literal text; incomplete
+  constructs at EOF replay stdlib ``goahead(end=1)`` recovery (text
+  up to and including the next ``>``, else up to the next ``<``,
+  else one char),
+* end tags mirror stdlib ``parse_endtag``: ``</ div >`` closes div,
+  ``</div x>`` closes div and skips to ``>``, ``</1>``/``</ >``
+  become bogus comments (handle_comment),
+* start tags mirror ``check_for_whole_start_tag`` + ``parse_starttag``
+  including the partial-tag-as-text recovery (``<r P=">`` is text),
+* script/style bodies are raw text until a COMPLETE matching close
+  tag ``</\\s*tag\\s*>`` case-insensitive (stdlib set_cdata_mode);
+  ``</SCRIPTY>`` or ``</script x>`` inside the body stay data, and an
+  unterminated body is dropped (stdlib close() discards cdata),
+* doctypes/processing instructions are consumed silently; other
+  ``<!…>`` declarations become bogus comments (stdlib
+  parse_html_declaration),
+* ``<![…`` marked sections raise :class:`Bailout` — the caller falls
+  back to the stdlib path, so equivalence holds by construction.
 """
 
 from __future__ import annotations
@@ -28,72 +46,84 @@ from __future__ import annotations
 import re
 from html import unescape
 
-_TAG_RE = re.compile(
-    r"""<(?:
-        (?P<comment>!--)
-      | (?P<decl>![^>]*>?)
-      | (?P<pi>\?[^>]*>?)
-      | (?P<emptyend>/\s*>)
-      | /(?P<end>[a-zA-Z][-.a-zA-Z0-9:_]*)[^>]*>
-      | (?P<start>[a-zA-Z][^\t\n\r\f\ />\x00]*)   # stdlib tagfind_tolerant
-        # quotes protect '>' only as attribute VALUES (preceded by =),
-        # matching stdlib locatestarttagend_tolerant; '<' allowed
-        # mid-tag (stdlib attrfind_tolerant)
-        (?P<attrs>(?:=\s*"[^"]*"|=\s*'[^']*'|[^>])*?)
-        (?P<selfclose>/?)>
-    )""",
-    re.VERBOSE | re.DOTALL,
-)
+# ---- the stdlib's own tolerant matchers (html/parser.py) -------------------
+# copied verbatim: these ARE the equivalence contract
 
-# stdlib html.parser attrfind_tolerant, verbatim — attribute-splitting
-# semantics are the equivalence contract with the stdlib-driven path
+_TAGFIND_RE = re.compile(r"([a-zA-Z][^\t\n\r\f />\x00]*)(?:\s|/(?!>))*")
+
 _ATTR_RE = re.compile(
     r'((?<=[\'"\s/])[^\s/>][^\s/=>]*)(\s*=+\s*'
     r'(\'[^\']*\'|"[^"]*"|(?![\'"])[^>\s]*))?(?:\s|/(?!>))*'
 )
 
-_COMMENT_END_RE = re.compile(r"--\s*>")
+_LOCATE_RE = re.compile(r"""
+  <[a-zA-Z][^\t\n\r\f />\x00]*       # tag name
+  (?:[\s/]*                          # optional whitespace before attribute name
+    (?:(?<=['"\s/])[^\s/>][^\s/=>]*  # attribute name
+      (?:\s*=+\s*                    # value indicator
+        (?:'[^']*'                   # LITA-enclosed value
+          |"[^"]*"                   # LIT-enclosed value
+          |(?!['"])[^>\s]*           # bare value
+         )
+        \s*                          # possibly followed by a space
+       )?(?:\s|/(?!>))*
+     )*
+   )?
+  \s*                                # trailing whitespace
+""", re.VERBOSE)
+
+_ENDTAG_RE = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")  # endtagfind
+
+_COMMENT_END_RE = re.compile(r"--\s*>")  # commentclose
 
 # stdlib CDATA_CONTENT_ELEMENTS is (script, style); those are the two
 # that matter for extraction (their content must not parse as markup)
 _RAW_TEXT_TAGS = {"script", "style"}
 
+# stdlib set_cdata_mode pattern (`</\s*{tag}\s*>`, case-insensitive):
+# ONLY a complete, exact close tag leaves raw-text mode — `</SCRIPTY>`
+# or `</script x>` inside a script body stay data (ADVICE r1, high)
+_RAW_CLOSE_RE = {
+    t: re.compile(rf"</\s*{t}\s*>", re.IGNORECASE) for t in _RAW_TEXT_TAGS
+}
 
-def _parse_attrs(s: str) -> list:
-    if not s or s.isspace():
-        return []
-    attrs = []
-    # leading space gives position-0 the same lookbehind context the
-    # stdlib matcher has right after the tag name
-    for m in _ATTR_RE.finditer(" " + s):
-        name = m.group(1).lower()
-        if m.group(2) is None:
-            attrs.append((name, None))
-            continue
-        value = m.group(3)
-        if value[:1] in "\"'" and value[:1] == value[-1:] and len(value) >= 2:
-            value = value[1:-1]
-        if "&" in value:
-            value = unescape(value)
-        attrs.append((name, value))
-    return attrs
+_NEXT_IN_INCOMPLETE = frozenset("abcdefghijklmnopqrstuvwxyz=/ABCDEFGHIJKLMNOPQRSTUVWXYZ")
+
+
+class Bailout(Exception):
+    """Construct too rare to fast-path (e.g. ``<![…`` marked
+    sections): abort the fast scan; dom.parse_document falls back to
+    the stdlib path, so equivalence holds by construction."""
 
 
 def scan(html: str, sink) -> None:
     """Tokenize ``html`` and drive ``sink`` (a dom._DomParser-shaped
     object: handle_starttag/handle_startendtag/handle_endtag/
-    handle_data)."""
+    handle_data/handle_comment)."""
     pos = 0
     n = len(html)
     find = html.find
-    match = _TAG_RE.match
-    data_parts: list[str] = []
 
     def flush_text(chunk: str) -> None:
         if chunk:
             if "&" in chunk:
                 chunk = unescape(chunk)
             sink.handle_data(chunk)
+
+    def eof_recover(lt: int) -> int:
+        """stdlib goahead(end=1) recovery for an incomplete construct
+        at ``lt``: consume through the next ``>`` (inclusive), else up
+        to the next ``<``, else one char — all as unescaped text.
+        Returns the resume position."""
+        k = find(">", lt + 1)
+        if k < 0:
+            k = find("<", lt + 1)
+            if k < 0:
+                k = lt + 1
+        else:
+            k += 1
+        flush_text(html[lt:k])
+        return k
 
     while pos < n:
         lt = find("<", pos)
@@ -102,72 +132,152 @@ def scan(html: str, sink) -> None:
             break
         if lt > pos:
             flush_text(html[pos:lt])
-        # '</>' → literal '>' (lxml recovery; dom.parse_endtag parity)
-        if html.startswith("</>", lt):
-            sink.handle_data(">")
-            sink.malformed = True
-            pos = lt + 3
-            continue
-        m = match(html, lt)
-        if m is None:
-            # lone '<' that opens nothing: literal text
-            flush_text("<")
-            pos = lt + 1
-            continue
 
-        # start tags dominate real documents — dispatch on them first
-        # (each .group() lookup is measurable at 50k+ tags/doc)
-        tag = m.group("start")
-        if tag is not None:
-            tag = tag.lower()
-            attrs = _parse_attrs(m.group("attrs"))
-            selfclose = m.group("selfclose")
-            if selfclose:
-                sink.handle_startendtag(tag, attrs)
+        c = html[lt + 1:lt + 2]
+
+        # ---- start tags (dominate real documents: dispatch first) ----
+        # mirror of check_for_whole_start_tag + parse_starttag
+        if c and (("a" <= c <= "z") or ("A" <= c <= "Z")):
+            m = _LOCATE_RE.match(html, lt)
+            j = m.end()
+            nxt = html[j:j + 1]
+            if nxt == ">":
+                endpos = j + 1
+            elif nxt == "/":
+                if html.startswith("/>", j):
+                    endpos = j + 2
+                else:
+                    pos = eof_recover(lt)
+                    continue
+            elif nxt == "" or nxt in _NEXT_IN_INCOMPLETE:
+                # end of input, or stopped inside an attribute value
+                # (e.g. unterminated quote): incomplete start tag
+                pos = eof_recover(lt)
+                continue
             else:
-                sink.handle_starttag(tag, attrs)
-            pos = m.end()
+                endpos = j
 
-            if tag in _RAW_TEXT_TAGS and not selfclose:
-                # raw-text mode: consume until the matching close tag,
-                # no charref resolution (stdlib convert_charrefs parity)
-                cm2 = html.find(f"</{tag}", pos)
-                if cm2 < 0:
-                    cm2 = html.lower().find(f"</{tag}", pos)
-                if cm2 < 0:
+            tm = _TAGFIND_RE.match(html, lt + 1)
+            k = tm.end()
+            tag = tm.group(1).lower()
+            attrs = []
+            while k < endpos:
+                am = _ATTR_RE.match(html, k)
+                if not am:
+                    break
+                attrname, rest, attrvalue = am.group(1, 2, 3)
+                if not rest:
+                    attrvalue = None
+                elif (attrvalue[:1] == "'" == attrvalue[-1:]
+                      or attrvalue[:1] == '"' == attrvalue[-1:]):
+                    attrvalue = attrvalue[1:-1]
+                if attrvalue:
+                    attrvalue = unescape(attrvalue)
+                attrs.append((attrname.lower(), attrvalue))
+                k = am.end()
+            end = html[k:endpos].strip()
+            if end not in (">", "/>"):
+                # junk between the attrs and the '>': the whole span
+                # is RAW text (stdlib parse_starttag, no unescape)
+                sink.handle_data(html[lt:endpos])
+                pos = endpos
+                continue
+            if end == "/>":
+                sink.handle_startendtag(tag, attrs)
+                pos = endpos
+                continue
+            sink.handle_starttag(tag, attrs)
+            pos = endpos
+
+            if tag in _RAW_TEXT_TAGS:
+                # raw-text mode: only a complete `</\s*tag\s*>` close
+                # (case-insensitive — stdlib set_cdata_mode) exits; no
+                # charref resolution (stdlib convert_charrefs parity)
+                close = _RAW_CLOSE_RE[tag].search(html, pos)
+                if close is None:
                     # unterminated raw-text element at EOF: stdlib
                     # drops the buffered CDATA on close()
                     pos = n
                     continue
-                if cm2 > pos:
-                    sink.handle_data(html[pos:cm2])
-                gt = find(">", cm2)
+                if close.start() > pos:
+                    sink.handle_data(html[pos:close.start()])
                 sink.handle_endtag(tag)
-                pos = (gt + 1) if gt >= 0 else n
+                pos = close.end()
             continue
 
-        end_name = m.group("end")
-        if end_name is not None:
-            sink.handle_endtag(end_name.lower())
-            pos = m.end()
-            continue
-        if m.group("comment") is not None:
-            end = _COMMENT_END_RE.search(html, m.end())
-            if end is None:
-                # unterminated comment at EOF: stdlib flushes the raw
-                # remainder as text on close()
-                flush_text(html[lt:])
-                pos = n
+        # ---- end tags: mirror of stdlib parse_endtag + the dom.py
+        # '</>' override (ADVICE r1: whitespace/bogus forms diverged)
+        if c == "/":
+            # '</>' → literal '>' (lxml recovery; dom.parse_endtag parity)
+            if html.startswith("</>", lt):
+                sink.handle_data(">")
+                sink.malformed = True
+                pos = lt + 3
                 continue
-            sink.handle_comment(html[m.end():end.start()])
-            pos = end.end()
+            gt = find(">", lt + 1)
+            if gt < 0:
+                pos = eof_recover(lt)
+                continue
+            m_end = _ENDTAG_RE.match(html, lt)
+            if m_end is not None:
+                # '</ div >' style included (stdlib endtagfind)
+                sink.handle_endtag(m_end.group(1).lower())
+                pos = m_end.end()
+                continue
+            m_name = _TAGFIND_RE.match(html, lt + 2)
+            if m_name is not None:
+                # '</div x>': take the name, skip to the next '>'
+                sink.handle_endtag(m_name.group(1).lower())
+                pos = find(">", m_name.end()) + 1
+                continue
+            # '</' not followed by a tag name: bogus comment
+            # (stdlib parse_bogus_comment; '</1>x' extracts to 'x')
+            sink.handle_comment(html[lt + 2:gt])
+            pos = gt + 1
             continue
-        if m.group("decl") is not None or m.group("pi") is not None:
-            pos = m.end()
+
+        # ---- declarations / comments (stdlib parse_html_declaration)
+        if c == "!":
+            if html.startswith("<!--", lt):
+                end = _COMMENT_END_RE.search(html, lt + 4)
+                if end is None:
+                    # unterminated comment: goahead(end=1) recovery
+                    pos = eof_recover(lt)
+                    continue
+                sink.handle_comment(html[lt + 4:end.start()])
+                pos = end.end()
+                continue
+            if html.startswith("<![", lt):
+                # marked section / MS conditional: stdlib
+                # parse_marked_section semantics (incl. its error
+                # paths) are not worth fast-pathing — bail out
+                raise Bailout("marked section")
+            if html[lt + 2:lt + 9].lower() == "doctype":
+                gt = find(">", lt + 9)
+                if gt < 0:
+                    pos = eof_recover(lt)
+                    continue
+                # handle_decl is a no-op for the DOM sink
+                pos = gt + 1
+                continue
+            # bogus comment: '<!x y>' → comment 'x y'
+            gt = find(">", lt + 2)
+            if gt < 0:
+                pos = eof_recover(lt)
+                continue
+            sink.handle_comment(html[lt + 2:gt])
+            pos = gt + 1
             continue
-        # remaining constructs: comment handled above; decl/pi/emptyend
-        # '</ >' style empty end tag: stdlib consumes silently for
-        # '</>'-like forms; treat as recovery noise
-        if m.group("emptyend") is not None:
-            sink.malformed = True
-        pos = m.end()
+
+        # ---- processing instructions (handle_pi is a no-op) ----
+        if c == "?":
+            gt = find(">", lt + 2)
+            if gt < 0:
+                pos = eof_recover(lt)
+                continue
+            pos = gt + 1
+            continue
+
+        # lone '<' that opens nothing: literal text
+        flush_text("<")
+        pos = lt + 1

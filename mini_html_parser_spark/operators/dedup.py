@@ -12,8 +12,135 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.types import LongType
+
+# Buckets above this size emit (bucket-min representative → member)
+# star edges instead of all intra-bucket pairs.  On web-crawl corpora a
+# boilerplate page duplicated d=10⁶ times would otherwise explode one
+# bucket into d²/2 ≈ 5·10¹¹ candidate pairs — a job-killer no AQE
+# setting fixes.  Star edges are O(d), lossless for exact-duplicate
+# groups (similarity is transitive there), and the standard recall
+# trade-off for near-dup groups (members link through the
+# representative; downstream connected-components recovers clusters).
+# Not a silent cap: every bucket member still appears in the output.
+MAX_BUCKET_PAIRS_SIZE = 128
+
+
+def _bucket_pairs(
+    bucketed: DataFrame,
+    bucket_cols: list[str],
+    id_col: str,
+    carry_cols: list[str] | None = None,
+    max_bucket_size: int = MAX_BUCKET_PAIRS_SIZE,
+    dedupe: bool = True,
+    heavy_carry: bool = False,
+) -> DataFrame:
+    """(id_a, id_b[, carry_a/carry_b…]) candidate pairs per bucket.
+
+    Buckets of ≤ ``max_bucket_size`` rows emit all pairs (the exact
+    LSH construction); larger buckets emit representative→member star
+    edges — see MAX_BUCKET_PAIRS_SIZE.
+
+    Default shape: ONE shuffle — ``groupBy(bucket).collect_list`` then
+    array expressions emit the pairs.  A self-join shape was measured
+    16× slower here: Catalyst turns it into broadcast joins whose
+    probe/build sides each recompute the (expensive) bucket-key
+    expression from the scan — 12 recomputations of the shingle→md5
+    chain in the exact-dedup plan.  The agg shape computes the key
+    once and holds at most one bucket's members in a row (8 MB for a
+    10⁶-duplicate bucket).
+
+    ``heavy_carry=True`` keeps the join shape instead — for wide
+    carry columns (e.g. embedding vectors) where materializing a
+    giant bucket's members in one row would not be safe; callers
+    should pre-materialize (persist) ``bucketed`` in that case.
+
+    ``dedupe=False`` skips the final distinct — correct whenever each
+    id appears in exactly one bucket (the bucketing is a partition, so
+    a pair can only be emitted once).
+    """
+    carry_cols = carry_cols or []
+    if heavy_carry:
+        return _bucket_pairs_join(
+            bucketed, bucket_cols, id_col, carry_cols, max_bucket_size, dedupe
+        )
+
+    item = F.struct(F.col(id_col).alias("_id"), *[F.col(c) for c in carry_cols])
+    grouped = bucketed.groupBy(*bucket_cols).agg(
+        F.sort_array(F.collect_list(item)).alias("_m")
+    )
+
+    def pair(a: Column, b: Column) -> Column:
+        return F.struct(
+            a["_id"].alias("id_a"),
+            b["_id"].alias("id_b"),
+            *[a[c].alias(f"{c}_a") for c in carry_cols],
+            *[b[c].alias(f"{c}_b") for c in carry_cols],
+        )
+
+    m = F.col("_m")
+    all_pairs = F.filter(
+        F.flatten(F.transform(m, lambda a: F.transform(m, lambda b: pair(a, b)))),
+        lambda s: s["id_a"] < s["id_b"],
+    )
+    star = F.transform(
+        F.slice(m, 2, F.size(m) - 1), lambda b: pair(F.element_at(m, 1), b)
+    )
+    pairs = F.when(F.size(m) <= max_bucket_size, all_pairs).otherwise(star)
+    out = grouped.select(F.explode(pairs).alias("_p")).select("_p.*")
+    return out.distinct() if dedupe else out
+
+
+def _bucket_pairs_join(
+    bucketed: DataFrame,
+    bucket_cols: list[str],
+    id_col: str,
+    carry_cols: list[str],
+    max_bucket_size: int,
+    dedupe: bool,
+) -> DataFrame:
+    """Join-shaped variant of :func:`_bucket_pairs` for heavy carry
+    columns (see there)."""
+    stats = bucketed.groupBy(*bucket_cols).agg(
+        F.min(id_col).alias("_rep"), F.count("*").alias("_bsz")
+    )
+    tagged = bucketed.join(stats, bucket_cols)
+
+    small = tagged.filter(F.col("_bsz") <= max_bucket_size)
+    l, r = small.alias("l"), small.alias("r")
+    cond: Column = F.col(f"l.{id_col}") < F.col(f"r.{id_col}")
+    for c in bucket_cols:
+        cond = cond & (F.col(f"l.{c}") == F.col(f"r.{c}"))
+    small_pairs = l.join(r, cond).select(
+        F.col(f"l.{id_col}").alias("id_a"),
+        F.col(f"r.{id_col}").alias("id_b"),
+        *[F.col(f"l.{c}").alias(f"{c}_a") for c in carry_cols],
+        *[F.col(f"r.{c}").alias(f"{c}_b") for c in carry_cols],
+    )
+
+    big = tagged.filter(
+        (F.col("_bsz") > max_bucket_size) & (F.col(id_col) != F.col("_rep"))
+    )
+    if carry_cols:
+        reps = tagged.filter(
+            (F.col("_bsz") > max_bucket_size) & (F.col(id_col) == F.col("_rep"))
+        ).select(
+            *bucket_cols,
+            *[F.col(c).alias(f"{c}_a") for c in carry_cols],
+        ).dropDuplicates(bucket_cols)
+        big_pairs = big.join(reps, bucket_cols).select(
+            F.col("_rep").alias("id_a"),
+            F.col(id_col).alias("id_b"),
+            *[F.col(f"{c}_a") for c in carry_cols],
+            *[F.col(c).alias(f"{c}_b") for c in carry_cols],
+        )
+    else:
+        big_pairs = big.select(
+            F.col("_rep").alias("id_a"), F.col(id_col).alias("id_b")
+        )
+    out = small_pairs.unionByName(big_pairs)
+    return out.distinct() if dedupe else out
 
 
 # ---- exact dedup -----------------------------------------------------------
@@ -58,6 +185,21 @@ def minhash_signature(sh: F.Column, num_hashes: int = 32) -> F.Column:
     ])
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Spread a frame to the session's default parallelism when its
+    physical partitioning is narrower.
+
+    CPU-heavy per-row expressions (shingling, 32-hash signatures)
+    execute in the stage of their input scan — a single small parquet
+    file scans as 1-2 partitions, serializing the whole computation on
+    2 cores while the rest idle (measured: 4.4 s → 0.7 s on the
+    sf0.1 exact-dedup path).  At real corpus scale the scan has
+    thousands of splits and this becomes a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    cur = df.rdd.getNumPartitions()
+    return df.repartition(target) if cur < target else df
+
+
 def shingle_frame(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     shingle_n: int = 3,
@@ -66,7 +208,7 @@ def shingle_frame(
     candidate stage and the Jaccard verify stage should .persist()
     this — the shingle expression otherwise re-evaluates once per
     join branch (4× on the full dedup pipeline, measured)."""
-    return df.select(F.col(id_col), shingles(F.col(text_col), shingle_n).alias("sh"))
+    return _spread(df).select(F.col(id_col), shingles(F.col(text_col), shingle_n).alias("sh"))
 
 
 def minhash_lsh_candidates(
@@ -108,18 +250,7 @@ def minhash_lsh_candidates(
             ])
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
-    left = banded.alias("l")
-    right = banded.alias("r")
-    return (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
-        .distinct()
-    )
+    return _bucket_pairs(banded, ["band", "bucket"], id_col)
 
 
 def jaccard_verify(
@@ -149,36 +280,125 @@ def jaccard_verify(
     return joined.filter(F.col("jaccard") >= threshold)
 
 
+def exact_shingle_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    shingle_df: DataFrame | None = None,
+) -> DataFrame:
+    """θ=1.0 fast path: Jaccard 1.0 ⇔ identical shingle SETS ⇔ equal
+    sorted-set fingerprints, so one md5 + one groupBy-shaped self-join
+    replaces the whole MinHash machinery (32 seeded xxhash64 per
+    shingle + 8-band self-join + verify — measured ~3× slower).
+    Output shape matches ``jaccard_verify(..., threshold=1.0)``.
+    """
+    sh = shingle_df if shingle_df is not None else shingle_frame(df, text_col, id_col, shingle_n)
+    fp = sh.select(
+        F.col(id_col),
+        F.md5(F.concat_ws("|", F.array_sort("sh"))).alias("fp"),
+    )
+    pairs = _bucket_pairs(fp, ["fp"], id_col, dedupe=False)
+    # star edges (groups > MAX_BUCKET_PAIRS_SIZE) are lossless here:
+    # set equality is transitive, so rep→member edges span the group
+    return pairs.select("id_a", "id_b", F.lit(1.0).alias("jaccard"))
+
+
+def jaccard_duplicates(
+    df: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """n-gram Jaccard near-dup pairs at ``threshold``.
+
+    θ ≥ 1.0 dispatches to the exact fingerprint fast path; θ < 1.0
+    runs MinHash-LSH candidate generation + exact Jaccard verify.
+    """
+    if threshold >= 1.0:
+        return exact_shingle_duplicates(df, text_col, id_col, shingle_n)
+    sh = shingle_frame(df, text_col, id_col, shingle_n).persist()
+    cands = minhash_lsh_candidates(
+        df, text_col, id_col, num_hashes, bands, shingle_n, shingle_df=sh
+    )
+    return jaccard_verify(
+        cands, df, text_col, id_col, shingle_n, threshold, shingle_df=sh
+    )
+
+
 # ---- SimHash -----------------------------------------------------------------
+
+def simhash_batch(texts) -> "pd.Series":
+    """Batch simhash: one numpy pass over ALL tokens of the batch.
+
+    Column-wise FNV-1a — every token advances one byte per step, so
+    the per-token sequential recurrence is preserved exactly (bit-for-
+    bit equal to :func:`hash_token`, pinned by pytest) while the work
+    is vectorized across the batch's whole token set.  Bit votes are
+    summed per document with one ``np.add.reduceat``.  Measured ≥5×
+    over the per-token Python loop it replaced (BENCH/PLANS.md).
+    """
+    import numpy as np
+
+    token_lists = [(t or "").split() for t in texts]
+    n_docs = len(token_lists)
+    counts = np.fromiter((len(tl) for tl in token_lists), dtype=np.int64, count=n_docs)
+    total = int(counts.sum())
+    if total == 0:
+        return pd.Series(np.zeros(n_docs, dtype=np.int64))
+
+    # one utf-8 encode for the whole batch: join tokens with ' ' and
+    # recover boundaries from the 0x20 positions — a space byte can't
+    # occur inside a token (str.split consumed them) nor inside a
+    # multi-byte utf-8 sequence (continuation bytes are ≥ 0x80)
+    blob = " ".join(" ".join(tl) for tl in token_lists if tl).encode("utf-8")
+    flat = np.frombuffer(blob, dtype=np.uint8)
+    seps = np.flatnonzero(flat == 0x20)
+    starts = np.concatenate(([0], seps + 1))
+    lens = np.concatenate((seps, [flat.size])) - starts
+
+    # column-wise FNV over length-sorted tokens: the still-alive set at
+    # byte j is then a contiguous suffix (slice views instead of mask
+    # gathers — ~5× faster on this memory-bandwidth-bound box)
+    order = np.argsort(lens, kind="stable")
+    lens_s = lens[order]
+    starts_s = starts[order]
+    hs = np.full(total, 0xCBF29CE484222325, dtype=np.uint64)
+    prime = np.uint64(0x100000001B3)
+    for j in range(int(lens_s[-1]) if total else 0):
+        k = int(np.searchsorted(lens_s, j + 1))
+        hs[k:] = (hs[k:] ^ flat[starts_s[k:] + j]) * prime
+    h = np.empty_like(hs)
+    h[order] = hs
+
+    # bit matrix via unpackbits (uint64 shift-broadcasting is ~400×
+    # slower in numpy — measured); vote = 2·popcount − n_tokens
+    bits = np.unpackbits(h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+    nonempty = counts > 0
+    offsets = np.concatenate(([0], np.cumsum(counts[:-1])))[nonempty]
+    bitsums = np.add.reduceat(bits, offsets, axis=0, dtype=np.int32)
+    votes = 2 * bitsums - counts[nonempty, None]
+    sigbits = (votes > 0).astype(np.uint8)
+    sigs = np.packbits(sigbits, axis=1, bitorder="little").view(np.uint64).ravel()
+    out = np.zeros(n_docs, dtype=np.uint64)
+    out[nonempty] = sigs
+    return pd.Series(out.view(np.int64))
+
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit simhash per document.
 
-    Token hashing + bit-vote accumulation is done with numpy inside an
-    Arrow-batched pandas UDF (64-wide bit expressions would bloat
-    codegen); banding/bucketing stays JVM-side.
+    Token hashing + bit-vote accumulation run batch-vectorized in
+    numpy inside an Arrow-batched pandas UDF (64-wide bit expressions
+    would bloat codegen); banding/bucketing stays JVM-side.
     """
-    import numpy as np
 
     @F.pandas_udf(LongType())
     def _simhash(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            toks = (t or "").split()
-            if not toks:
-                out.append(0)
-                continue
-            hs = np.array(
-                [hash_token(tok) for tok in toks], dtype=np.uint64
-            )
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
-            votes = (2 * bits - 1).sum(axis=0)
-            sig = np.uint64(0)
-            for i in range(64):
-                if votes[i] > 0:
-                    sig |= np.uint64(1) << np.uint64(i)
-            out.append(int(sig.astype(np.int64)))
-        return pd.Series(out, dtype="int64")
+        return simhash_batch(texts)
 
     return df.withColumn("simhash", _simhash(F.col(text_col)))
 
@@ -206,19 +426,8 @@ def simhash_candidates(df_with_sig: DataFrame, id_col: str = "doc_id", max_hammi
             ) for b in range(4)
         ])).alias("bl"),
     ).select(id_col, "simhash", "bl.block", "bl.val")
-    l, r = blocks.alias("l"), blocks.alias("r")
-    pairs = (
-        l.join(
-            r,
-            (F.col("l.block") == F.col("r.block"))
-            & (F.col("l.val") == F.col("r.val"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-            F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))).alias("hamming"),
-        )
-        .distinct()
-    )
-    return pairs.filter(F.col("hamming") <= max_hamming)
+    pairs = _bucket_pairs(blocks, ["block", "val"], id_col, carry_cols=["simhash"])
+    return pairs.select(
+        "id_a", "id_b",
+        F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)

@@ -119,7 +119,12 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via LSH bucket self-join —
-    exact cosine computed only inside buckets (never O(n²))."""
+    exact cosine computed only inside buckets (never O(n²)); buckets
+    above dedup.MAX_BUCKET_PAIRS_SIZE emit representative→member star
+    edges instead of all pairs (mass-duplicated embeddings would
+    otherwise make one bucket quadratic — see operators/dedup.py)."""
+    from .dedup import _bucket_pairs
+
     first = df.select(F.col(vec_col)).first()
     if first is None:
         return df.sparkSession.createDataFrame([], "id_a long, id_b long, cosine double")
@@ -129,14 +134,11 @@ def embedding_near_duplicates(
     b = df.select(F.col(id_col), vec.alias("v")).withColumn(
         "bucket", lsh_bucket_col(F.col("v"), planes)
     )
-    l, r = b.alias("l"), b.alias("r")
-    pairs = l.join(
-        r,
-        (F.col("l.bucket") == F.col("r.bucket"))
-        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    b = b.persist()  # the join shape re-reads the bucketed frame per branch
+    pairs = _bucket_pairs(
+        b, ["bucket"], id_col, carry_cols=["v"], dedupe=False, heavy_carry=True
     ).select(
-        F.col(f"l.{id_col}").alias("id_a"),
-        F.col(f"r.{id_col}").alias("id_b"),
-        F.round(cosine_col(F.col("l.v"), F.col("r.v")), 6).alias("cosine"),
+        "id_a", "id_b",
+        F.round(cosine_col(F.col("v_a"), F.col("v_b")), 6).alias("cosine"),
     )
     return pairs.filter(F.col("cosine") >= threshold)

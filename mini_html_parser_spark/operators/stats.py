@@ -32,9 +32,12 @@ def span_rows(extracted: DataFrame, tokenizer: str = "bytes") -> DataFrame:
     ``text_length = char_end_idx - char_start_idx`` with null end
     backfilled from start (B13, compute_aggregate_stats.py:52-54);
     ``self_closing = (end == start)``; span text sliced from the doc
-    text (B15) and token length from the pluggable tokenizer (B16 —
-    GPT-2 offline-unavailable; default proxy = byte length, alt =
-    whitespace token count).
+    text (B15) and token length from the pluggable tokenizer (B16).
+    Tokenizers: ``"bpe"`` = the engine's self-contained subword BPE
+    (operators/bpe.py — the reference's GPT-2 tokenizer is
+    offline-unavailable, this is the closest public-knowledge stand-
+    in); ``"bytes"`` (utf-8 length) and ``"whitespace"`` (split count)
+    remain as cheap proxies.
     """
     # Span-text slicing happens in an Arrow-batched Python stage, not
     # in JVM expressions: two prior shapes were measured and rejected —
@@ -45,7 +48,7 @@ def span_rows(extracted: DataFrame, tokenizer: str = "bytes") -> DataFrame:
     # seeks the char offset by scanning, O(text_len) per span →
     # O(spans × text_len) per giant doc.  CPython slicing is O(slice)
     # with O(1) indexing, so one pass over each doc's spans is linear.
-    if tokenizer not in ("bytes", "whitespace"):
+    if tokenizer not in ("bytes", "whitespace", "bpe"):
         raise ValueError(f"unknown tokenizer {tokenizer!r}")
 
     from typing import Iterator
@@ -66,7 +69,14 @@ def span_rows(extracted: DataFrame, tokenizer: str = "bytes") -> DataFrame:
         StructField("token_length", DoubleType()),
     ])
 
-    by_bytes = tokenizer == "bytes"
+    if tokenizer == "bytes":
+        def count_tokens(piece: str) -> int:
+            return len(piece.encode("utf-8"))
+    elif tokenizer == "whitespace":
+        def count_tokens(piece: str) -> int:
+            return len(piece.split())
+    else:
+        from .bpe import count_tokens
 
     def slice_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -84,10 +94,7 @@ def span_rows(extracted: DataFrame, tokenizer: str = "bytes") -> DataFrame:
                     out["char_end_idx"].append(end)
                     out["text_length"].append(float(end - start))
                     out["self_closing"].append(int(end == start))
-                    if by_bytes:
-                        out["token_length"].append(float(len(piece.encode("utf-8"))))
-                    else:
-                        out["token_length"].append(float(len(piece.split())))
+                    out["token_length"].append(float(count_tokens(piece)))
             yield pd.DataFrame(out)
 
     return extracted.select("doc_id", "text", "spans").mapInPandas(
@@ -117,6 +124,20 @@ def span_stats(extracted: DataFrame, tokenizer: str = "bytes") -> DataFrame:
     return agg.withColumn(
         "self_closing", (F.col("self_closing_sum") / F.col("count_per_doc")).cast("double")
     ).drop("self_closing_sum")
+
+
+# the reference's per-webpage stats CSV layout: headerless, 14
+# columns in this exact order (compute_aggregate_stats.py:73-104
+# writes them; create_stats.py:35-51 names them on read-back)
+STATS_PER_DOC_COLUMNS = ["tag", *_STAT_COLS, "doc_id"]
+
+
+def stats_per_doc_table(extracted: DataFrame, tokenizer: str = "bpe") -> DataFrame:
+    """``span_stats`` projected into the reference's
+    ``stats_per_webpage`` column order — the frame whose gzip-CSV
+    dump is the reference stats job's per-file deliverable
+    (B25's data product; the barh report layer reads this file)."""
+    return span_stats(extracted, tokenizer).select(*STATS_PER_DOC_COLUMNS)
 
 
 def tag_stats(per_doc: DataFrame) -> DataFrame:

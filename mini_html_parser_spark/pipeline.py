@@ -106,7 +106,7 @@ def with_salt_bucket(
 
 def repartition_for_extraction(
     df: DataFrame, parallelism: int, buckets_per_core: int = 2,
-    doc_id_col: str = "doc_id",
+    doc_id_col: str = "doc_id", n_buckets: int | None = None,
 ) -> DataFrame:
     """Salted repartition ahead of the extraction UDF (reference B6).
 
@@ -128,7 +128,7 @@ def repartition_for_extraction(
     overhead, so thousands of near-empty partitions would dominate
     wall-clock (measured).
     """
-    n_buckets = parallelism * buckets_per_core
+    n_buckets = n_buckets or parallelism * buckets_per_core
     salted = with_salt_bucket(df, n_buckets, doc_id_col)
     # Physical placement: ROUND-ROBIN over 2×parallelism partitions —
     # measured fastest of four strategies on the skewed corpus at
@@ -161,18 +161,53 @@ def run_extraction_job(
     output_path: str,
     config: str = "boilerplate_strip",
     parallelism: int | None = None,
+    buckets_per_core: int = 2,
 ) -> dict:
     """End-to-end corpus parse (reference §3.2) with icelite commit +
     resume: read → salt/repartition → extract UDF → write committed
     snapshot with per-bucket lineage; already-committed buckets are
-    skipped (reference B8's skip-if-done, done relationally)."""
+    skipped (reference B8's skip-if-done, done relationally).
+
+    Resume stability: the bucket id is a pure function of
+    ``(doc_id, n_buckets)``, so the FIRST commit's layout is recorded
+    in the manifest and reused verbatim on resume — a resume on a
+    different cluster size keeps the committed bucket ids meaningful.
+    An explicitly requested layout that conflicts with the recorded
+    one raises instead of silently re-bucketing.
+    """
     from .operators.extract import extract_documents
     from .plans.icelite import IceliteTable
 
-    parallelism = parallelism or spark.sparkContext.defaultParallelism
     table = IceliteTable(output_path)
+    recorded = table.partitioning()
+    if recorded is not None:
+        if (recorded.get("giant_bucket_space"), recorded.get("giant_doc_chars")) != (
+            GIANT_BUCKET_SPACE, GIANT_DOC_CHARS
+        ):
+            raise ValueError(
+                f"resume layout mismatch: table {output_path} was committed with "
+                f"giant-doc tier {recorded}, but this build uses "
+                f"{GIANT_BUCKET_SPACE}/{GIANT_DOC_CHARS}"
+            )
+        n_buckets = int(recorded["n_buckets"])
+        if parallelism is not None and parallelism * buckets_per_core != n_buckets:
+            raise ValueError(
+                f"resume layout mismatch: table {output_path} was committed with "
+                f"n_buckets={n_buckets}; requested parallelism={parallelism} × "
+                f"buckets_per_core={buckets_per_core} = {parallelism * buckets_per_core}. "
+                "Omit `parallelism` to reuse the recorded layout."
+            )
+        parallelism = parallelism or max(1, n_buckets // buckets_per_core)
+    else:
+        parallelism = parallelism or spark.sparkContext.defaultParallelism
+        n_buckets = parallelism * buckets_per_core
+    layout = {
+        "n_buckets": n_buckets,
+        "giant_bucket_space": GIANT_BUCKET_SPACE,
+        "giant_doc_chars": GIANT_DOC_CHARS,
+    }
 
-    salted = repartition_for_extraction(documents, parallelism)
+    salted = repartition_for_extraction(documents, parallelism, n_buckets=n_buckets)
     pending = table.filter_pending(salted)  # prune committed buckets
     extracted = extract_documents(pending, config, passthrough_cols=["bucket"])
     observed, obs = observed_extraction(extracted)
@@ -180,6 +215,7 @@ def run_extraction_job(
         observed,
         partition_col="bucket",
         metrics_provider=lambda: {k: int(v) for k, v in obs.get.items()},
+        partitioning=layout,
     )
     metrics = snapshot["metrics"] if snapshot is not None else {}
     return {"snapshot": snapshot, "metrics": metrics}

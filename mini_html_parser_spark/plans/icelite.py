@@ -53,6 +53,22 @@ class IceliteTable:
             buckets.update(int(b) for b in s["bucket_rows"].keys())
         return buckets
 
+    def partitioning(self) -> dict | None:
+        """The bucket-layout the table was first committed with.
+
+        Resume correctness requires stable bucket ids: the salt is
+        ``pmod(xxhash64(doc_id), n_buckets)``, so replaying with a
+        different ``n_buckets`` (e.g. a different cluster size)
+        would remap ids against the committed set — silently skipping
+        or re-extracting documents.  The first snapshot records the
+        layout; resumes must reuse it (run_extraction_job errors on
+        mismatch)."""
+        for s in self.snapshots():
+            p = s.get("partitioning")
+            if p:
+                return p
+        return None
+
     # ---- read / resume -----------------------------------------------------
     def read(self, spark) -> DataFrame:
         dirs = [s["data_dir"] for s in self.snapshots()]
@@ -85,9 +101,11 @@ class IceliteTable:
         partition_col: str = "bucket",
         metrics: dict | None = None,
         metrics_provider=None,
+        partitioning: dict | None = None,
     ) -> dict | None:
         """Write ``df`` partitioned by ``partition_col`` and commit a
-        snapshot manifest recording per-bucket lineage row counts."""
+        snapshot manifest recording per-bucket lineage row counts (and
+        the bucket layout, see :meth:`partitioning`)."""
         parent = self.current_snapshot()
         snap_n = (parent["sequence"] + 1) if parent else 0
         data_dir = os.path.join(self.path, "data", f"snap-{snap_n}")
@@ -128,6 +146,7 @@ class IceliteTable:
             "bucket_rows": bucket_rows,
             "total_rows": int(sum(bucket_rows.values())),
             "metrics": metrics or {},
+            "partitioning": partitioning or (parent or {}).get("partitioning"),
         }
         os.makedirs(self.manifest_dir, exist_ok=True)
         tmp = os.path.join(self.manifest_dir, f".snap-{snap_n}.json.tmp")

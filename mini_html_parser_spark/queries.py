@@ -561,16 +561,14 @@ FROM corpus GROUP BY md5(text) HAVING count(*) > 1
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    """MinHash-LSH candidates + exact n-gram Jaccard verify at
-    threshold 1.0 (identical shingle sets).  Identical sets have
-    identical minhash signatures, so LSH recall is exact at this
-    threshold and the oracle is an O(n) shingle-set-fingerprint join
-    (the 0.8-threshold near-dup behavior is pinned by pytest instead —
-    its oracle would be an O(n²) pairwise scan)."""
+    """n-gram Jaccard duplicates at threshold 1.0 — dispatches to the
+    exact shingle-set-fingerprint fast path (Jaccard 1.0 ⇔ identical
+    shingle sets), which is the oracle's own O(n) shape.  The MinHash
+    θ<1 path is exercised by dedup_minhash_candidates (driver oracle)
+    and the 0.8-threshold pytest (its oracle would be an O(n²)
+    pairwise scan)."""
     corpus = _dup_corpus(spark, sf_dir)
-    sh = dedup.shingle_frame(corpus).persist()
-    cands = dedup.minhash_lsh_candidates(corpus, num_hashes=32, bands=8, shingle_df=sh)
-    return dedup.jaccard_verify(cands, corpus, threshold=1.0, shingle_df=sh).select(
+    return dedup.jaccard_duplicates(corpus, threshold=1.0).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )
 
@@ -792,6 +790,28 @@ FROM documents
 """
 
 
+def q_token_counts_bpe(spark, sf_dir):
+    """Self-contained BPE subword token counts (reference B16 — the
+    reference uses GPT-2 via transformers, offline-unavailable; this
+    is the engine's embedded-vocab BPE).  Pure JVM expressions; the
+    oracle replicates the identical merge passes in DuckDB."""
+    from .operators import bpe
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", bpe.bpe_token_count_col(F.col("text")).alias("bpe_tokens")
+    )
+
+
+def _oracle_token_counts_bpe() -> str:
+    from .operators import bpe
+
+    return (
+        "SELECT doc_id, "
+        + bpe.oracle_sql_expr("text")
+        + " AS bpe_tokens FROM documents"
+    )
+
+
 def q_fingerprint(spark, sf_dir):
     out = text_analysis.fingerprint(_docs(spark, sf_dir))
     return out.select("doc_id", "fingerprint")
@@ -947,6 +967,7 @@ QUERIES = {
     "lang_id_heuristic": q_lang_id,
     "quality_scores": q_quality_scores,
     "token_counts": q_token_counts,
+    "token_counts_bpe": q_token_counts_bpe,
     "fingerprint": q_fingerprint,
     "multimodal_features": q_multimodal_features,
     # events / joins
@@ -981,6 +1002,7 @@ ORACLES = {
     "lang_id_heuristic": ORACLE_LANG_ID,
     "quality_scores": ORACLE_QUALITY,
     "token_counts": ORACLE_TOKEN_COUNTS,
+    "token_counts_bpe": _oracle_token_counts_bpe(),
     "fingerprint": ORACLE_FINGERPRINT,
     "multimodal_features": ORACLE_MULTIMODAL,
     "events_window_agg": ORACLE_EVENTS_WINDOW,

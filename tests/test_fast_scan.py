@@ -50,6 +50,21 @@ def test_pinned_edge_cases_equivalent():
         "<!-- comment --><p>a</p><!-- unterminated",
         "<!DOCTYPE html><?php echo '>'; ?><p>x</p>",
         "<p>a<p>b<p>c",
+        # round-1 advice reproducers (raw-text close search + end tags)
+        "<script>a</SCRIPT>b</script>c",
+        "<script>a</ script>b",
+        "<script>a</scripty>b</script>c",
+        "<script>a</script x>b</script>c",
+        "<style>a</STYLE >b",
+        "<div>a</ div>b",
+        "<div>a</ div x>b</div>c",
+        "<p>a</1>b",
+        "<p>a</-x>b",
+        "<p>a</ >b",
+        "<p>a<!bogus decl>b",
+        "<![CDATA[ x > y ]]><p>q</p>",
+        "<![if !IE]>x<![endif]>",
+        "<p>tail</p", "</p", "<p>a<!unterminated",
         "<ul><li>a<li>b</ul>",
         "<table><tr><td>a<td>b<tr><td>c</table>",
         "< notatag <p>x</p>",
@@ -70,6 +85,12 @@ _tokens = st.sampled_from([
     "<", ">", '"', "'", "</>", "<!-- c -->", "<b", "=x>", "<p a=1 b='2'>",
     "<table>", "<tr>", "<td>", "</td>", "</table>", "<li>", "&#65;",
     "\n", "<script>", "</script>", "x<y", "a&b", "<EM>", "</em>",
+    # end-tag / raw-text shapes from the round-1 advice: mixed-case,
+    # whitespace, name-prefix and bogus close tags, bogus declarations
+    "</SCRIPT>", "</ script>", "</scripty>", "</script x>", "</SCRIPT >",
+    "</ div>", "</ div x>", "</div x>", "</DIV>", "</1>", "</-x>", "</ >",
+    "</p", "<!doctype html>", "<!x y>", "<?pi >", "<style>", "</style>",
+    "</STYLE>", "</stylex>",
 ])
 
 

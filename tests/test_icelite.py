@@ -62,6 +62,43 @@ def test_empty_commit_is_noop(spark, tmp_path):
     assert len(t.snapshots()) == before
 
 
+def test_resume_reuses_recorded_bucket_layout(spark, tmp_path):
+    """Bucket ids are pmod(xxhash64(doc_id), n_buckets) — a resume
+    with a different parallelism must reuse the RECORDED n_buckets or
+    it remaps ids against the committed set (silently skipping or
+    re-extracting documents).  The manifest records the layout; a
+    conflicting explicit request errors (round-1 advice)."""
+    import pytest
+
+    from mini_html_parser_spark.datagen import generate_documents
+    from mini_html_parser_spark.pipeline import run_extraction_job
+
+    out = str(tmp_path / "tbl5")
+    docs = generate_documents(spark, 25)
+
+    r1 = run_extraction_job(spark, docs, out, parallelism=2)
+    t = IceliteTable(out)
+    layout = t.partitioning()
+    assert layout is not None and layout["n_buckets"] == 4
+    n_first = t.read(spark).count()
+    assert r1["metrics"]["docs_parsed"] == 25
+
+    # resume with NO explicit parallelism on a "bigger cluster"
+    # (defaultParallelism here != 2): everything is already committed,
+    # so the job must find zero pending rows — if the layout were
+    # recomputed from the current parallelism, doc ids would remap to
+    # uncommitted bucket ids and re-extract as duplicates
+    r2 = run_extraction_job(spark, docs, out)
+    assert r2["snapshot"] is None
+    back = t.read(spark)
+    assert back.count() == n_first
+    assert back.select("doc_id").distinct().count() == 25
+
+    # an explicitly conflicting layout must error, not silently remap
+    with pytest.raises(ValueError, match="resume layout mismatch"):
+        run_extraction_job(spark, docs, out, parallelism=8)
+
+
 def test_manifest_is_commit_point(spark, tmp_path):
     t = IceliteTable(str(tmp_path / "tbl4"))
     t.commit_append(_df(spark, 0, 20))

@@ -49,6 +49,41 @@ def test_simhash_near_dup(spark):
     assert got.get((1, 2)) == 0
 
 
+def test_mass_duplicate_bucket_stays_linear(spark):
+    """10k identical docs: all-pairs inside the shared bucket would be
+    ~5·10⁷ candidate pairs; the star-edge path (buckets above
+    MAX_BUCKET_PAIRS_SIZE emit representative→member edges) emits
+    exactly n−1 edges and completes in seconds."""
+    import time
+
+    n = 10_000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit(
+            "mass duplicated boilerplate page body with enough tokens "
+            "to shingle into several distinct trigrams"
+        ).alias("text"),
+    )
+    t0 = time.time()
+    assert dedup.minhash_lsh_candidates(df).count() == n - 1
+    assert dedup.exact_shingle_duplicates(df).count() == n - 1
+    sig_pairs = dedup.simhash_candidates(dedup.simhash(df))
+    assert sig_pairs.count() == n - 1
+    assert time.time() - t0 < 120
+
+
+def test_small_buckets_still_emit_all_pairs(spark):
+    """Below the cap the exact LSH construction is unchanged: a
+    4-member duplicate group yields all 6 pairs."""
+    rows = [(i, "identical duplicate group text repeated across members often") for i in range(4)]
+    rows += [(10 + i, f"unique{i} filler document about topic number {i} entirely") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]) for r in dedup.minhash_lsh_candidates(df).collect()}
+    assert {(a, b) for a in range(4) for b in range(4) if a < b} <= got
+    exact = {(r["id_a"], r["id_b"]) for r in dedup.exact_shingle_duplicates(df).collect()}
+    assert exact == {(a, b) for a in range(4) for b in range(4) if a < b}
+
+
 def test_lsh_topk_finds_planted_neighbors(spark):
     """Positive scaling preserves every hyperplane sign, so scaled
     copies of the query land in its bucket deterministically — LSH
@@ -68,6 +103,32 @@ def test_lsh_topk_finds_planted_neighbors(spark):
     ann = similarity.lsh_topk(corpus, q, k=3, n_planes=8, probe_hamming=0).collect()
     assert [r["vec_id"] for r in ann] == [7, 9001, 9002]
     assert all(r["cosine"] == 1.0 for r in ann)
+
+
+def test_bpe_tokenizer_parity(spark):
+    """The JVM-expression BPE (bpe_token_count_col) must agree with
+    the pure-Python reference implementation; the DuckDB oracle side
+    is covered by the token_counts_bpe driver query."""
+    from mini_html_parser_spark.operators import bpe
+
+    texts = [
+        "the quick brown fox", "This, THAT and the other thing!",
+        "llll lll ll l", "", "   ", "a", "&*^% #@!",
+        "internationalization 1234 (approx)", "thethethe",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    got = {
+        r["id"]: r["n"]
+        for r in df.select("id", bpe.bpe_token_count_col(F.col("text")).alias("n")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == bpe.count_tokens(t), (t, got[i], bpe.encode(t))
+    # pinned tokenizations (merge-table sanity)
+    assert bpe.encode("the") == ["the"]
+    assert bpe.encode("this that") == ["this", "that"]
+    assert bpe.encode("ing") == ["ing"]
 
 
 def test_sample_exact_n_deterministic(spark):

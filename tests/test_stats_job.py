@@ -1,0 +1,71 @@
+"""End-to-end stats job golden: extracted → span_stats →
+stats_per_doc_table → gzip CSV, pinned to the reference's 14-column
+stats_per_webpage layout (compute_aggregate_stats.py:73-104,
+create_stats.py:35-51) — the reference pipeline's final data product
+before its matplotlib report layer."""
+
+import glob
+import math
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StringType, StructField, StructType
+
+from mini_html_parser_spark.datagen import generate_documents
+from mini_html_parser_spark.operators.extract import extract_documents
+from mini_html_parser_spark.operators.stats import (
+    STATS_PER_DOC_COLUMNS, stats_per_doc_table, tag_stats,
+)
+from mini_html_parser_spark.sources.readers import read_csv, write_csv_gz
+
+REFERENCE_LAYOUT = [
+    "tag",
+    "count_per_doc",
+    "text_length_mean", "text_length_median", "text_length_std",
+    "text_length_max", "text_length_min",
+    "self_closing",
+    "token_length_mean", "token_length_median", "token_length_std",
+    "token_length_max", "token_length_min",
+    "doc_id",
+]
+
+
+def test_stats_per_doc_csv_roundtrip(spark, tmp_path):
+    assert STATS_PER_DOC_COLUMNS == REFERENCE_LAYOUT
+
+    docs = generate_documents(spark, 40)
+    extracted = extract_documents(docs, "boilerplate_strip")
+    per_doc = stats_per_doc_table(extracted, tokenizer="bpe")
+    assert per_doc.columns == REFERENCE_LAYOUT
+
+    out = str(tmp_path / "stats_per_webpage")
+    write_csv_gz(per_doc, out, header=False)
+    assert glob.glob(out + "/*.csv.gz")
+
+    schema = StructType(
+        [StructField("tag", StringType())]
+        + [StructField(c, DoubleType()) for c in REFERENCE_LAYOUT[1:-1]]
+        + [StructField("doc_id", StringType())]
+    )
+    back = read_csv(spark, out, schema=schema, header=False)
+    assert back.columns == REFERENCE_LAYOUT
+
+    want = {
+        (r["doc_id"], r["tag"]): r for r in per_doc.collect()
+    }
+    got = {(r["doc_id"], r["tag"]): r for r in back.collect()}
+    assert set(got) == set(want) and len(got) > 0
+    for key, g in got.items():
+        w = want[key]
+        for c in REFERENCE_LAYOUT[1:-1]:
+            gv, wv = g[c], float(w[c]) if w[c] is not None else None
+            if wv is None or (isinstance(wv, float) and math.isnan(wv)):
+                # std of a single span is NaN/null — csv round-trips it
+                assert gv is None or math.isnan(gv)
+            else:
+                assert gv is not None and abs(gv - wv) < 1e-9, (key, c, gv, wv)
+
+    # phase 2 (create_stats.py:74-78): corpus describe() per tag runs
+    # directly on the same frame — one chained groupBy, no CSV hop
+    described = tag_stats(per_doc)
+    assert {"tag", "stat_col", "count", "mean", "std", "min", "p25", "p50", "p75", "max"} == set(described.columns)
+    assert described.count() > 0
