@@ -101,3 +101,18 @@ _tokens = st.sampled_from([
 @given(st.lists(_tokens, min_size=0, max_size=25))
 def test_randomized_equivalence(parts):
     assert_equivalent("".join(parts))
+
+
+# character soup — no token structure at all.  This is the family that
+# exposed the round-1 start-tag divergences (unterminated quoted attr
+# values, partial-tag-as-text recovery): markup-ish characters in
+# random order hit the tolerant-matcher edge cases that token
+# concatenation can't reach.
+_SOUP_ALPHABET = "<>/!?-=\"' abPsScCrRiIpPtTyYlLeE&;#x1[]\n"
+
+
+@settings(max_examples=500, deadline=None, derandomize=True,
+          suppress_health_check=[hypothesis.HealthCheck.too_slow])
+@given(st.text(alphabet=_SOUP_ALPHABET, min_size=0, max_size=60))
+def test_char_soup_equivalence(soup):
+    assert_equivalent(soup)
