@@ -329,7 +329,59 @@ def jaccard_duplicates(
     )
 
 
-# ---- SimHash -----------------------------------------------------------------
+# ---- duplicate clusters (connected components) -------------------------------
+
+def dedup_clusters(
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Duplicate clusters from candidate-pair ``(id_a, id_b)`` edges:
+    one ``(doc_id, cluster_id)`` row per node that appears in any
+    edge, with ``cluster_id`` = the minimum id reachable from it.
+
+    Iterative min-label propagation, O(graph diameter) rounds with an
+    early-stop convergence check.  Dedup candidate graphs have tiny
+    diameters by construction — `_bucket_pairs` emits cliques (small
+    buckets) and stars (big buckets), so 2-3 rounds in practice;
+    ``max_iter`` bounds pathological chains.  Each round is one
+    shuffle (groupBy min over the undirected edge list); labels are
+    ``localCheckpoint``-ed to truncate the growing lineage — the
+    standard Spark shape for this (the large-star/small-star
+    alternation of Kiveris et al. is the published alternative when
+    diameters are large; not needed for dedup graphs).
+    """
+    sym = edges.selectExpr("id_a AS src", "id_b AS dst").unionByName(
+        edges.selectExpr("id_b AS src", "id_a AS dst")
+    )
+    labels = (
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("min_dst"))
+        .select(F.col("src").alias("node"), F.least("src", "min_dst").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # candidate label for each node: min over neighbors' labels
+        prop = (
+            sym.join(labels, sym.src == labels.node)
+            .groupBy("dst")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        merged = (
+            labels.join(prop, labels.node == prop.dst, "left")
+            .select(
+                "node",
+                "label",
+                F.least("label", F.coalesce("nbr_label", "label")).alias("new_label"),
+            )
+        ).localCheckpoint()
+        changed = merged.filter(F.col("new_label") < F.col("label")).count()
+        labels = merged.select("node", F.col("new_label").alias("label"))
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias(id_col), F.col("label").alias("cluster_id")
+    )
 
 def simhash_batch(texts) -> "pd.Series":
     """Batch simhash: one numpy pass over ALL tokens of the batch.

@@ -104,6 +104,19 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_ratio(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Intra-document repetition: fraction of word n-grams that are
+    duplicates of an earlier n-gram (0 = no repetition).  The standard
+    crawl-quality signal for boilerplate / spam / degenerate generation
+    (cf. the dedup filters in public C4/CCNet/Gopher pipelines).  Pure
+    built-in expressions — codegen, no shuffle."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    ratio = F.lit(1.0) - F.size(F.array_distinct(grams)) / F.size(grams)
+    return df.withColumn("repetition_ratio", F.round(ratio, 6).cast("double"))
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Normalized content fingerprint: lowercase, strip non-alnum,
     md5 — stable across whitespace/punctuation jitter."""

@@ -652,6 +652,25 @@ FROM documents WHERE doc_id % 10 = 0
 """
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Connected-component duplicate clusters over the planted corpus:
+    exact-duplicate candidate edges form one 2-node cluster per
+    planted copy (no organic identical-shingle-set pairs exist in this
+    data — pinned by dedup_ngram_jaccard), so the expected
+    (doc_id, cluster_id) table is closed-form."""
+    corpus = _dup_corpus(spark, sf_dir)
+    edges = dedup.exact_shingle_duplicates(corpus).select("id_a", "id_b")
+    return dedup.dedup_clusters(edges)
+
+
+ORACLE_DEDUP_CLUSTERS = """
+SELECT doc_id, doc_id AS cluster_id FROM documents WHERE doc_id % 10 = 0
+UNION ALL
+SELECT doc_id + 1000000 AS doc_id, doc_id AS cluster_id
+FROM documents WHERE doc_id % 10 = 0
+"""
+
+
 def q_similarity_bruteforce(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
@@ -787,6 +806,28 @@ SELECT doc_id,
        CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
        CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS bpe_ish_tokens
 FROM documents
+"""
+
+
+def q_repetition_ratio(spark, sf_dir):
+    """Intra-document repetition ratio (duplicate word-trigram
+    fraction) — crawl-quality signal, pure codegen expressions."""
+    out = text_analysis.repetition_ratio(_docs(spark, sf_dir))
+    return out.select("doc_id", "repetition_ratio")
+
+
+ORACLE_REPETITION = r"""
+WITH g AS (
+  SELECT doc_id,
+         list_transform(
+           range(0, greatest(len(string_split_regex(trim(text), '\s+')) - 3, 0) + 1),
+           i -> array_to_string(list_slice(string_split_regex(trim(text), '\s+'), i + 1, i + 3), ' ')
+         ) AS grams
+  FROM documents
+)
+SELECT doc_id,
+       CAST(round(1.0 - len(list_distinct(grams)) / len(grams), 6) AS DOUBLE) AS repetition_ratio
+FROM g
 """
 
 
@@ -961,6 +1002,7 @@ QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_candidates": q_dedup_minhash_candidates,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_clusters": q_dedup_clusters,
     "similarity_bruteforce_topk": q_similarity_bruteforce,
     "similarity_lsh_topk": q_similarity_lsh,
     "embedding_near_dups": q_embedding_near_dups,
@@ -968,6 +1010,7 @@ QUERIES = {
     "quality_scores": q_quality_scores,
     "token_counts": q_token_counts,
     "token_counts_bpe": q_token_counts_bpe,
+    "repetition_ratio": q_repetition_ratio,
     "fingerprint": q_fingerprint,
     "multimodal_features": q_multimodal_features,
     # events / joins
@@ -1012,5 +1055,7 @@ ORACLES = {
     "embedding_near_dups": ORACLE_EMBEDDING_NEAR_DUPS,
     "dedup_minhash_candidates": ORACLE_MINHASH_CANDIDATES,
     "dedup_simhash": ORACLE_SIMHASH,
+    "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "similarity_lsh_topk": ORACLE_SIMILARITY_LSH,
+    "repetition_ratio": ORACLE_REPETITION,
 }

@@ -105,6 +105,20 @@ def test_lsh_topk_finds_planted_neighbors(spark):
     assert all(r["cosine"] == 1.0 for r in ann)
 
 
+def test_dedup_clusters_connected_components(spark):
+    """Min-label propagation over candidate edges: a 4-node chain, a
+    2-node pair, and a 1000-member star (the shape _bucket_pairs emits
+    for mass duplicates) all collapse to their min-id cluster."""
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11)]
+    edges += [(100, i) for i in range(101, 1100)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup.dedup_clusters(df).collect()}
+    assert {got[i] for i in (1, 2, 3, 4)} == {1}
+    assert got[10] == got[11] == 10
+    assert {got[i] for i in range(100, 1100)} == {100}
+    assert len(got) == 4 + 2 + 1000
+
+
 def test_bpe_tokenizer_parity(spark):
     """The JVM-expression BPE (bpe_token_count_col) must agree with
     the pure-Python reference implementation; the DuckDB oracle side
