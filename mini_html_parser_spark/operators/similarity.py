@@ -111,6 +111,77 @@ def lsh_topk(
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
 
 
+# ---- IVF (inverted-file) ANN -------------------------------------------------
+
+def ivf_index(
+    df: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 7,
+    train_fraction: float | None = None,
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF coarse quantizer: k-means centroids + per-vector list
+    assignment (the FAISS ``IndexIVFFlat`` construction, Spark-native).
+
+    Training runs on a sample (``train_fraction``) — at corpus scale
+    k-means on a 0.1% sample is standard; assignment is one full scan
+    through the fitted model (JVM).  Returns ``(assigned, centroids)``
+    where ``assigned`` adds a ``list_id`` column.  For repeated query
+    serving, write ``assigned`` partitioned by ``list_id`` so a probe
+    reads only its lists' files (partition pruning).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = df.withColumn(
+        "_features", array_to_vector(F.col(vec_col).cast("array<double>"))
+    )
+    train = feat.sample(False, train_fraction, seed) if train_fraction else feat
+    model = KMeans(
+        k=n_centroids, seed=seed, maxIter=20, featuresCol="_features"
+    ).fit(train.select("_features"))
+    assigned = (
+        model.transform(feat)
+        .withColumnRenamed("prediction", "list_id")
+        .drop("_features")
+    )
+    return assigned, [[float(x) for x in c] for c in model.clusterCenters()]
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 7,
+    train_fraction: float | None = None,
+) -> DataFrame:
+    """IVF ANN top-k: exact cosine only inside the ``n_probe`` lists
+    whose centroids are nearest the query (driver-side arithmetic on
+    the tiny centroid table).  Identical vectors always share the
+    query's own list, so planted duplicates are guaranteed recalled —
+    the basis of the driver oracle."""
+    assigned, centers = ivf_index(
+        df, n_centroids, vec_col, id_col, seed, train_fraction
+    )
+    dists = sorted(
+        range(len(centers)),
+        key=lambda i: sum((q - c) ** 2 for q, c in zip(query_vec, centers[i])),
+    )
+    probe = dists[:n_probe]
+    vec = F.col(vec_col).cast("array<double>")
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = assigned.filter(F.col("list_id").isin(probe)).select(
+        F.col(id_col),
+        F.round(cosine_col(vec, q), 6).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     threshold: float = 0.95,

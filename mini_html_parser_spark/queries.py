@@ -720,6 +720,28 @@ ORDER BY cosine DESC, vec_id ASC LIMIT 10
 """
 
 
+def q_similarity_ivf(spark, sf_dir):
+    """IVF ANN top-k with the same planted construction as
+    similarity_lsh_topk: 10 exact copies of the query vector are
+    k-means-assigned to the query's own list, so probing the nearest
+    lists provably returns the brute-force top-10 (n_probe=2 covers
+    float-tie disagreement between the driver-side and MLlib argmin)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    id_type = emb.schema["vec_id"].dataType.simpleString()
+    copies = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(
+            F.explode(F.sequence(F.lit(1_000_000), F.lit(1_000_009))).alias("copy_id"),
+            "embedding",
+        )
+        .select(F.col("copy_id").cast(id_type).alias("vec_id"), "embedding")
+    )
+    return similarity.ivf_topk(
+        emb.unionByName(copies), qvec, k=10, n_centroids=8, n_probe=2
+    )
+
+
 def q_embedding_near_dups(spark, sf_dir):
     """Embedding-cosine near-dup detection with planted duplicate
     vectors (vec_id + 1e6).  Identical vectors share every LSH bucket
@@ -1005,6 +1027,7 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "similarity_bruteforce_topk": q_similarity_bruteforce,
     "similarity_lsh_topk": q_similarity_lsh,
+    "similarity_ivf_topk": q_similarity_ivf,
     "embedding_near_dups": q_embedding_near_dups,
     "lang_id_heuristic": q_lang_id,
     "quality_scores": q_quality_scores,
@@ -1057,5 +1080,6 @@ ORACLES = {
     "dedup_simhash": ORACLE_SIMHASH,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "similarity_lsh_topk": ORACLE_SIMILARITY_LSH,
+    "similarity_ivf_topk": ORACLE_SIMILARITY_LSH,  # same planted construction
     "repetition_ratio": ORACLE_REPETITION,
 }

@@ -145,6 +145,22 @@ def test_bpe_tokenizer_parity(spark):
     assert bpe.encode("ing") == ["ing"]
 
 
+def test_ivf_topk_finds_planted_neighbors(spark):
+    """IVF: scaled copies of the query have cosine 1.0 and must be
+    recalled from the probed lists (identical direction → same list
+    region; n_probe=3 of 8 covers quantization edges)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
+    planted = spark.createDataFrame(
+        [(9001, q), (9002, [float(x) for x in q])],
+        "vec_id long, embedding array<float>",
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(planted)
+    ann = similarity.ivf_topk(corpus, q, k=3, n_centroids=8, n_probe=3).collect()
+    assert [r["vec_id"] for r in ann] == [7, 9001, 9002]
+    assert all(r["cosine"] == 1.0 for r in ann)
+
+
 def test_sample_exact_n_deterministic(spark):
     df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
     a = [r["doc_id"] for r in sampling.sample_exact_n(df, 50, seed=1).collect()]
