@@ -57,7 +57,8 @@ _ATTR_RE = re.compile(
 )
 
 _LOCATE_RE = re.compile(r"""
-  <[a-zA-Z][^\t\n\r\f />\x00]*       # tag name
+  <([a-zA-Z][^\t\n\r\f />\x00]*)     # tag name (captured — replaces a
+                                     # separate tagfind_tolerant match)
   (?:[\s/]*                          # optional whitespace before attribute name
     (?:(?<=['"\s/])[^\s/>][^\s/=>]*  # attribute name
       (?:\s*=+\s*                    # value indicator
@@ -157,9 +158,17 @@ def scan(html: str, sink) -> None:
             else:
                 endpos = j
 
-            tm = _TAGFIND_RE.match(html, lt + 1)
-            k = tm.end()
-            tag = tm.group(1).lower()
+            name = m.group(1)
+            tag = name.lower()
+            # advance past the name's trailing (?:\s|/(?!>))* — what
+            # tagfind_tolerant consumes before the attr loop starts
+            k = lt + 1 + len(name)
+            while k < endpos:
+                ch = html[k]
+                if ch in " \t\n\r\f" or (ch == "/" and not html.startswith("/>", k)):
+                    k += 1
+                else:
+                    break
             attrs = []
             while k < endpos:
                 am = _ATTR_RE.match(html, k)
