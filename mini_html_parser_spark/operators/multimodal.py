@@ -59,6 +59,84 @@ def _decode_stub(payload: bytes) -> dict:
     }
 
 
+RESIZED_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("media_ref", StringType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("resized_payload", BinaryType()),
+])
+
+
+def resize_media(media: DataFrame, max_side: int = 256) -> DataFrame:
+    """Resize stage (mapInPandas).  The actual pixel work is STUBBED
+    (no image libs in this container): the fake preserves aspect ratio
+    from the deterministic decoded dims and emits a truncated payload
+    whose length tracks the area ratio — the Spark-side contract
+    (schema, batch shape, binary in/out) is real and tested."""
+    from .multimodal import _decode_stub  # self-import keeps pickling simple
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ws, hs, payloads = [], [], []
+            for p in pdf["payload"]:
+                meta = _decode_stub(p)
+                w, h = meta["width"], meta["height"]
+                scale = min(1.0, max_side / max(w, h))
+                nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+                ws.append(nw)
+                hs.append(nh)
+                n = len(p or b"")
+                keep = max(1, int(n * (nw * nh) / (w * h))) if n else 0
+                payloads.append((p or b"")[:keep])
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "media_ref": pdf["media_ref"],
+                "width": pd.array(ws, dtype="int32"),
+                "height": pd.array(hs, dtype="int32"),
+                "resized_payload": payloads,
+            })
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("media_ref", StringType()),
+    StructField("frame_idx", IntegerType()),
+    StructField("frame_payload", BinaryType()),
+])
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame-sampling stage (mapInPandas): one output row per sampled
+    frame, frames taken at evenly spaced offsets of the payload (the
+    stub analogue of evenly spaced video timestamps).  Emitting
+    multiple rows per input row exercises the 1→N mapInPandas shape a
+    real ffmpeg-backed sampler needs."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "media_ref": [], "frame_idx": [], "frame_payload": []}
+            for doc_id, ref, p in zip(pdf["doc_id"], pdf["media_ref"], pdf["payload"]):
+                b = p or b""
+                k = min(n_frames, max(1, len(b)))
+                step = max(1, len(b) // k) if b else 1
+                for i in range(k):
+                    out["doc_id"].append(int(doc_id))
+                    out["media_ref"].append(ref)
+                    out["frame_idx"].append(i)
+                    out["frame_payload"].append(b[i * step:i * step + 16])
+            yield pd.DataFrame({
+                "doc_id": pd.array(out["doc_id"], dtype="int64"),
+                "media_ref": out["media_ref"],
+                "frame_idx": pd.array(out["frame_idx"], dtype="int32"),
+                "frame_payload": out["frame_payload"],
+            })
+
+    return media.mapInPandas(run, schema=FRAMES_SCHEMA)
+
+
 def extract_media_features(media: DataFrame) -> DataFrame:
     """mapInPandas decode/feature stage over the binary payload."""
 

@@ -903,6 +903,55 @@ FROM m
 """
 
 
+def q_multimodal_resize(spark, sf_dir):
+    """Resize stage over the opaque payloads (decode stubbed, Spark
+    plumbing real) — dims and payload length are deterministic
+    functions of the byte length, so DuckDB replicates them exactly."""
+    media = multimodal.attach_media_payload(_docs(spark, sf_dir))
+    out = multimodal.resize_media(media, max_side=256)
+    return out.select(
+        "doc_id", "width", "height",
+        F.octet_length("resized_payload").cast("long").alias("resized_bytes"),
+    )
+
+
+ORACLE_MULTIMODAL_RESIZE = """
+WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+d AS (SELECT doc_id, n, 64 + (n % 97) * 4 AS w, 64 + (n * 7 % 89) * 4 AS h FROM m),
+s AS (SELECT doc_id, n, w, h, least(1.0, 256.0 / greatest(w, h)) AS sc FROM d),
+r AS (SELECT doc_id, n, w, h,
+        greatest(1, CAST(floor(w * sc) AS INTEGER)) AS nw,
+        greatest(1, CAST(floor(h * sc) AS INTEGER)) AS nh FROM s)
+SELECT doc_id, CAST(nw AS INTEGER) AS width, CAST(nh AS INTEGER) AS height,
+       CAST(CASE WHEN n = 0 THEN 0
+                 ELSE greatest(1, CAST(floor(n * (nw * nh) / (w * h)) AS BIGINT))
+            END AS BIGINT) AS resized_bytes
+FROM r
+"""
+
+
+def q_multimodal_frames(spark, sf_dir):
+    """Frame-sampling stage: 1→N mapInPandas rows, evenly spaced
+    offsets — the stub analogue of video timestamp sampling."""
+    media = multimodal.attach_media_payload(_docs(spark, sf_dir))
+    out = multimodal.sample_frames(media, n_frames=4)
+    return out.select(
+        "doc_id", "frame_idx",
+        F.octet_length("frame_payload").cast("long").alias("frame_bytes"),
+    )
+
+
+ORACLE_MULTIMODAL_FRAMES = """
+WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+k AS (SELECT doc_id, n, least(4, greatest(1, n)) AS kf FROM m),
+f AS (SELECT doc_id, n, kf, greatest(1, n // kf) AS step FROM k),
+e AS (SELECT doc_id, n, step, unnest(range(kf)) AS i FROM f)
+SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+       CAST(least(16, greatest(0, n - i * step)) AS BIGINT) AS frame_bytes
+FROM e
+"""
+
+
 # =========================================================================
 # Events (windowing) and TPC-H-ish joins
 # =========================================================================
@@ -1036,6 +1085,8 @@ QUERIES = {
     "repetition_ratio": q_repetition_ratio,
     "fingerprint": q_fingerprint,
     "multimodal_features": q_multimodal_features,
+    "multimodal_resize": q_multimodal_resize,
+    "multimodal_frames": q_multimodal_frames,
     # events / joins
     "events_window_agg": q_events_window_agg,
     "events_sessionize": q_events_sessionize,
@@ -1071,6 +1122,8 @@ ORACLES = {
     "token_counts_bpe": _oracle_token_counts_bpe(),
     "fingerprint": ORACLE_FINGERPRINT,
     "multimodal_features": ORACLE_MULTIMODAL,
+    "multimodal_resize": ORACLE_MULTIMODAL_RESIZE,
+    "multimodal_frames": ORACLE_MULTIMODAL_FRAMES,
     "events_window_agg": ORACLE_EVENTS_WINDOW,
     "events_sessionize": ORACLE_EVENTS_SESSIONIZE,
     "join_broadcast_revenue": ORACLE_JOIN_REVENUE,
