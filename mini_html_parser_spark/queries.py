@@ -1003,6 +1003,32 @@ FROM marked GROUP BY user_id
 # ^ CAST as in ORACLE_UNION: DuckDB sum(INTEGER) → HUGEINT.
 
 
+def q_events_asof_join(spark, sf_dir):
+    """As-of join: each purchase gains the user's latest prior (or
+    simultaneous) view value.  Union+window implementation vs DuckDB's
+    native ASOF JOIN as the oracle."""
+    from .operators.joins import as_of_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    out = as_of_join(purchases, views, "user_id", "ts", ["value"])
+    return out.select(
+        "event_id", "user_id", "purchase_value",
+        F.col("asof_value").alias("prior_view_value"),
+    )
+
+
+ORACLE_EVENTS_ASOF = """
+WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+v AS (SELECT user_id, ts, value FROM events WHERE event_type = 'view')
+SELECT p.event_id, p.user_id, p.value AS purchase_value, v.value AS prior_view_value
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+
 def q_join_broadcast_revenue(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
@@ -1090,6 +1116,7 @@ QUERIES = {
     # events / joins
     "events_window_agg": q_events_window_agg,
     "events_sessionize": q_events_sessionize,
+    "events_asof_join": q_events_asof_join,
     "join_broadcast_revenue": q_join_broadcast_revenue,
     "anti_join_resume": q_anti_join_resume,
 }
@@ -1126,6 +1153,7 @@ ORACLES = {
     "multimodal_frames": ORACLE_MULTIMODAL_FRAMES,
     "events_window_agg": ORACLE_EVENTS_WINDOW,
     "events_sessionize": ORACLE_EVENTS_SESSIONIZE,
+    "events_asof_join": ORACLE_EVENTS_ASOF,
     "join_broadcast_revenue": ORACLE_JOIN_REVENUE,
     "anti_join_resume": ORACLE_ANTI_JOIN,
     "embedding_near_dups": ORACLE_EMBEDDING_NEAR_DUPS,

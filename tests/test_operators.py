@@ -105,6 +105,31 @@ def test_lsh_topk_finds_planted_neighbors(spark):
     assert all(r["cosine"] == 1.0 for r in ann)
 
 
+def test_as_of_join_semantics(spark):
+    """Backward inclusive as-of: latest right.ts ≤ left.ts per key;
+    equal timestamps match; no prior row → null; keys isolated."""
+    from mini_html_parser_spark.operators.joins import as_of_join
+
+    left = spark.createDataFrame(
+        [(1, "u1", 10.0, "a"), (2, "u1", 20.0, "b"),
+         (3, "u2", 5.0, "c"), (4, "u3", 9.0, "d")],
+        "event_id long, user_id string, ts double, tag string",
+    )
+    right = spark.createDataFrame(
+        [("u1", 10.0, 100.0), ("u1", 15.0, 150.0), ("u1", 25.0, 250.0),
+         ("u2", 7.0, 70.0)],
+        "user_id string, ts double, value double",
+    )
+    got = {
+        r["event_id"]: r["asof_value"]
+        for r in as_of_join(left, right, "user_id", "ts", ["value"]).collect()
+    }
+    assert got == {1: 100.0,   # equal ts is inclusive
+                   2: 150.0,   # latest ≤ 20 is 15
+                   3: None,    # u2's only view is later
+                   4: None}    # u3 has no views at all
+
+
 def test_dedup_clusters_connected_components(spark):
     """Min-label propagation over candidate edges: a 4-node chain, a
     2-node pair, and a 1000-member star (the shape _bucket_pairs emits
