@@ -117,6 +117,35 @@ def repetition_ratio(df: DataFrame, text_col: str = "text", n: int = 3) -> DataF
     return df.withColumn("repetition_ratio", F.round(ratio, 6).cast("double"))
 
 
+# PII patterns — deliberately inside the Java-regex ∩ RE2 common
+# subset (no lookaround/backrefs) so the DuckDB oracle replicates the
+# scrub exactly.  Heuristic recall, like every regex PII pass; a real
+# deployment layers an NER model behind the same column contract.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d().-]{7,}\d\b", "<PHONE>"),
+]
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails / IPv4s / phone-like digit runs and count each
+    kind (the standard pre-training scrub pass).  Pure
+    ``regexp_extract_all`` + chained ``regexp_replace`` — codegen, no
+    Python; applied in PII_PATTERNS order on both the engine and the
+    oracle side."""
+    text = F.col(text_col)
+    out = df
+    redacted = text
+    for name, pat, token in PII_PATTERNS:
+        out = out.withColumn(
+            f"n_{name}",
+            F.size(F.regexp_extract_all(redacted, F.lit(pat), F.lit(0))).cast("long"),
+        )
+        redacted = F.regexp_replace(redacted, pat, token)
+    return out.withColumn("text_redacted", redacted)
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Normalized content fingerprint: lowercase, strip non-alnum,
     md5 — stable across whitespace/punctuation jitter."""

@@ -903,6 +903,51 @@ FROM m
 """
 
 
+def q_scrub_pii(spark, sf_dir):
+    """PII scrub with planted emails/IPs/phones appended to every doc
+    (the organic synthetic text has none), counts + redacted-text md5.
+    The oracle replicates the staged redaction with identical
+    patterns (Java-regex ∩ RE2 common subset)."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com at 10.0.0."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(" tel +1555"), F.lpad(F.col("doc_id").cast("string"), 7, "0"),
+        ).alias("text"),
+    )
+    out = text_analysis.scrub_pii(docs)
+    return out.select(
+        "doc_id", "n_email", "n_ip", "n_phone",
+        F.md5("text_redacted").alias("redacted_md5"),
+    )
+
+
+def _oracle_scrub_pii() -> str:
+    from .operators.text_analysis import PII_PATTERNS
+
+    planted = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com at 10.0.0.' "
+        "|| CAST(doc_id % 256 AS VARCHAR) || ' tel +1555' || lpad(CAST(doc_id AS VARCHAR), 7, '0')"
+    )
+    stages = [f"SELECT doc_id, {planted} AS t0 FROM documents"]
+    counts = []
+    for i, (name, pat, token) in enumerate(PII_PATTERNS):
+        counts.append(
+            f"CAST(len(regexp_extract_all(t{i}, '{pat}')) AS BIGINT) AS n_{name}"
+        )
+        stages.append(
+            f"SELECT *, regexp_replace(t{i}, '{pat}', '{token}', 'g') AS t{i + 1} "
+            f"FROM s{i}"
+        )
+    ctes = ", ".join(f"s{i} AS ({q})" for i, q in enumerate(stages))
+    return (
+        f"WITH {ctes} SELECT doc_id, {', '.join(counts)}, "
+        f"md5(t{len(PII_PATTERNS)}) AS redacted_md5 FROM s{len(stages) - 1}"
+    )
+
+
 def q_multimodal_resize(spark, sf_dir):
     """Resize stage over the opaque payloads (decode stubbed, Spark
     plumbing real) — dims and payload length are deterministic
@@ -1109,6 +1154,7 @@ QUERIES = {
     "token_counts": q_token_counts,
     "token_counts_bpe": q_token_counts_bpe,
     "repetition_ratio": q_repetition_ratio,
+    "scrub_pii": q_scrub_pii,
     "fingerprint": q_fingerprint,
     "multimodal_features": q_multimodal_features,
     "multimodal_resize": q_multimodal_resize,
@@ -1163,4 +1209,5 @@ ORACLES = {
     "similarity_lsh_topk": ORACLE_SIMILARITY_LSH,
     "similarity_ivf_topk": ORACLE_SIMILARITY_LSH,  # same planted construction
     "repetition_ratio": ORACLE_REPETITION,
+    "scrub_pii": _oracle_scrub_pii(),
 }
