@@ -102,15 +102,24 @@ class IceliteTable:
         metrics: dict | None = None,
         metrics_provider=None,
         partitioning: dict | None = None,
+        compact: bool = True,
     ) -> dict | None:
         """Write ``df`` partitioned by ``partition_col`` and commit a
         snapshot manifest recording per-bucket lineage row counts (and
-        the bucket layout, see :meth:`partitioning`)."""
+        the bucket layout, see :meth:`partitioning`).
+
+        ``compact=True`` repartitions on ``partition_col`` first: a
+        partitionBy write from K upstream tasks otherwise emits up to
+        K files PER bucket — the classic small-files problem (64 tasks
+        × 1088 buckets ≈ 70k files per commit at production layout).
+        The extra shuffle happens after the expensive compute and
+        yields exactly one file per non-empty bucket."""
         parent = self.current_snapshot()
         snap_n = (parent["sequence"] + 1) if parent else 0
         data_dir = os.path.join(self.path, "data", f"snap-{snap_n}")
 
-        df.write.partitionBy(partition_col).mode("overwrite").parquet(data_dir)
+        out = df.repartition(partition_col) if compact else df
+        out.write.partitionBy(partition_col).mode("overwrite").parquet(data_dir)
 
         # empty input (e.g. resume with nothing pending) writes no
         # partition dirs — detect via listing, drop the husk, no snapshot
