@@ -29,6 +29,14 @@ def test_commit_read_lineage(spark, tmp_path):
     back = t.read(spark)
     assert back.count() == 100
     assert t.current_snapshot()["metrics"]["docs_parsed"] == 100
+    # compact commit: exactly one data file per non-empty bucket (the
+    # small-files guard — a partitionBy write from K tasks would
+    # otherwise emit up to K files per bucket)
+    import glob
+
+    for b in range(4):
+        files = glob.glob(os.path.join(t.path, "data", "snap-0", f"bucket={b}", "*.parquet"))
+        assert len(files) == 1, (b, files)
 
 
 def test_resume_skips_committed_buckets(spark, tmp_path):
