@@ -94,6 +94,58 @@ class IceliteTable:
             return df
         return df.filter(~F.col(bucket_col).isin(sorted(done)))
 
+    # ---- maintenance ---------------------------------------------------------
+    def compact(self, spark) -> dict | None:
+        """Rewrite all committed snapshots into one (the analogue of
+        Iceberg's ``rewrite_data_files`` + snapshot expiry).
+
+        ``read()`` unions one scan per snapshot — a metadata-only plan
+        combination that is fine for tens of snapshots but degrades at
+        thousands (long-running incremental jobs); periodic compaction
+        bounds it.  The new snapshot's manifest is written BEFORE the
+        old manifests are removed and the old data dirs are left in
+        place (never referenced again), so a crash at any point leaves
+        a readable table; committed_buckets/partitioning are preserved.
+        """
+        snaps = self.snapshots()
+        if len(snaps) <= 1:
+            return None
+        full = self.read(spark)
+        layout = self.partitioning()
+        bucket_col = "bucket"
+        parent = snaps[-1]
+        snap_n = parent["sequence"] + 1
+        data_dir = os.path.join(self.path, "data", f"snap-{snap_n}")
+        full.repartition(bucket_col).write.partitionBy(bucket_col).mode(
+            "overwrite"
+        ).parquet(data_dir)
+
+        written = spark.read.option("basePath", data_dir).parquet(data_dir)
+        rows = written.groupBy(bucket_col).count().collect()
+        bucket_rows = {str(r[bucket_col]): r["count"] for r in rows}
+        manifest = {
+            "sequence": snap_n,
+            "snapshot_id": uuid.uuid4().hex,
+            "parent_id": parent["snapshot_id"],
+            "data_dir": data_dir,
+            "bucket_rows": bucket_rows,
+            "total_rows": int(sum(bucket_rows.values())),
+            "metrics": {"compacted_snapshots": len(snaps)},
+            "partitioning": layout,
+            "compacted": True,
+        }
+        os.makedirs(self.manifest_dir, exist_ok=True)
+        tmp = os.path.join(self.manifest_dir, f".snap-{snap_n}.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=2)
+        os.replace(tmp, os.path.join(self.manifest_dir, f"snap-{snap_n:06d}.json"))
+        # the new manifest is durable; superseded manifests can go
+        for s in snaps:
+            old = os.path.join(self.manifest_dir, f"snap-{s['sequence']:06d}.json")
+            if os.path.exists(old):
+                os.remove(old)
+        return manifest
+
     # ---- write / commit ----------------------------------------------------
     def commit_append(
         self,

@@ -107,6 +107,27 @@ def test_resume_reuses_recorded_bucket_layout(spark, tmp_path):
         run_extraction_job(spark, docs, out, parallelism=8)
 
 
+def test_compact_rewrites_snapshots(spark, tmp_path):
+    """compact() folds N snapshots into one: same rows, same committed
+    buckets, same recorded layout, one read scan afterwards."""
+    t = IceliteTable(str(tmp_path / "tbl6"))
+    t.commit_append(_df(spark, 0, 40), partitioning={"n_buckets": 4})
+    t.commit_append(_df(spark, 40, 70))
+    t.commit_append(_df(spark, 70, 100))
+    assert len(t.snapshots()) == 3
+    before = {r["doc_id"] for r in t.read(spark).select("doc_id").collect()}
+
+    manifest = t.compact(spark)
+    assert manifest["compacted"] and manifest["metrics"]["compacted_snapshots"] == 3
+    assert len(t.snapshots()) == 1
+    assert t.committed_buckets() == {0, 1, 2, 3}
+    assert t.partitioning() == {"n_buckets": 4}
+    after = {r["doc_id"] for r in t.read(spark).select("doc_id").collect()}
+    assert after == before and len(after) == 100
+    # compacting a single snapshot is a no-op
+    assert t.compact(spark) is None
+
+
 def test_manifest_is_commit_point(spark, tmp_path):
     t = IceliteTable(str(tmp_path / "tbl4"))
     t.commit_append(_df(spark, 0, 20))
