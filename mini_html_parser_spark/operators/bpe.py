@@ -66,35 +66,108 @@ MERGES: list[tuple[str, str]] = [
 ]
 
 
+# ---- corpus-driven merge learning -------------------------------------------
+
+def learn_bpe(
+    df,
+    n_merges: int = 64,
+    top_words: int = 50_000,
+    text_col: str = "text",
+) -> list[tuple[str, str]]:
+    """Learn a merge table FROM the corpus (Sennrich et al. 2016).
+
+    Scale split: Spark does the corpus-sized work — pretokenize,
+    explode, one groupBy to the word-frequency table, top-V truncation
+    (classic practice: learning on the most frequent V word types
+    loses nothing that matters at 64-4096 merges) — and the driver
+    runs the classic pair-count merge loop on that tiny dict.  The
+    returned list plugs into :func:`bpe_token_count_col` /
+    :func:`oracle_sql_expr` / :func:`encode_pretoken` via ``merges=``.
+    """
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    words = (
+        df.select(
+            F.explode(
+                F.regexp_extract_all(F.col(text_col), F.lit(PRETOKEN_RE), 0)
+            ).alias("w")
+        )
+        .groupBy("w")
+        .count()
+        .orderBy(F.desc("count"), F.asc("w"))
+        .limit(top_words)
+        .collect()
+    )
+    vocab = {tuple(r["w"]): int(r["count"]) for r in words}
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pair_counts: Counter = Counter()
+        for syms, cnt in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pair_counts[(a, b)] += cnt
+        if not pair_counts:
+            break
+        # deterministic: max count, ties by pair lexicographic
+        (x, y), _cnt = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((x, y))
+        merged = x + y
+        new_vocab = {}
+        for syms, cnt in vocab.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == x and syms[i + 1] == y:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + cnt
+        vocab = new_vocab
+    return merges
+
+
 # ---- pure-Python reference (tests + the stats job's Python stage) ----------
 
-@lru_cache(maxsize=65536)
-def encode_pretoken(pretoken: str) -> tuple[str, ...]:
-    """BPE symbol sequence for one pretoken (cached — crawl text
-    repeats words heavily)."""
+@lru_cache(maxsize=262144)
+def _encode_cached(pretoken: str, merges: tuple) -> tuple[str, ...]:
     s = "".join(c + " " for c in pretoken)
-    for x, y in MERGES:
+    for x, y in merges:
         pat = f"{x} {y} "
         if pat in s:
             s = s.replace(pat, f"{x}{y} ")
     return tuple(s.split(" ")[:-1])
 
 
-def encode(text: str) -> list[str]:
+def encode_pretoken(pretoken: str, merges=None) -> tuple[str, ...]:
+    """BPE symbol sequence for one pretoken (cached — crawl text
+    repeats words heavily)."""
+    return _encode_cached(pretoken, tuple(merges) if merges is not None else tuple(MERGES))
+
+
+def encode(text: str, merges=None) -> list[str]:
     """BPE token sequence for ``text``."""
+    m_t = tuple(merges) if merges is not None else tuple(MERGES)
     out: list[str] = []
     for m in _PRETOKEN_C.finditer(text or ""):
-        out.extend(encode_pretoken(m.group(0)))
+        out.extend(_encode_cached(m.group(0), m_t))
     return out
 
 
-def count_tokens(text: str) -> int:
-    return sum(len(encode_pretoken(m.group(0))) for m in _PRETOKEN_C.finditer(text or ""))
+def count_tokens(text: str, merges=None) -> int:
+    m_t = tuple(merges) if merges is not None else tuple(MERGES)
+    return sum(
+        len(_encode_cached(m.group(0), m_t))
+        for m in _PRETOKEN_C.finditer(text or "")
+    )
 
 
 # ---- Spark expression (JVM-side, whole-stage codegen) -----------------------
 
-def bpe_token_count_col(text: Column) -> Column:
+def bpe_token_count_col(text: Column, merges: list[tuple[str, str]] | None = None) -> Column:
     """Token count as a pure built-in-function expression: pretoken
     regex → boundary join → char spacing → one ``replace`` per merge
     → symbol count.  No UDF, no Python worker."""
@@ -103,7 +176,7 @@ def bpe_token_count_col(text: Column) -> Column:
     spaced = F.regexp_replace(joined, "(.)", "$1 ")
     merged = reduce(
         lambda col, m: F.replace(col, F.lit(f"{m[0]} {m[1]} "), F.lit(f"{m[0]}{m[1]} ")),
-        MERGES,
+        merges if merges is not None else MERGES,
         spaced,
     )
     symbols = F.filter(
@@ -113,7 +186,7 @@ def bpe_token_count_col(text: Column) -> Column:
     return F.size(symbols).cast("long")
 
 
-def oracle_sql_expr(text_expr: str) -> str:
+def oracle_sql_expr(text_expr: str, merges: list[tuple[str, str]] | None = None) -> str:
     """The identical computation as a DuckDB SQL expression (the
     driver's oracle side) — same pretoken regex, same boundary char,
     same per-rank single-pass replaces."""
@@ -122,7 +195,7 @@ def oracle_sql_expr(text_expr: str) -> str:
         f"regexp_replace(coalesce(array_to_string(regexp_extract_all({text_expr}, "
         f"'{PRETOKEN_RE}'), chr(30)), ''), '(.)', '\\1 ', 'g')"
     )
-    for x, y in MERGES:
+    for x, y in (merges if merges is not None else MERGES):
         merged = f"replace({merged}, '{x} {y} ', '{x}{y} ')"
     return (
         "CAST(len(list_filter(string_split(trim(" + merged + "), ' '), "

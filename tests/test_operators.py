@@ -186,6 +186,59 @@ def test_ivf_topk_finds_planted_neighbors(spark):
     assert all(r["cosine"] == 1.0 for r in ann)
 
 
+def test_learn_bpe_matches_reference_algorithm(spark):
+    """learn_bpe (Spark word-count + driver merge loop) must equal a
+    from-scratch Sennrich implementation on the same corpus, and the
+    learned merges must plug into the apply path."""
+    from mini_html_parser_spark.operators import bpe
+
+    texts = ["low low low low low", "lower lower newest newest",
+             "newest newest newest widest widest", "low lower newest"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    got = bpe.learn_bpe(df, n_merges=6, top_words=100)
+
+    # independent reference: count pretokens with plain Python, then
+    # the classic pair-merge loop
+    import re
+    from collections import Counter
+    vocab = Counter()
+    for t in texts:
+        for m in re.finditer(bpe.PRETOKEN_RE, t):
+            vocab[tuple(m.group(0))] += 1
+    want = []
+    v = dict(vocab)
+    for _ in range(6):
+        pc = Counter()
+        for syms, c in v.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += c
+        if not pc:
+            break
+        (x, y), _ = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((x, y))
+        nv = {}
+        for syms, c in v.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == x and syms[i + 1] == y:
+                    out.append(x + y); i += 2
+                else:
+                    out.append(syms[i]); i += 1
+            nv[tuple(out)] = nv.get(tuple(out), 0) + c
+        v = nv
+    assert got == want
+
+    # learned merges drive both the Python and the JVM apply paths
+    n_learned = bpe.count_tokens("newest lowest", merges=got)
+    n_default = bpe.count_tokens("newest lowest")
+    assert n_learned <= len("newest lowest".replace(" ", ""))
+    row = df.limit(1).select(
+        bpe.bpe_token_count_col(F.lit("newest lowest"), merges=got).alias("n")
+    ).first()
+    assert row["n"] == n_learned
+
+
 def test_sample_exact_n_deterministic(spark):
     df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
     a = [r["doc_id"] for r in sampling.sample_exact_n(df, 50, seed=1).collect()]
