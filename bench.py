@@ -32,7 +32,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_SYNTH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "3000"))
-REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+# best-of-3: identical queries swing 2-20× minute-to-minute on this
+# shared VM (measured; see BENCH/BASELINE.md noise caveat) — two
+# repeats often both land in one slow window
+REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 
 
 def main() -> None:
@@ -48,6 +51,10 @@ def main() -> None:
         q_agg_median_by_lang,
         q_dedup_ngram_jaccard,
         q_similarity_bruteforce,
+        q_dedup_clusters,
+        q_events_asof_join,
+        q_scrub_pii,
+        q_token_counts_bpe,
     )
 
     # one local-mode JVM runs the whole workload back-to-back: size the
@@ -156,6 +163,26 @@ def main() -> None:
     timed("join_broadcast_revenue", lambda: q_join_broadcast_revenue(spark, SF_DIR).count())
 
     total = round(sum(timings.values()), 3)
+
+    # round-2 operators, timed OUTSIDE the headline total so the
+    # headline stays comparable across rounds (same query set as r01)
+    extended: dict[str, float] = {}
+
+    def timed_ext(name, build_and_run):
+        best = float("inf")
+        for _ in range(max(REPEATS, 1)):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            build_and_run()
+            best = min(best, time.perf_counter() - t0)
+        extended[name] = round(best, 3)
+
+    timed_ext("dedup_clusters", lambda: q_dedup_clusters(spark, SF_DIR).count())
+    timed_ext("events_asof_join", lambda: q_events_asof_join(spark, SF_DIR).count())
+    timed_ext("scrub_pii", lambda: q_scrub_pii(spark, SF_DIR).count())
+    timed_ext("token_counts_bpe", lambda: q_token_counts_bpe(spark, SF_DIR).count())
+    extras["extended_queries"] = extended
+
     print(json.dumps({
         "metric": "headline workload wall-clock (extraction + stats + dedup + similarity + relational), best-of-%d" % REPEATS,
         "value": total,
