@@ -1,11 +1,14 @@
 """Deduplication operators (training-data pipeline additions).
 
 Exact and near-duplicate detection over a ``(doc_id, text)`` corpus.
-Everything except the simhash bit-twiddling is built-in-function
+Everything except the simhash bit accumulation is built-in-function
 JVM-side work; candidate generation always goes through banding/
-bucketing so no stage is O(n²) at corpus scale — the only pairwise
-work happens inside a bucket (LSH guarantee), which is the published
-MinHash-LSH construction (shingle → minhash → band → bucket-join).
+bucketing so no stage is O(n²) at corpus scale (the published
+MinHash-LSH construction: shingle → minhash → band → bucket), and
+inside a bucket the pair emitter caps quadratic blowup with
+representative→member star edges (see MAX_BUCKET_PAIRS_SIZE).
+Duplicate clusters come out of :func:`dedup_clusters` (connected
+components over the candidate edges).
 """
 
 from __future__ import annotations
