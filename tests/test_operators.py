@@ -72,6 +72,19 @@ def test_mass_duplicate_bucket_stays_linear(spark):
     assert time.time() - t0 < 120
 
 
+def test_embedding_mass_duplicates_stay_linear(spark):
+    """The heavy-carry (join-shaped) pair emitter also star-edges big
+    buckets: 5k identical vectors → one bucket → n−1 edges, not
+    ~1.25·10⁷ pairs."""
+    n = 5000
+    vec = [0.1, -0.2, 0.3, 0.05, -0.4, 0.25, 0.15, -0.1]
+    df = spark.createDataFrame(
+        [(i, vec) for i in range(n)], "vec_id long, embedding array<float>"
+    )
+    pairs = similarity.embedding_near_duplicates(df, threshold=0.999)
+    assert pairs.count() == n - 1
+
+
 def test_small_buckets_still_emit_all_pairs(spark):
     """Below the cap the exact LSH construction is unchanged: a
     4-member duplicate group yields all 6 pairs."""
