@@ -187,31 +187,34 @@ class _DomParser(HTMLParser):
             return
 
         # implicit auto-closing (libxml2-style recovery)
-        while len(self.stack) > 1:
-            cur = self._cur()
-            closers = AUTO_CLOSE.get(cur.tag)
+        stack = self.stack
+        while len(stack) > 1:
+            closers = AUTO_CLOSE.get(stack[-1].tag)
             if closers is not None and tag in closers:
-                self.stack.pop()
+                stack.pop()
             else:
                 break
 
-        cur = self._cur()
+        cur = stack[-1]
         if cur is self.root:
             cur = self._target_for_content(tag)
-            if cur is self.body and self.body not in self.stack:
-                self.stack.append(self.body)
-            elif cur is self.head and self.head not in self.stack and self.body is None:
-                self.stack.append(self.head)
-            cur = self._cur()
+            if cur is self.body and self.body not in stack:
+                stack.append(self.body)
+            elif cur is self.head and self.head not in stack and self.body is None:
+                stack.append(self.head)
+            cur = stack[-1]
 
-        attrib: dict[str, str] = {}
-        for k, v in attrs:
-            if _valid_attr_name(k) and k not in attrib:
-                attrib[k] = v if v is not None else ""
-        node = Node(tag, attrib)
+        if attrs:
+            attrib: dict[str, str] = {}
+            for k, v in attrs:
+                if k not in attrib and k and (k[0].isalpha() or k[0] in "_:"):
+                    attrib[k] = v if v is not None else ""
+            node = Node(tag, attrib)
+        else:
+            node = Node(tag)
         cur.append(node)
         if tag not in VOID_ELEMENTS:
-            self.stack.append(node)
+            stack.append(node)
 
     def handle_startendtag(self, tag, attrs):
         # HTML (non-XHTML) parsing ignores the trailing slash: a
