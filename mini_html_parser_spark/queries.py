@@ -1048,6 +1048,33 @@ FROM marked GROUP BY user_id
 # ^ CAST as in ORACLE_UNION: DuckDB sum(INTEGER) → HUGEINT.
 
 
+def q_events_json_extract(spark, sf_dir):
+    """Semi-structured column handling: parse the events ``props``
+    JSON (schema-on-read via from_json) and aggregate an extracted
+    field — the lakehouse pattern for ragged event payloads."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.from_json(F.col("props"), "k INT").alias("p"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("p.k").alias("n_with_k"),
+        F.sum("p.k").alias("k_total"),
+        F.min("p.k").alias("k_min"),
+        F.max("p.k").alias("k_max"),
+    )
+
+
+ORACLE_EVENTS_JSON = """
+SELECT event_type,
+       count(CAST(json_extract(props, '$.k') AS INTEGER)) AS n_with_k,
+       CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS k_total,
+       CAST(min(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER) AS k_min,
+       CAST(max(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER) AS k_max
+FROM events GROUP BY event_type
+"""
+
+
 def q_events_asof_join(spark, sf_dir):
     """As-of join: each purchase gains the user's latest prior (or
     simultaneous) view value.  Union+window implementation vs DuckDB's
@@ -1163,6 +1190,7 @@ QUERIES = {
     "events_window_agg": q_events_window_agg,
     "events_sessionize": q_events_sessionize,
     "events_asof_join": q_events_asof_join,
+    "events_json_extract": q_events_json_extract,
     "join_broadcast_revenue": q_join_broadcast_revenue,
     "anti_join_resume": q_anti_join_resume,
 }
@@ -1200,6 +1228,7 @@ ORACLES = {
     "events_window_agg": ORACLE_EVENTS_WINDOW,
     "events_sessionize": ORACLE_EVENTS_SESSIONIZE,
     "events_asof_join": ORACLE_EVENTS_ASOF,
+    "events_json_extract": ORACLE_EVENTS_JSON,
     "join_broadcast_revenue": ORACLE_JOIN_REVENUE,
     "anti_join_resume": ORACLE_ANTI_JOIN,
     "embedding_near_dups": ORACLE_EMBEDDING_NEAR_DUPS,
