@@ -66,12 +66,14 @@ def worker(cores: int, path: str) -> None:
 
     # warm-up: same plan shape on a sample (worker imports + JIT)
     plan(0.15).collect()
-    # best-of-2 measured passes, fresh plan lineage each time (no
-    # cross-job shuffle reuse) — single-pass numbers swing ±10% on
-    # this VM (page cache / JIT / scheduler noise)
+    # best-of-3 measured passes, fresh plan lineage each time (no
+    # cross-job shuffle reuse) — single-pass numbers swing ±10-30% on
+    # this VM (neighbor load / page cache / JIT); the efficiency ratio
+    # is hypersensitive because numerator and denominator are measured
+    # in different minutes
     dt = float("inf")
     row = None
-    for _ in range(2):
+    for _ in range(3):
         p = plan(None)
         t0 = time.perf_counter()
         r = p.collect()[0]
