@@ -903,6 +903,77 @@ FROM m
 """
 
 
+def q_pipeline_clean_corpus(spark, sf_dir):
+    """The end-to-end crawl-cleaning pipeline as ONE Catalyst plan:
+    exact-dedup survivors → language-ID → quality gates → repetition
+    gate → per-language corpus stats.  Composes only oracle-verified
+    pieces; this is the query a training-data user actually runs."""
+    docs = _docs(spark, sf_dir)
+    survivors = dedup.exact_dedup(docs)
+    lang = text_analysis.language_id(survivors)
+    qual = text_analysis.quality_score(lang)
+    rep = text_analysis.repetition_ratio(qual)
+    kept = rep.filter(
+        (F.col("detected_lang") != "und")
+        & F.col("quality_ok")
+        & (F.col("repetition_ratio") < 0.5)
+    )
+    return kept.groupBy("detected_lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("punct_ratio"), 6).alias("avg_punct_ratio"),
+    )
+
+
+def _oracle_pipeline() -> str:
+    from .operators.text_analysis import LANG_MARKERS  # noqa: F401 (parity anchor)
+
+    scores = _oracle_lang_scores()
+    return rf"""
+WITH surv AS (
+  SELECT d.* FROM documents d
+  JOIN (SELECT md5(text) AS h, min(doc_id) AS keep FROM documents GROUP BY 1) k
+    ON md5(d.text) = k.h AND d.doc_id = k.keep
+),
+p AS (SELECT doc_id, text, ' ' || text || ' ' AS pt FROM surv),
+scored AS (SELECT doc_id, text, {scores} FROM p),
+det AS (
+  SELECT doc_id, text,
+    CASE
+      WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr AND score_de > 0 THEN 'de'
+      WHEN score_en >= score_es AND score_en >= score_fr AND score_en > 0 THEN 'en'
+      WHEN score_es >= score_fr AND score_es > 0 THEN 'es'
+      WHEN score_fr > 0 THEN 'fr'
+      ELSE 'und'
+    END AS detected_lang
+  FROM scored
+),
+q AS (
+  SELECT doc_id, detected_lang, text,
+         length(text) AS nc,
+         len(string_split_regex(trim(text), '\s+')) AS nt,
+         length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS np
+  FROM det
+),
+g AS (
+  SELECT *,
+         list_transform(
+           range(0, greatest(len(string_split_regex(trim(text), '\s+')) - 3, 0) + 1),
+           i -> array_to_string(list_slice(string_split_regex(trim(text), '\s+'), i + 1, i + 3), ' ')
+         ) AS grams
+  FROM q
+)
+SELECT detected_lang, count(*) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS total_tokens,
+       CAST(round(avg(round(np / nc, 4)), 6) AS DOUBLE) AS avg_punct_ratio
+FROM g
+WHERE detected_lang != 'und'
+  AND nt >= 5 AND nc >= 20 AND np / nc < 0.2
+  AND round(1.0 - len(list_distinct(grams)) / len(grams), 6) < 0.5
+GROUP BY detected_lang
+"""
+
+
 def q_scrub_pii(spark, sf_dir):
     """PII scrub with planted emails/IPs/phones appended to every doc
     (the organic synthetic text has none), counts + redacted-text md5.
@@ -1182,6 +1253,7 @@ QUERIES = {
     "token_counts_bpe": q_token_counts_bpe,
     "repetition_ratio": q_repetition_ratio,
     "scrub_pii": q_scrub_pii,
+    "pipeline_clean_corpus": q_pipeline_clean_corpus,
     "fingerprint": q_fingerprint,
     "multimodal_features": q_multimodal_features,
     "multimodal_resize": q_multimodal_resize,
@@ -1239,4 +1311,5 @@ ORACLES = {
     "similarity_ivf_topk": ORACLE_SIMILARITY_LSH,  # same planted construction
     "repetition_ratio": ORACLE_REPETITION,
     "scrub_pii": _oracle_scrub_pii(),
+    "pipeline_clean_corpus": _oracle_pipeline(),
 }
