@@ -133,14 +133,26 @@ def test_as_of_join_semantics(spark):
          ("u2", 7.0, 70.0)],
         "user_id string, ts double, value double",
     )
-    got = {
-        r["event_id"]: r["asof_value"]
-        for r in as_of_join(left, right, "user_id", "ts", ["value"]).collect()
-    }
+    rows = as_of_join(left, right, "user_id", "ts", ["value"]).collect()
+    got = {r["event_id"]: r["asof_value"] for r in rows}
     assert got == {1: 100.0,   # equal ts is inclusive
                    2: 150.0,   # latest ≤ 20 is 15
                    3: None,    # u2's only view is later
                    4: None}    # u3 has no views at all
+    # the matched right timestamp is emitted alongside
+    ts_of = {r["event_id"]: r["asof_ts"] for r in rows}
+    assert ts_of[1] == 10.0 and ts_of[2] == 15.0 and ts_of[3] is None
+
+    # tolerance (merge_asof semantics): matches older than ts-tol null out
+    tol = {
+        r["event_id"]: r["asof_value"]
+        for r in as_of_join(
+            left, right, "user_id", "ts", ["value"], tolerance=3.0
+        ).collect()
+    }
+    assert tol == {1: 100.0,  # gap 0 ≤ 3
+                   2: None,   # gap 5 > 3 → nulled
+                   3: None, 4: None}
 
 
 def test_dedup_clusters_connected_components(spark):
