@@ -211,6 +211,33 @@ def test_ivf_topk_finds_planted_neighbors(spark):
     assert all(r["cosine"] == 1.0 for r in ann)
 
 
+def test_bpe_randomized_parity(spark):
+    """JVM-expression BPE == pure-Python BPE on 200 random strings
+    (mixed scripts, digits, punctuation, whitespace runs, boundary
+    chars) — one batched Spark round-trip."""
+    import random
+
+    from mini_html_parser_spark.operators import bpe
+
+    rng = random.Random(20260816)
+    alphabet = "abcdefgh THEREthe 0123!?.,;\n\té漢я \x1e" + '"'
+    texts = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 80)))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    got = {
+        r["id"]: r["n"]
+        for r in df.select(
+            "id", bpe.bpe_token_count_col(F.col("text")).alias("n")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == bpe.count_tokens(t), (i, t, bpe.encode(t))
+
+
 def test_learn_bpe_matches_reference_algorithm(spark):
     """learn_bpe (Spark word-count + driver merge loop) must equal a
     from-scratch Sennrich implementation on the same corpus, and the
