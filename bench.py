@@ -55,6 +55,7 @@ def main() -> None:
         q_events_asof_join,
         q_scrub_pii,
         q_token_counts_bpe,
+        q_pipeline_clean_corpus,
     )
 
     # one local-mode JVM runs the whole workload back-to-back: size the
@@ -181,6 +182,7 @@ def main() -> None:
     timed_ext("events_asof_join", lambda: q_events_asof_join(spark, SF_DIR).count())
     timed_ext("scrub_pii", lambda: q_scrub_pii(spark, SF_DIR).count())
     timed_ext("token_counts_bpe", lambda: q_token_counts_bpe(spark, SF_DIR).count())
+    timed_ext("pipeline_clean_corpus", lambda: q_pipeline_clean_corpus(spark, SF_DIR).count())
     extras["extended_queries"] = extended
 
     print(json.dumps({
