@@ -1119,6 +1119,25 @@ FROM marked GROUP BY user_id
 # ^ CAST as in ORACLE_UNION: DuckDB sum(INTEGER) → HUGEINT.
 
 
+def q_events_cube(spark, sf_dir):
+    """Cube aggregation (grouping sets): event_type × weekday cells
+    plus both margins and the grand total in one shuffle (Spark
+    expands the grouping sets map-side)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("weekday", F.date_format("ts", "E"))
+        .cube("event_type", "weekday")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("total"))
+    )
+
+
+ORACLE_EVENTS_CUBE = """
+SELECT event_type, weekday, count(*) AS n, round(sum(value), 6) AS total
+FROM (SELECT *, strftime(ts, '%a') AS weekday FROM events)
+GROUP BY CUBE (event_type, weekday)
+"""
+
+
 def q_events_json_extract(spark, sf_dir):
     """Semi-structured column handling: parse the events ``props``
     JSON (schema-on-read via from_json) and aggregate an extracted
@@ -1263,6 +1282,7 @@ QUERIES = {
     "events_sessionize": q_events_sessionize,
     "events_asof_join": q_events_asof_join,
     "events_json_extract": q_events_json_extract,
+    "events_cube": q_events_cube,
     "join_broadcast_revenue": q_join_broadcast_revenue,
     "anti_join_resume": q_anti_join_resume,
 }
@@ -1301,6 +1321,7 @@ ORACLES = {
     "events_sessionize": ORACLE_EVENTS_SESSIONIZE,
     "events_asof_join": ORACLE_EVENTS_ASOF,
     "events_json_extract": ORACLE_EVENTS_JSON,
+    "events_cube": ORACLE_EVENTS_CUBE,
     "join_broadcast_revenue": ORACLE_JOIN_REVENUE,
     "anti_join_resume": ORACLE_ANTI_JOIN,
     "embedding_near_dups": ORACLE_EMBEDDING_NEAR_DUPS,
