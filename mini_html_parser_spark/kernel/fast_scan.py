@@ -75,6 +75,16 @@ _LOCATE_RE = re.compile(r"""
 
 _ENDTAG_RE = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")  # endtagfind
 
+# tagfind_tolerant's trailing group, matched standalone after the tag
+# name: the name char-class is identical between _LOCATE_RE group(1)
+# and tagfind_tolerant group(1) (same start, both greedy), so matching
+# only the trailing part from name-end is exactly stdlib's
+# ``tagfind_tolerant.match(rawdata, i+1).end()``.  Must be Python
+# Unicode ``\s`` (includes \x0b \x1c-\x1f \x85 \xa0   …), NOT an
+# ASCII char loop — '<a\n\xa0href=x>' parses the attr on the stdlib
+# path (ADVICE r2, high).
+_TAGNAME_TRAILING_RE = re.compile(r"(?:\s|/(?!>))*")
+
 _COMMENT_END_RE = re.compile(r"--\s*>")  # commentclose
 
 # stdlib CDATA_CONTENT_ELEMENTS is (script, style); those are the two
@@ -162,13 +172,9 @@ def scan(html: str, sink) -> None:
             tag = name.lower()
             # advance past the name's trailing (?:\s|/(?!>))* — what
             # tagfind_tolerant consumes before the attr loop starts
-            k = lt + 1 + len(name)
-            while k < endpos:
-                ch = html[k]
-                if ch in " \t\n\r\f" or (ch == "/" and not html.startswith("/>", k)):
-                    k += 1
-                else:
-                    break
+            # (stdlib's own regex: Unicode \s, unbounded like stdlib —
+            # the k < endpos guards below replicate parse_starttag)
+            k = _TAGNAME_TRAILING_RE.match(html, lt + 1 + len(name)).end()
             attrs = []
             while k < endpos:
                 am = _ATTR_RE.match(html, k)

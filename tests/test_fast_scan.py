@@ -74,6 +74,14 @@ def test_pinned_edge_cases_equivalent():
         "<div/>text</div>",
         "text & more",
         "<pre>  kept   spaces\n</pre>",
+        # ADVICE r2 high reproducer: Unicode whitespace after the tag
+        # name — stdlib tagfind_tolerant trailing \s accepts \xa0 etc.
+        "<a\n\xa0href=x>y</a>",
+        "<a\x0bhref=x>y</a>",
+        "<div\x1cclass=q>t</div>",
+        "<p\u2028id=z>w</p>",
+        "<b\x85x=1>v</b>",
+        "<i\xa0/>s",
     ]
     for html in cases:
         assert_equivalent(html)
@@ -108,7 +116,14 @@ def test_randomized_equivalence(parts):
 # values, partial-tag-as-text recovery): markup-ish characters in
 # random order hit the tolerant-matcher edge cases that token
 # concatenation can't reach.
-_SOUP_ALPHABET = "<>/!?-=\"' abPsScCrRiIpPtTyYlLeE&;#x1[]\n"
+_SOUP_ALPHABET = (
+    "<>/!?-=\"' abPsScCrRiIpPtTyYlLeE&;#x1[]\n"
+    # Unicode-whitespace edges (ADVICE r2 high): Python \s includes
+    # \x0b \x1c-\x1f \xa0 \u2028 — the tolerant matchers use \s, so the
+    # scanner must too.  These chars inside tags exposed the manual
+    # ASCII-loop divergence.
+    "\x0b\x1c\x1f\xa0\u2028\x85"
+)
 
 
 @settings(max_examples=500, deadline=None, derandomize=True,
