@@ -39,7 +39,13 @@ import re
 
 from pyspark.sql import Column, functions as F
 
-PRETOKEN_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+# explicit whitespace class, NOT \s: \s differs per engine (Java
+# includes \x0b, RE2/DuckDB does not, Python adds \x1c-\x1f/\xa0/…),
+# so a \s here would make the Spark/DuckDB/Python triple diverge on
+# control-char text (ADVICE r2).  This exact set is what Java \s
+# matches, spelled portably.
+WHITESPACE_CLASS = " \\t\\n\\r\\f\\x0b"
+PRETOKEN_RE = rf"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9{WHITESPACE_CLASS}]"
 _PRETOKEN_C = re.compile(PRETOKEN_RE)
 
 # pretoken boundary marker: never part of a merge pair, so merges
@@ -94,6 +100,7 @@ def learn_bpe(
                 F.regexp_extract_all(F.col(text_col), F.lit(PRETOKEN_RE), 0)
             ).alias("w")
         )
+        .filter(F.col("w") != BOUNDARY)  # reserved char, see encode()
         .groupBy("w")
         .count()
         .orderBy(F.desc("count"), F.asc("w"))
@@ -149,11 +156,18 @@ def encode_pretoken(pretoken: str, merges=None) -> tuple[str, ...]:
 
 
 def encode(text: str, merges=None) -> list[str]:
-    """BPE token sequence for ``text``."""
+    """BPE token sequence for ``text``.
+
+    BOUNDARY (\\x1e) is RESERVED: occurrences in the input are
+    dropped, on all three paths — the JVM/SQL forms can't distinguish
+    an input \\x1e symbol from the pretoken marker, so the Python
+    reference adopts the same rule (it can only ever be a standalone
+    single-char pretoken: alnum runs can't contain it)."""
     m_t = tuple(merges) if merges is not None else tuple(MERGES)
     out: list[str] = []
     for m in _PRETOKEN_C.finditer(text or ""):
-        out.extend(_encode_cached(m.group(0), m_t))
+        if m.group(0) != BOUNDARY:
+            out.extend(_encode_cached(m.group(0), m_t))
     return out
 
 
@@ -162,6 +176,7 @@ def count_tokens(text: str, merges=None) -> int:
     return sum(
         len(_encode_cached(m.group(0), m_t))
         for m in _PRETOKEN_C.finditer(text or "")
+        if m.group(0) != BOUNDARY
     )
 
 

@@ -294,12 +294,21 @@ def exact_shingle_duplicates(
     sorted-set fingerprints, so one md5 + one groupBy-shaped self-join
     replaces the whole MinHash machinery (32 seeded xxhash64 per
     shingle + 8-band self-join + verify — measured ~3× slower).
-    Output shape matches ``jaccard_verify(..., threshold=1.0)``.
+    Pair set matches ``jaccard_verify(..., threshold=1.0)`` for groups
+    of ≤ MAX_BUCKET_PAIRS_SIZE members; larger duplicate groups emit
+    min-id→member star edges instead of all O(d²) pairs (lossless for
+    dedup/clustering: set equality is transitive).
     """
     sh = shingle_df if shingle_df is not None else shingle_frame(df, text_col, id_col, shingle_n)
+    # hash each shingle BEFORE joining: fixed-width hex never contains
+    # the separator, so distinct shingle sets can't serialize alike —
+    # a raw join with '|' would collide when tokens contain '|'
+    # (ADVICE r2: Jaccard 1.0 ⇔ identical sets must hold for all text)
     fp = sh.select(
         F.col(id_col),
-        F.md5(F.concat_ws("|", F.array_sort("sh"))).alias("fp"),
+        F.md5(
+            F.concat_ws("|", F.transform(F.array_sort("sh"), F.md5))
+        ).alias("fp"),
     )
     pairs = _bucket_pairs(fp, ["fp"], id_col, dedupe=False)
     # star edges (groups > MAX_BUCKET_PAIRS_SIZE) are lossless here:

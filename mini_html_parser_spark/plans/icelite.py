@@ -34,6 +34,14 @@ class IceliteTable:
 
     # ---- manifest plumbing -------------------------------------------------
     def snapshots(self) -> list[dict]:
+        """Active manifests, in sequence order.
+
+        A ``compacted`` manifest SUPERSEDES everything below its
+        sequence: older manifests are invisible even if still on disk,
+        so a crash between writing the compacted manifest and removing
+        the superseded ones can never double-count rows (ADVICE r2,
+        medium — the remove loop is cleanup, not a correctness step).
+        """
         if not os.path.isdir(self.manifest_dir):
             return []
         snaps = []
@@ -41,6 +49,11 @@ class IceliteTable:
             if name.startswith("snap-") and name.endswith(".json"):
                 with open(os.path.join(self.manifest_dir, name)) as f:
                     snaps.append(json.load(f))
+        floor = max(
+            (s["sequence"] for s in snaps if s.get("compacted")), default=None
+        )
+        if floor is not None:
+            snaps = [s for s in snaps if s["sequence"] >= floor]
         return snaps
 
     def current_snapshot(self) -> dict | None:
@@ -70,17 +83,59 @@ class IceliteTable:
         return None
 
     # ---- read / resume -----------------------------------------------------
-    def read(self, spark) -> DataFrame:
-        dirs = [s["data_dir"] for s in self.snapshots()]
-        if not dirs:
+    def _snapshot_files(self, snap: dict) -> list[str]:
+        """Data files of one snapshot — from the manifest when recorded
+        (Iceberg-style: no storage listing on the read path), else a
+        one-time directory walk for pre-data_files manifests."""
+        rel = snap.get("data_files")
+        if rel is not None:
+            return [os.path.join(self.path, p) for p in rel]
+        files = []
+        for root, _dirs, names in os.walk(snap["data_dir"]):
+            files.extend(
+                os.path.join(root, n) for n in names if n.endswith(".parquet")
+            )
+        return files
+
+    def read(self, spark, buckets: set[int] | None = None) -> DataFrame:
+        """All committed rows as ONE scan.
+
+        ``buckets`` prunes at the MANIFEST level: only files under the
+        requested ``bucket=<k>`` dirs enter the scan's file index —
+        stronger than scan-level PartitionFilters (the planner never
+        even lists the other files; at 100 TB that's the difference
+        between a metadata lookup and a storage listing).
+
+        Early versions unioned one partition-discovering scan per
+        snapshot — a plan that grows linearly with snapshot count and
+        degrades at thousands of snapshots (long incremental jobs).
+        Now the manifests provide the file list (like an Iceberg
+        manifest list) and all files go into a single
+        ``spark.read.parquet(*files)`` — flat read, no partition
+        discovery — with the ``bucket`` lineage column rebuilt from the
+        ``bucket=<k>`` path component (a zero-shuffle projection).
+        Plan size is constant in the number of snapshots; see
+        BENCH/PLANS.md for the measured 200-snapshot plan-build times.
+        """
+        snaps = self.snapshots()
+        if not snaps:
             raise FileNotFoundError(f"icelite table {self.path} has no snapshots")
-        # one scan per snapshot dir (each with its own partition
-        # discovery root), unioned — a metadata-only plan combination
-        out = None
-        for d in dirs:
-            df = spark.read.option("basePath", d).parquet(d)
-            out = df if out is None else out.unionByName(df)
-        return out
+        files = [f for s in snaps for f in self._snapshot_files(s)]
+        if buckets is not None:
+            keep = {f"bucket={b}" for b in buckets}
+            files = [
+                f for f in files
+                if any(part in keep for part in f.split(os.sep))
+            ]
+            if not files:
+                raise FileNotFoundError(
+                    f"icelite table {self.path}: no data for buckets {sorted(buckets)}"
+                )
+        df = spark.read.parquet(*files)
+        return df.withColumn(
+            "bucket",
+            F.regexp_extract(F.input_file_name(), r"bucket=(\d+)", 1).cast("int"),
+        )
 
     def filter_pending(self, df: DataFrame, bucket_col: str = "bucket") -> DataFrame:
         """Drop rows whose bucket is already committed (resume).
@@ -94,18 +149,31 @@ class IceliteTable:
             return df
         return df.filter(~F.col(bucket_col).isin(sorted(done)))
 
+    def _list_data_files(self, data_dir: str) -> list[str]:
+        """Relative parquet paths under a freshly-written data dir —
+        recorded in the manifest so reads never list storage."""
+        files = []
+        for root, _dirs, names in os.walk(data_dir):
+            for n in names:
+                if n.endswith(".parquet"):
+                    files.append(
+                        os.path.relpath(os.path.join(root, n), self.path)
+                    )
+        return sorted(files)
+
     # ---- maintenance ---------------------------------------------------------
     def compact(self, spark) -> dict | None:
         """Rewrite all committed snapshots into one (the analogue of
         Iceberg's ``rewrite_data_files`` + snapshot expiry).
 
-        ``read()`` unions one scan per snapshot — a metadata-only plan
-        combination that is fine for tens of snapshots but degrades at
-        thousands (long-running incremental jobs); periodic compaction
-        bounds it.  The new snapshot's manifest is written BEFORE the
-        old manifests are removed and the old data dirs are left in
-        place (never referenced again), so a crash at any point leaves
-        a readable table; committed_buckets/partitioning are preserved.
+        Compaction bounds manifest count and file count (many small
+        appends → one file per bucket).  The new snapshot's manifest is
+        written BEFORE the old manifests are removed, and
+        ``snapshots()`` treats a ``compacted`` manifest as superseding
+        every lower sequence — so a crash at ANY point (including
+        between the manifest write and the removes) leaves a readable,
+        duplicate-free table; committed_buckets/partitioning are
+        preserved.  Old data dirs are left in place, never referenced.
         """
         snaps = self.snapshots()
         if len(snaps) <= 1:
@@ -128,6 +196,7 @@ class IceliteTable:
             "snapshot_id": uuid.uuid4().hex,
             "parent_id": parent["snapshot_id"],
             "data_dir": data_dir,
+            "data_files": self._list_data_files(data_dir),
             "bucket_rows": bucket_rows,
             "total_rows": int(sum(bucket_rows.values())),
             "metrics": {"compacted_snapshots": len(snaps)},
@@ -155,6 +224,7 @@ class IceliteTable:
         metrics_provider=None,
         partitioning: dict | None = None,
         compact: bool = True,
+        auto_compact_every: int | None = None,
     ) -> dict | None:
         """Write ``df`` partitioned by ``partition_col`` and commit a
         snapshot manifest recording per-bucket lineage row counts (and
@@ -165,7 +235,12 @@ class IceliteTable:
         K files PER bucket — the classic small-files problem (64 tasks
         × 1088 buckets ≈ 70k files per commit at production layout).
         The extra shuffle happens after the expensive compute and
-        yields exactly one file per non-empty bucket."""
+        yields exactly one file per non-empty bucket.
+
+        ``auto_compact_every=N`` folds the table down to one snapshot
+        whenever the active-snapshot count reaches N after this commit
+        — bounds manifest/file growth for long incremental jobs
+        without a separate maintenance job."""
         parent = self.current_snapshot()
         snap_n = (parent["sequence"] + 1) if parent else 0
         data_dir = os.path.join(self.path, "data", f"snap-{snap_n}")
@@ -204,6 +279,7 @@ class IceliteTable:
             "snapshot_id": uuid.uuid4().hex,
             "parent_id": parent["snapshot_id"] if parent else None,
             "data_dir": data_dir,
+            "data_files": self._list_data_files(data_dir),
             "bucket_rows": bucket_rows,
             "total_rows": int(sum(bucket_rows.values())),
             "metrics": metrics or {},
@@ -214,4 +290,8 @@ class IceliteTable:
         with open(tmp, "w") as f:
             json.dump(manifest, f, indent=2)
         os.replace(tmp, os.path.join(self.manifest_dir, f"snap-{snap_n:06d}.json"))
+        if auto_compact_every and len(self.snapshots()) >= auto_compact_every:
+            compacted = self.compact(spark)
+            if compacted is not None:
+                return compacted
         return manifest

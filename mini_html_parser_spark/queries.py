@@ -580,16 +580,30 @@ WITH corpus AS (
   SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
 ), sh AS (
   SELECT doc_id,
-         md5(array_to_string(list_sort(list_distinct(
+         -- per-shingle md5 before the join: '|' inside tokens can't
+         -- make distinct sets serialize alike (mirrors
+         -- exact_shingle_duplicates)
+         md5(array_to_string(list_transform(list_sort(list_distinct(
            list_transform(
              range(0, greatest(len(string_split_regex(trim(text), '\\s+')) - 3, 0) + 1),
              i -> array_to_string(list_slice(string_split_regex(trim(text), '\\s+'), i + 1, i + 3), ' ')
            )
-         )), '|')) AS fp
+         )), s -> md5(s)), '|')) AS fp
   FROM corpus
+), g AS (
+  SELECT doc_id, fp,
+         count(*) OVER (PARTITION BY fp) AS bsz,
+         min(doc_id) OVER (PARTITION BY fp) AS rep
+  FROM sh
 )
+-- mirrors _bucket_pairs: groups <= 128 emit all pairs; larger groups
+-- emit min-id -> member star edges (lossless, O(d) not O(d^2))
 SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(1.0 AS DOUBLE) AS jaccard
-FROM sh a JOIN sh b ON a.fp = b.fp AND a.doc_id < b.doc_id
+FROM g a JOIN g b ON a.fp = b.fp AND a.doc_id < b.doc_id
+WHERE a.bsz <= 128
+UNION ALL
+SELECT rep AS id_a, doc_id AS id_b, CAST(1.0 AS DOUBLE) AS jaccard
+FROM g WHERE bsz > 128 AND doc_id <> rep
 """
 
 

@@ -134,3 +134,74 @@ def test_manifest_is_commit_point(spark, tmp_path):
     # simulate a crashed second write: data dir exists, no manifest
     os.makedirs(os.path.join(t.path, "data", "snap-1", "bucket=0"), exist_ok=True)
     assert t.read(spark).count() == 20  # uncommitted dir invisible
+
+def test_compact_crash_window_no_duplicates(spark, tmp_path):
+    """ADVICE r2 (medium): a crash between writing the compacted
+    manifest and removing the superseded ones must not double-count —
+    a ``compacted`` manifest supersedes every lower sequence even when
+    both are on disk."""
+    import shutil
+
+    t = IceliteTable(str(tmp_path / "tbl7"))
+    t.commit_append(_df(spark, 0, 50))
+    t.commit_append(_df(spark, 50, 100))
+    # snapshot the manifest dir before compaction, then restore the
+    # old manifests afterwards = the exact crash interleaving
+    saved = str(tmp_path / "saved_manifests")
+    shutil.copytree(t.manifest_dir, saved)
+    t.compact(spark)
+    for name in os.listdir(saved):
+        dst = os.path.join(t.manifest_dir, name)
+        if not os.path.exists(dst):
+            shutil.copy(os.path.join(saved, name), dst)
+    # both old manifests AND the compacted one are now on disk
+    assert len(os.listdir(t.manifest_dir)) == 3
+    assert len(t.snapshots()) == 1  # only the compacted one is active
+    assert t.read(spark).count() == 100
+    assert t.read(spark).select("doc_id").distinct().count() == 100
+    assert t.committed_buckets() == {0, 1, 2, 3}
+
+
+def test_auto_compact_bounds_snapshot_count(spark, tmp_path):
+    t = IceliteTable(str(tmp_path / "tbl8"))
+    for i in range(7):
+        t.commit_append(_df(spark, i * 10, (i + 1) * 10), auto_compact_every=3)
+        assert len(t.snapshots()) <= 3
+    assert t.read(spark).count() == 70
+    assert t.read(spark).select("doc_id").distinct().count() == 70
+
+
+def test_many_snapshots_single_scan(spark, tmp_path):
+    """200 snapshots must still read as ONE scan with a flat plan —
+    the manifest-driven file list replaces the per-snapshot union
+    (VERDICT r2 #6).  Plan-build time is asserted loosely; the
+    measured before/after numbers live in BENCH/PLANS.md."""
+    import time
+
+    t = IceliteTable(str(tmp_path / "tbl9"))
+    # cheap commits: write parquet dirs + manifests directly through
+    # the public API but with tiny frames
+    for i in range(200):
+        t.commit_append(_df(spark, i * 2, i * 2 + 2, n_buckets=2), compact=False)
+    assert len(t.snapshots()) == 200
+
+    t0 = time.monotonic()
+    df = t.read(spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    build_s = time.monotonic() - t0
+    # one scan node, no Union in the plan
+    assert "Union" not in plan
+    assert plan.count("Scan parquet") == 1
+    assert df.count() == 400
+    assert build_s < 30, f"plan build took {build_s:.1f}s"
+
+def test_bucket_pruned_read(spark, tmp_path):
+    """read(buckets=...) prunes at the manifest level: only the
+    requested buckets' files enter the scan."""
+    t = IceliteTable(str(tmp_path / "tbl10"))
+    t.commit_append(_df(spark, 0, 100))
+    part = t.read(spark, buckets={1, 3})
+    assert {r["bucket"] for r in part.select("bucket").distinct().collect()} == {1, 3}
+    assert part.count() == 50
+    plan = part._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1

@@ -97,6 +97,22 @@ def test_small_buckets_still_emit_all_pairs(spark):
     assert exact == {(a, b) for a in range(4) for b in range(4) if a < b}
 
 
+def test_shingle_fingerprint_separator_safe(spark):
+    """ADVICE r2: '|' is a legal token char, so a raw '|'-join of the
+    sorted shingle set could make DISTINCT sets serialize identically
+    (tokens ['x','y'] vs the single token 'x|y' at shingle_n=1).
+    Per-shingle md5 before the join prevents the false duplicate."""
+    df = spark.createDataFrame(
+        [(0, "x y"), (1, "x|y")], "doc_id long, text string"
+    )
+    assert dedup.exact_shingle_duplicates(df, shingle_n=1).count() == 0
+    # and true duplicates still pair
+    df2 = spark.createDataFrame(
+        [(0, "x|y"), (1, "x|y")], "doc_id long, text string"
+    )
+    assert dedup.exact_shingle_duplicates(df2, shingle_n=1).count() == 1
+
+
 def test_lsh_topk_finds_planted_neighbors(spark):
     """Positive scaling preserves every hyperplane sign, so scaled
     copies of the query land in its bucket deterministically — LSH
@@ -220,7 +236,10 @@ def test_bpe_randomized_parity(spark):
     from mini_html_parser_spark.operators import bpe
 
     rng = random.Random(20260816)
-    alphabet = "abcdefgh THEREthe 0123!?.,;\n\té漢я \x1e" + '"'
+    # \x0b \x1c \xa0: the per-engine \s divergence chars (ADVICE r2) —
+    # PRETOKEN_RE's explicit whitespace class must make Spark (Java),
+    # DuckDB (RE2) and Python agree on them
+    alphabet = "abcdefgh THEREthe 0123!?.,;\n\té漢я \x1e\x0b\x1c\xa0" + '"'
     texts = [
         "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 80)))
         for _ in range(200)
