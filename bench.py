@@ -6,11 +6,21 @@ line: {"metric", "value" (total sec), "unit": "sec", "queries":
 {name: sec}, "sf", plus informative extras (docs/sec throughput of
 the extraction stages — the BASELINE.json metric)}.
 
-Methodology: each query is timed best-of-2 with the plan REBUILT per
-repeat (fresh DataFrame lineage — no cross-repeat shuffle reuse) and
-the cache cleared between repeats; first-run numbers on this VM carry
-large codegen/JIT/page-cache noise (2-5× run-to-run swings measured),
-and steady-state is what a long-running cluster job sees.
+Methodology: each query is timed best-of-REPEATS with the plan
+REBUILT per repeat (fresh DataFrame lineage — no cross-repeat shuffle
+reuse) and the cache cleared between repeats; first-run numbers on
+this VM carry large codegen/JIT/page-cache noise (2-5× run-to-run
+swings measured), and steady-state is what a long-running cluster job
+sees.
+
+Noise-proofing (VERDICT r2 #1): the artifact is self-identifying —
+it records EVERY repeat's wall-clock per query (``samples``) plus the
+1-minute load average before and after the run (``loadavg``).  A
+query whose max/min sample spread exceeds NOISE_SPREAD gets up to
+NOISE_EXTRA_REPEATS additional repeats (a neighbor-noise window
+usually passes within seconds); the spread that remains is visible in
+the JSON, so a slow recorded best can be distinguished from a real
+regression without re-running the round.
 
 The extraction corpus is the deterministic skewed interleaved corpus
 from datagen (FIXTURES.md profile: 1% giant docs up to 2 MB); the
@@ -36,6 +46,13 @@ N_SYNTH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "3000"))
 # shared VM (measured; see BENCH/BASELINE.md noise caveat) — two
 # repeats often both land in one slow window
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+# a best-of-3 whose samples span more than this ratio is suspect —
+# take extra repeats so one noisy window can't define the artifact
+NOISE_SPREAD = float(os.environ.get("SPARK_GRAFT_BENCH_NOISE_SPREAD", "3.0"))
+NOISE_EXTRA_REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_NOISE_EXTRA", "3"))
+
+
+LOAD_START = os.getloadavg()
 
 
 def main() -> None:
@@ -65,19 +82,30 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
-    extras: dict[str, float] = {}
+    extras: dict = {}
+    samples: dict[str, list[float]] = {}
 
-    def timed(name, build_and_run):
-        """best-of-REPEATS; the plan is rebuilt inside build_and_run so
-        repeats can't reuse shuffle outputs."""
-        best = float("inf")
+    def _sample_until_stable(name, build_and_run, clear_cache=True):
+        """Run ≥REPEATS times, then keep sampling (bounded) while the
+        max/min spread exceeds NOISE_SPREAD.  Records every sample."""
+        runs: list[float] = []
         result = None
-        for _ in range(max(REPEATS, 1)):
-            spark.catalog.clearCache()
+        budget = max(REPEATS, 1) + NOISE_EXTRA_REPEATS
+        while len(runs) < budget:
+            if clear_cache:
+                spark.catalog.clearCache()
             t0 = time.perf_counter()
             result = build_and_run()
-            dt = time.perf_counter() - t0
-            best = min(best, dt)
+            runs.append(round(time.perf_counter() - t0, 3))
+            if len(runs) >= max(REPEATS, 1) and max(runs) / min(runs) <= NOISE_SPREAD:
+                break
+        samples[name] = runs
+        return result, min(runs)
+
+    def timed(name, build_and_run, clear_cache=True):
+        """best-of-≥REPEATS; the plan is rebuilt inside build_and_run
+        so repeats can't reuse shuffle outputs."""
+        result, best = _sample_until_stable(name, build_and_run, clear_cache)
         timings[name] = round(best, 3)
         return result
 
@@ -145,12 +173,9 @@ def main() -> None:
     def run_stats():
         return stats.tag_stats(stats.span_stats(ext2)).count()
 
-    best = float("inf")
-    for _ in range(max(REPEATS, 1)):
-        t0 = time.perf_counter()
-        run_stats()
-        best = min(best, time.perf_counter() - t0)
-    timings["span_stats_two_level"] = round(best, 3)
+    # clear_cache=False: ext2 must STAY cached — the timed region is
+    # the stats plan, not a kernel rerun
+    timed("span_stats_two_level", run_stats, clear_cache=False)
     ext2.unpersist()
 
     # 5) dedup: minhash-LSH + jaccard verify at sf
@@ -170,12 +195,7 @@ def main() -> None:
     extended: dict[str, float] = {}
 
     def timed_ext(name, build_and_run):
-        best = float("inf")
-        for _ in range(max(REPEATS, 1)):
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            build_and_run()
-            best = min(best, time.perf_counter() - t0)
+        _result, best = _sample_until_stable(name, build_and_run)
         extended[name] = round(best, 3)
 
     timed_ext("dedup_clusters", lambda: q_dedup_clusters(spark, SF_DIR).count())
@@ -185,6 +205,7 @@ def main() -> None:
     timed_ext("pipeline_clean_corpus", lambda: q_pipeline_clean_corpus(spark, SF_DIR).count())
     extras["extended_queries"] = extended
 
+    load_end = os.getloadavg()
     print(json.dumps({
         "metric": "headline workload wall-clock (extraction + stats + dedup + similarity + relational), best-of-%d" % REPEATS,
         "value": total,
@@ -194,6 +215,13 @@ def main() -> None:
         "cpus": CPUS,
         "synth_docs": N_SYNTH_DOCS,
         **extras,
+        # noise evidence: every repeat per query + box load before/after
+        # (a best sample recorded under heavy external load or with a
+        # wide spread is self-identifying as suspect)
+        "samples": samples,
+        "loadavg": {"start": [round(x, 2) for x in LOAD_START],
+                    "end": [round(x, 2) for x in load_end]},
+        "noise_spread_threshold": NOISE_SPREAD,
     }))
     spark.stop()
 

@@ -51,6 +51,9 @@ def span_rows(extracted: DataFrame, tokenizer: str = "bytes") -> DataFrame:
     if tokenizer not in ("bytes", "whitespace", "bpe"):
         raise ValueError(f"unknown tokenizer {tokenizer!r}")
 
+    if tokenizer == "bytes":
+        return _span_rows_bytes_vectorized(extracted)
+
     from typing import Iterator
 
     import pandas as pd
@@ -100,6 +103,92 @@ def span_rows(extracted: DataFrame, tokenizer: str = "bytes") -> DataFrame:
     return extracted.select("doc_id", "text", "spans").mapInPandas(
         slice_rows, schema=schema
     )
+
+
+_SPAN_ROW_SCHEMA = (
+    "doc_id string, tag string, char_start_idx int, char_end_idx int, "
+    "text_length double, self_closing int, token_length double"
+)
+
+
+def _span_rows_bytes_vectorized(extracted: DataFrame) -> DataFrame:
+    """``span_rows(tokenizer="bytes")`` with no per-span Python loop.
+
+    utf8_len(text[a:b]) == cum[b] − cum[a] where ``cum`` is the
+    per-doc cumulative utf-8 byte width of each char — so ONE
+    vectorized pass over each doc (utf-32 decode → width table →
+    cumsum) replaces a ``text[a:b]; piece.encode()`` per span.  The
+    per-span dict walk was the allocation hot spot of the stats
+    bench (≈1.4 M spans / 750 docs): numpy gathers cut it ~4× and
+    remove the allocator-pressure creep across repeats.  Spans'
+    start/end/tag arrive as per-doc ARRAYS (JVM ``transform``
+    pre-projection), so the batch loop is per doc, not per span.
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    pre = extracted.select(
+        "doc_id",
+        "text",
+        F.transform("spans", lambda s: s["value"]).alias("tags"),
+        F.transform("spans", lambda s: s["char_start_idx"]).alias("starts"),
+        F.transform("spans", lambda s: s["char_end_idx"]).alias("ends"),
+    )
+
+    def slice_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("doc_id", "tag", "char_start_idx", "char_end_idx",
+                "text_length", "self_closing", "token_length")
+        for pdf in batches:
+            doc_ids, counts = [], []
+            tag_parts, s_parts, e_parts, tok_parts = [], [], [], []
+            for doc_id, text, tags, starts, ends in zip(
+                pdf["doc_id"], pdf["text"], pdf["tags"], pdf["starts"], pdf["ends"]
+            ):
+                n = len(starts)
+                if n == 0:
+                    continue
+                s = np.asarray(starts, dtype=np.int64)
+                # char_end_idx is nullable: null backfills from start (B13)
+                e_raw = np.asarray(ends, dtype=np.float64)
+                e = np.where(np.isnan(e_raw), s, e_raw).astype(np.int64)
+                # utf-8 width per char: 1 + [U+0080,) + [U+0800,) + [U+10000,)
+                codes = np.frombuffer(
+                    text.encode("utf-32-le"), dtype=np.uint32
+                )
+                widths = (
+                    1
+                    + (codes >= 0x80).astype(np.int64)
+                    + (codes >= 0x800)
+                    + (codes >= 0x10000)
+                )
+                cum = np.zeros(len(codes) + 1, dtype=np.int64)
+                np.cumsum(widths, out=cum[1:])
+                lo = np.clip(s, 0, len(codes))
+                hi = np.clip(np.maximum(e, s), 0, len(codes))
+                doc_ids.append(doc_id)
+                counts.append(n)
+                tag_parts.append(np.asarray(tags, dtype=object))
+                s_parts.append(s)
+                e_parts.append(e)
+                tok_parts.append(cum[hi] - cum[lo])
+            if not doc_ids:
+                yield pd.DataFrame({k: [] for k in cols})
+                continue
+            s_all = np.concatenate(s_parts)
+            e_all = np.concatenate(e_parts)
+            yield pd.DataFrame({
+                "doc_id": np.repeat(np.asarray(doc_ids, dtype=object), counts),
+                "tag": np.concatenate(tag_parts),
+                "char_start_idx": s_all.astype(np.int32),
+                "char_end_idx": e_all.astype(np.int32),
+                "text_length": (e_all - s_all).astype(np.float64),
+                "self_closing": (e_all == s_all).astype(np.int32),
+                "token_length": np.concatenate(tok_parts).astype(np.float64),
+            })
+
+    return pre.mapInPandas(slice_batches, schema=_SPAN_ROW_SCHEMA)
 
 
 def span_stats(extracted: DataFrame, tokenizer: str = "bytes") -> DataFrame:

@@ -69,3 +69,46 @@ def test_stats_per_doc_csv_roundtrip(spark, tmp_path):
     described = tag_stats(per_doc)
     assert {"tag", "stat_col", "count", "mean", "std", "min", "p25", "p50", "p75", "max"} == set(described.columns)
     assert described.count() > 0
+
+
+def test_span_rows_bytes_vectorized_parity(spark):
+    """The numpy utf8-cumsum path must equal a plain-Python
+    `len(text[a:b].encode())` recomputation on unicode-heavy docs with
+    null ends, inverted spans, out-of-range indexes and empty span
+    lists (the loop path's exact semantics)."""
+    from mini_html_parser_spark.operators.stats import span_rows
+
+    rows = [
+        ("d1", "héllo 漢字 wörld 🎉 plain ascii tail", [
+            ("p", 0, 5), ("em", 6, 8), ("b", 9, None), ("i", 15, 16),
+            ("q", 20, 10),     # inverted: text_length negative, tokens 0
+            ("z", 2, 999),     # end past len: clamps
+            ("s", 4, 4),       # self-closing
+        ]),
+        ("d2", "", [("p", 0, 0)]),
+        ("d3", "no spans here", []),
+        ("d4", "𝄞𝄞𝄞 four-byte chars", [("m", 0, 3), ("m", 1, 5)]),
+    ]
+    df = spark.createDataFrame(
+        [(d, t, [{"kind": "tag", "value": v, "char_start_idx": a,
+                  "char_end_idx": b} for v, a, b in sp])
+         for d, t, sp in rows],
+        "doc_id string, text string, spans array<struct<kind:string,"
+        "value:string,char_start_idx:int,char_end_idx:int>>",
+    )
+    got = {
+        (r["doc_id"], r["tag"], r["char_start_idx"]): (
+            r["char_end_idx"], r["text_length"], r["self_closing"],
+            r["token_length"],
+        )
+        for r in span_rows(df, tokenizer="bytes").collect()
+    }
+    want = {}
+    for d, t, sp in rows:
+        for v, a, b in sp:
+            e = a if b is None else b
+            want[(d, v, a)] = (
+                e, float(e - a), int(e == a),
+                float(len(t[a:e].encode("utf-8"))),
+            )
+    assert got == want
