@@ -8,6 +8,14 @@ union + window: tag both sides, sort once per key, and carry the last
 non-null right value forward — ONE shuffle, linear work, no
 per-key quadratic blowup.  (DuckDB has native ASOF JOIN, which is the
 driver oracle for this operator.)
+
+Hot keys: a window partitioned by key serializes each key into one
+task — not AQE-fixable — so one pathological key (a bot user with 10⁹
+events) becomes a straggler.  ``split_hot_keys=N`` re-partitions the
+window by (key, coarse-time-range): each side is bucketed into N
+global time ranges, the window runs within (key, range), and a small
+per-(key, range) summary table injects the carry-in right row each
+range needs from earlier ranges — same results, parallelism N per key.
 """
 
 from __future__ import annotations
@@ -23,6 +31,7 @@ def as_of_join(
     value_cols: list[str],
     prefix: str = "asof_",
     tolerance: "Column | None" = None,
+    split_hot_keys: int | None = None,
 ) -> DataFrame:
     """Backward as-of join: every ``left`` row gains
     ``{prefix}{col}`` columns from the ``right`` row with the greatest
@@ -34,13 +43,19 @@ def as_of_join(
     nulled out (pandas ``merge_asof(tolerance=…)`` semantics).  The
     matched right timestamp is always emitted as ``{prefix}{ts_col}``.
 
+    ``split_hot_keys=N`` (optional, N > 1): split every key's window
+    into N coarse global time ranges so no key serializes into a
+    single task (see module docstring).  Costs one tiny min/max job at
+    plan-build time plus two metadata-scale shuffles (the distinct
+    (key, range) universe and its per-range right summaries); the big
+    window shuffle then partitions by (key, range).  Results are
+    identical to the unsplit plan (pinned by pytest parity).
+
     Implementation: union the tagged sides, window-sort by
     ``(ts, side)`` with right rows first at equal timestamps
     (inclusiveness), and ``last(..., ignorenulls=True)`` each right
-    value over the unbounded-preceding frame.  One shuffle on the key.
-    Hot keys concentrate in one task (window skew is not AQE-fixable);
-    for pathological keys pre-split by coarse time range and as-of
-    join the boundary separately.
+    value over the unbounded-preceding frame.  One shuffle on the key
+    (or on (key, range) when splitting).
     """
     if ts_col in value_cols:
         raise ValueError("ts_col is always emitted as the asof timestamp; "
@@ -64,12 +79,28 @@ def as_of_join(
         *[F.col(c).alias(f"_r_{c}") for c in value_cols],
         F.col(ts_col).alias("_r___ts"),
     )
-    w = (
-        Window.partitionBy(key_col)
-        .orderBy(ts_col, "_side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    u = l.unionByName(r).select(
+
+    # deterministic tie-break among right rows sharing (key, ts): the
+    # greatest value tuple wins (same rule as the split path's
+    # max(struct(ts, values)) summaries — and it makes the operator
+    # deterministic instead of picking an arbitrary tied row)
+    order_cols = [ts_col, "_side", *[f"_r_{c}" for c in carried]]
+
+    drop_extra: list[str] = []
+    if split_hot_keys and split_hot_keys > 1:
+        u, w = _split_union(
+            l, r, left, right, key_col, ts_col, l_extra, carried,
+            order_cols, int(split_hot_keys),
+        )
+        drop_extra = ["_rg"]
+    else:
+        u = l.unionByName(r)
+        w = (
+            Window.partitionBy(key_col)
+            .orderBy(*order_cols)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    u = u.select(
         "*",
         *[
             F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}")
@@ -77,7 +108,7 @@ def as_of_join(
         ],
     )
     out = u.filter(F.col("_side") == 1).drop(
-        "_side", *[f"_r_{c}" for c in carried]
+        "_side", *drop_extra, *[f"_r_{c}" for c in carried]
     )
     matched_ts = F.col(f"{prefix}__ts")
     if tolerance is not None:
@@ -92,3 +123,96 @@ def as_of_join(
             ],
         )
     return out.withColumnRenamed(f"{prefix}__ts", f"{prefix}{ts_col}")
+
+
+def _split_union(
+    l: DataFrame,
+    r: DataFrame,
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    ts_col: str,
+    l_extra: list[str],
+    carried: list[str],
+    order_cols: list[str],
+    n_splits: int,
+):
+    """Tagged union + window spec for the hot-key-split plan.
+
+    Ranges are N equal slices of the GLOBAL [min, max] ts (one cheap
+    map-combined agg at build time — both sides project to a single
+    double column).  Each (key, range) needs the latest right row from
+    earlier ranges as carry-in; that's a per-(key, range) summary
+    (``max(struct(ts, values))`` — one metadata-scale aggregation) run
+    through a running ``last`` over the distinct (key, range) universe
+    of BOTH sides (left-only ranges still need carry-in), then injected
+    as synthetic right rows.  The synthetic row keeps its REAL
+    timestamp (it sorts first in its range because it's older than the
+    range start, and the emitted matched-ts / tolerance math stays
+    exact).
+    """
+    ts_d = F.col(ts_col).cast("double")
+    bounds = (
+        left.select(ts_d.alias("_t"))
+        .unionAll(right.select(ts_d.alias("_t")))
+        .agg(F.min("_t").alias("lo"), F.max("_t").alias("hi"))
+        .first()
+    )
+    lo, hi = bounds["lo"], bounds["hi"]
+    if lo is None or hi is None or hi <= lo:
+        # empty input or a single instant: nothing to split
+        u = l.unionByName(r).withColumn("_rg", F.lit(0))
+        w = (
+            Window.partitionBy(key_col, "_rg")
+            .orderBy(*order_cols)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return u, w
+    width = (hi - lo) / n_splits
+    rg = F.least(
+        F.greatest(F.floor((ts_d - F.lit(lo)) / F.lit(width)), F.lit(0)),
+        F.lit(n_splits - 1),
+    ).cast("int")
+
+    l2 = l.withColumn("_rg", rg)
+    r2 = r.withColumn("_rg", rg)
+
+    universe = (
+        l2.select(key_col, "_rg").unionByName(r2.select(key_col, "_rg")).distinct()
+    )
+    rsum = r2.groupBy(key_col, "_rg").agg(
+        F.max(
+            F.struct(
+                F.col(ts_col).alias("_t"),
+                *[F.col(f"_r_{c}").alias(f"_r_{c}") for c in carried],
+            )
+        ).alias("_s")
+    )
+    carry_w = (
+        Window.partitionBy(key_col)
+        .orderBy("_rg")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        universe.join(rsum, [key_col, "_rg"], "left")
+        .select(
+            key_col, "_rg",
+            F.last("_s", ignorenulls=True).over(carry_w).alias("_c"),
+        )
+        .filter(F.col("_c").isNotNull())
+    )
+    synth = carry.select(
+        F.col(key_col),
+        F.col("_c._t").alias(ts_col),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in l_extra],
+        F.lit(0).alias("_side"),
+        *[F.col(f"_c._r_{c}").alias(f"_r_{c}") for c in carried],
+        F.col("_rg"),
+    )
+    u = l2.unionByName(r2).unionByName(synth.select(*l2.columns))
+    w = (
+        Window.partitionBy(key_col, "_rg")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return u, w

@@ -367,3 +367,82 @@ def test_span_stats_match_pandas(spark):
         assert abs(m["text_length_median"] - m["median"]) < 1e-9
         assert (pd.isna(m["text_length_std"]) and pd.isna(m["std"])) or \
             abs(m["text_length_std"] - m["std"]) < 1e-9
+
+
+def test_as_of_join_split_hot_keys_parity(spark):
+    """split_hot_keys=N must produce EXACTLY the unsplit results —
+    randomized keys/timestamps incl. ties, carry-across-empty-ranges,
+    keys with no right rows, and tolerance interaction."""
+    import random
+
+    from mini_html_parser_spark.operators.joins import as_of_join
+
+    rng = random.Random(20260816)
+    left_rows = [
+        (i, rng.choice(["a", "b", "c", "hot"]), float(rng.randint(0, 1000)))
+        for i in range(400)
+    ]
+    # key "c" gets no right rows; right rows cluster early so later
+    # ranges exercise the carry-in path
+    right_rows = [
+        (rng.choice(["a", "b", "hot"]), float(rng.randint(0, 300)), rng.random())
+        for _ in range(150)
+    ]
+    left = spark.createDataFrame(left_rows, "event_id long, user_id string, ts double")
+    right = spark.createDataFrame(right_rows, "user_id string, ts double, value double")
+
+    def key(rows):
+        return sorted(
+            (r["event_id"], r["asof_value"], r["asof_ts"]) for r in rows
+        )
+
+    for tol in (None, F.lit(50.0)):
+        base = key(as_of_join(left, right, "user_id", "ts", ["value"],
+                              tolerance=tol).collect())
+        for n in (2, 7, 16):
+            split = key(as_of_join(left, right, "user_id", "ts", ["value"],
+                                   tolerance=tol, split_hot_keys=n).collect())
+            assert split == base, (tol, n)
+
+
+def test_as_of_join_split_hot_key_no_straggler(spark):
+    """One key holding ~10⁶ rows: the split plan windows on
+    (key, range) — the hot key spreads over N tasks instead of
+    serializing into one — and still returns exact results."""
+    import time
+
+    from pyspark.sql import functions as F2
+
+    from mini_html_parser_spark.operators.joins import as_of_join
+
+    n = 1_000_000
+    left = spark.range(n).select(
+        F2.col("id").alias("event_id"),
+        F2.lit("bot").alias("user_id"),
+        (F2.col("id") * 2.0).alias("ts"),
+    )
+    right = spark.range(n // 2).select(
+        F2.lit("bot").alias("user_id"),
+        (F2.col("id") * 4.0 + 1.0).alias("ts"),
+        F2.col("id").cast("double").alias("value"),
+    )
+    out = as_of_join(left, right, "user_id", "ts", ["value"], split_hot_keys=32)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the big window partitions by (key, range), not key alone
+    assert "hashpartitioning(user_id" in plan and "_rg" in plan
+
+    t0 = time.time()
+    agg = out.select(
+        F2.count("*").alias("n"),
+        F2.sum("asof_value").alias("sv"),
+        F2.count("asof_value").alias("nv"),
+    ).first()
+    elapsed = time.time() - t0
+    assert agg["n"] == n
+    # exact expectation: left ts=2i matches right ts=4j+1 with the
+    # greatest 4j+1 <= 2i -> j = floor((2i-1)/4), value=j; null for i=0
+    expect_nv = n - 1
+    expect_sv = sum((2 * i - 1) // 4 for i in range(1, n))
+    assert agg["nv"] == expect_nv
+    assert int(agg["sv"]) == expect_sv
+    assert elapsed < 120, f"hot-key as-of took {elapsed:.1f}s"
