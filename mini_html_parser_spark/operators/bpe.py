@@ -6,14 +6,22 @@ unavailable offline.  This module provides a public-knowledge BPE
 built from scratch: a fixed, embedded merge table applied in rank
 order — the standard BPE application scheme (Sennrich et al. 2016),
 with one deterministic simplification: each merge rank makes a
-single left-to-right non-overlapping pass (exactly ``str.replace``
-semantics) instead of iterating a rank to fixpoint.  The two differ
-only on immediately-repeated pairs (``llll`` → ``[ll, l, l]`` vs
-``[ll, ll]``) and the single-pass form is what every SQL engine's
-``replace()`` implements — which makes the tokenizer exactly
-replicable in DuckDB for the driver's oracle cross-check, and
-implementable as pure JVM expressions on the Spark side (no Python
-in the hot path; the whole plan stays in whole-stage codegen).
+single left-to-right non-overlapping STRING-replace pass (exactly
+``str.replace`` semantics) instead of the classic
+lowest-present-rank-first symbol-sequence iteration.  The two
+diverge when a merge's output re-creates an earlier-rank pair, and
+when the flat replace matches across a symbol boundary (one symbol a
+suffix of another — e.g. merges ``[(a,a),(b,a),(a,b),(ab,ab)]`` on
+``aabbaabaa``: single-pass ``[aab,b,aab,aa]`` vs classic
+``[aa,b,b,aa,b,aa]``).  The single-pass form is what every SQL
+engine's ``replace()`` implements — which makes the tokenizer
+exactly replicable in DuckDB for the driver's oracle cross-check,
+and implementable as pure JVM expressions on the Spark side (no
+Python in the hot path; the whole plan stays in whole-stage
+codegen).  ``fixpoint=True`` on the Python paths (encode /
+count_tokens / encode_pretoken, and ``tokenizer="bpe_fixpoint"`` in
+the stats job) selects TRUE classic BPE for consumers that need
+real-tokenizer statistics; it is Python-only by construction.
 
 Pipeline (identical on all three implementations — Spark SQL,
 DuckDB oracle, pure Python):
@@ -108,32 +116,84 @@ def learn_bpe(
         .collect()
     )
     vocab = {tuple(r["w"]): int(r["count"]) for r in words}
+    return _learn_merges(vocab, n_merges)
+
+
+def _learn_merges(
+    vocab: "dict[tuple[str, ...], int]", n_merges: int
+) -> list[tuple[str, str]]:
+    """The classic Sennrich merge loop with INCREMENTAL pair counts:
+    each round touches only the words containing the merged pair
+    (indexed pair→word-ids) instead of recounting every pair over the
+    whole vocab — O(n_merges × vocab_chars) → roughly O(total updates)
+    (the standard Sennrich optimization; VERDICT r2 #5).  Selection is
+    a lazy max-heap with stale-entry skipping; tie-break (max count,
+    then lexicographically smallest pair) matches the recount form
+    exactly, pinned by the learn-vs-reference pytest.
+    """
+    import heapq
+    from collections import Counter, defaultdict
+
+    words: list[list] = [[list(syms), cnt] for syms, cnt in vocab.items()]
+    pair_counts: Counter = Counter()
+    pair_words: defaultdict = defaultdict(set)
+    for wi, (syms, cnt) in enumerate(words):
+        for p in zip(syms, syms[1:]):
+            pair_counts[p] += cnt
+            pair_words[p].add(wi)
+    heap = [(-c, p) for p, c in pair_counts.items()]
+    heapq.heapify(heap)
+
+    def bump(p, delta, wi=None):
+        c = pair_counts[p] + delta
+        if c > 0:
+            pair_counts[p] = c
+            heapq.heappush(heap, (-c, p))
+            if wi is not None:
+                pair_words[p].add(wi)
+        else:
+            pair_counts.pop(p, None)
+            pair_words.pop(p, None)
 
     merges: list[tuple[str, str]] = []
-    for _ in range(n_merges):
-        pair_counts: Counter = Counter()
-        for syms, cnt in vocab.items():
-            for a, b in zip(syms, syms[1:]):
-                pair_counts[(a, b)] += cnt
-        if not pair_counts:
+    while len(merges) < n_merges:
+        best = None
+        while heap:
+            negc, p = heapq.heappop(heap)
+            if pair_counts.get(p) == -negc:
+                best = p
+                break
+        if best is None:
             break
-        # deterministic: max count, ties by pair lexicographic
-        (x, y), _cnt = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
-        merges.append((x, y))
+        merges.append(best)
+        x, y = best
         merged = x + y
-        new_vocab = {}
-        for syms, cnt in vocab.items():
-            out = []
+        affected = list(pair_words.get(best, ()))
+        for wi in affected:
+            syms, cnt = words[wi]
+            out: list[str] = []
             i = 0
+            changed = False
             while i < len(syms):
                 if i + 1 < len(syms) and syms[i] == x and syms[i + 1] == y:
                     out.append(merged)
                     i += 2
+                    changed = True
                 else:
                     out.append(syms[i])
                     i += 1
-            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + cnt
-        vocab = new_vocab
+            if not changed:  # stale index entry
+                continue
+            for p in zip(syms, syms[1:]):
+                if p != best:
+                    bump(p, -cnt)
+            for p in zip(out, out[1:]):
+                bump(p, cnt, wi)
+            words[wi][0] = out
+        # a merge consumes every (x, y) adjacency it touches, and its
+        # output can't recreate the pair (x+y ≠ x): the pair is gone
+        pair_counts.pop(best, None)
+        pair_words.pop(best, None)
     return merges
 
 
@@ -149,13 +209,54 @@ def _encode_cached(pretoken: str, merges: tuple) -> tuple[str, ...]:
     return tuple(s.split(" ")[:-1])
 
 
-def encode_pretoken(pretoken: str, merges=None) -> tuple[str, ...]:
+@lru_cache(maxsize=262144)
+def _encode_classic_cached(pretoken: str, merges: tuple) -> tuple[str, ...]:
+    """TRUE BPE application (Sennrich/GPT-2 semantics): repeatedly
+    merge the lowest-rank pair PRESENT in the symbol sequence (all its
+    occurrences, leftmost-first) until no merge applies.  Differs from
+    the single-pass form on (a) immediately-repeated pairs whose merge
+    re-creates an earlier-rank pair and (b) symbol sequences where the
+    flat string-replace would match across a symbol boundary (one
+    symbol a suffix of another).  Not expressible as chained
+    ``replace`` calls, hence Python-only — the single-pass form stays
+    the oracle-replicable default."""
+    ranks = {p: i for i, p in enumerate(merges)}
+    syms = list(pretoken)
+    while len(syms) > 1:
+        best = None
+        best_rank = len(merges)
+        for p in zip(syms, syms[1:]):
+            rk = ranks.get(p, -1)
+            if rk >= 0 and rk < best_rank:
+                best, best_rank = p, rk
+        if best is None:
+            break
+        x, y = best
+        out: list[str] = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == x and syms[i + 1] == y:
+                out.append(x + y)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return tuple(syms)
+
+
+def encode_pretoken(pretoken: str, merges=None, fixpoint: bool = False) -> tuple[str, ...]:
     """BPE symbol sequence for one pretoken (cached — crawl text
-    repeats words heavily)."""
-    return _encode_cached(pretoken, tuple(merges) if merges is not None else tuple(MERGES))
+    repeats words heavily).  ``fixpoint=True`` selects true classic
+    BPE (see :func:`_encode_classic_cached`); the default single-pass
+    form is what the JVM/DuckDB expression paths implement."""
+    m_t = tuple(merges) if merges is not None else tuple(MERGES)
+    if fixpoint:
+        return _encode_classic_cached(pretoken, m_t)
+    return _encode_cached(pretoken, m_t)
 
 
-def encode(text: str, merges=None) -> list[str]:
+def encode(text: str, merges=None, fixpoint: bool = False) -> list[str]:
     """BPE token sequence for ``text``.
 
     BOUNDARY (\\x1e) is RESERVED: occurrences in the input are
@@ -164,17 +265,19 @@ def encode(text: str, merges=None) -> list[str]:
     reference adopts the same rule (it can only ever be a standalone
     single-char pretoken: alnum runs can't contain it)."""
     m_t = tuple(merges) if merges is not None else tuple(MERGES)
+    enc = _encode_classic_cached if fixpoint else _encode_cached
     out: list[str] = []
     for m in _PRETOKEN_C.finditer(text or ""):
         if m.group(0) != BOUNDARY:
-            out.extend(_encode_cached(m.group(0), m_t))
+            out.extend(enc(m.group(0), m_t))
     return out
 
 
-def count_tokens(text: str, merges=None) -> int:
+def count_tokens(text: str, merges=None, fixpoint: bool = False) -> int:
     m_t = tuple(merges) if merges is not None else tuple(MERGES)
+    enc = _encode_classic_cached if fixpoint else _encode_cached
     return sum(
-        len(_encode_cached(m.group(0), m_t))
+        len(enc(m.group(0), m_t))
         for m in _PRETOKEN_C.finditer(text or "")
         if m.group(0) != BOUNDARY
     )

@@ -48,7 +48,7 @@ def span_rows(extracted: DataFrame, tokenizer: str = "bytes") -> DataFrame:
     # seeks the char offset by scanning, O(text_len) per span →
     # O(spans × text_len) per giant doc.  CPython slicing is O(slice)
     # with O(1) indexing, so one pass over each doc's spans is linear.
-    if tokenizer not in ("bytes", "whitespace", "bpe"):
+    if tokenizer not in ("bytes", "whitespace", "bpe", "bpe_fixpoint"):
         raise ValueError(f"unknown tokenizer {tokenizer!r}")
 
     if tokenizer == "bytes":
@@ -78,6 +78,13 @@ def span_rows(extracted: DataFrame, tokenizer: str = "bytes") -> DataFrame:
     elif tokenizer == "whitespace":
         def count_tokens(piece: str) -> int:
             return len(piece.split())
+    elif tokenizer == "bpe_fixpoint":
+        # true classic BPE (Sennrich/GPT-2 semantics) — Python-only,
+        # for real-tokenizer statistics; see operators/bpe.py docstring
+        from .bpe import count_tokens as _bpe_count
+
+        def count_tokens(piece: str) -> int:
+            return _bpe_count(piece, fixpoint=True)
     else:
         from .bpe import count_tokens
 
