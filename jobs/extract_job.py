@@ -30,11 +30,25 @@ def main(argv=None) -> int:
     p.add_argument("--parallelism", type=int, default=None)
     p.add_argument("--streaming", action="store_true",
                    help="treat --input as a stream source (availableNow batch)")
+    p.add_argument("--iceberg-catalog", default=None,
+                   help="Iceberg catalog name to wire into the session "
+                        "(needs the runtime jar via --packages; see "
+                        "jobs/submit_extract.sh).  When set, --input may "
+                        "be a table identifier like <catalog>.db.documents")
+    p.add_argument("--iceberg-warehouse", default=None)
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
 
-    spark = SparkSession.builder.appName("mini-html-parser-extract").getOrCreate()
+    builder = SparkSession.builder.appName("mini-html-parser-extract")
+    if args.iceberg_catalog:
+        from mini_html_parser_spark.pipeline import iceberg_configs
+
+        for k, v in iceberg_configs(
+            args.iceberg_catalog, args.iceberg_warehouse
+        ).items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
 
     if args.streaming:
         from mini_html_parser_spark.streaming.extract_stream import (
@@ -52,7 +66,10 @@ def main(argv=None) -> int:
 
     from mini_html_parser_spark.pipeline import run_extraction_job
 
-    documents = spark.read.parquet(args.input)
+    if args.iceberg_catalog and args.input.startswith(args.iceberg_catalog + "."):
+        documents = spark.table(args.input)  # catalog table swap-in
+    else:
+        documents = spark.read.parquet(args.input)
     result = run_extraction_job(
         spark, documents, args.output, config=args.config,
         parallelism=args.parallelism,

@@ -52,23 +52,28 @@ def build_session(
         .config("spark.ui.enabled", "false")
     )
     if iceberg_catalog:
-        builder = (
-            builder
-            .config(
-                "spark.sql.extensions",
-                "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions",
-            )
-            .config(
-                f"spark.sql.catalog.{iceberg_catalog}",
-                "org.apache.iceberg.spark.SparkCatalog",
-            )
-            .config(f"spark.sql.catalog.{iceberg_catalog}.type", "hadoop")
-            .config(
-                f"spark.sql.catalog.{iceberg_catalog}.warehouse",
-                iceberg_warehouse or "warehouse",
-            )
-        )
+        for k, v in iceberg_configs(iceberg_catalog, iceberg_warehouse).items():
+            builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def iceberg_configs(catalog: str, warehouse: str | None = None) -> dict[str, str]:
+    """The Spark confs that wire an Iceberg Hadoop catalog named
+    ``catalog`` — usable from :func:`build_session`, from a job
+    script's own builder, or spelled as ``--conf`` pairs on
+    spark-submit (see jobs/submit_extract.sh).  The runtime jar comes
+    from ``--packages org.apache.iceberg:iceberg-spark-runtime-<spark
+    version>_<scala version>:<iceberg version>``; offline this sandbox
+    has no jar, so the seam is config-only and icelite
+    (plans/icelite.py) provides the snapshot/resume semantics over
+    plain parquet."""
+    return {
+        "spark.sql.extensions":
+            "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions",
+        f"spark.sql.catalog.{catalog}": "org.apache.iceberg.spark.SparkCatalog",
+        f"spark.sql.catalog.{catalog}.type": "hadoop",
+        f"spark.sql.catalog.{catalog}.warehouse": warehouse or "warehouse",
+    }
 
 
 # documents above this many chars of span text are scheduled as
