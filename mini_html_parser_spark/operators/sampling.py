@@ -33,3 +33,27 @@ def enumerate_rows(df: DataFrame, partition_col: str, order_col: str) -> DataFra
 
     w = Window.partitionBy(partition_col).orderBy(order_col)
     return df.withColumn("row_idx", F.row_number().over(w) - 1)
+
+
+def sample_exact_n_per_group(
+    df: DataFrame,
+    group_col: str,
+    n: int,
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic stratified sample: exactly min(n, group size)
+    rows per ``group_col`` value.  The order key is the md5 hex of
+    ``"{id}#{seed}"`` — a string compare identical in every engine, so
+    a DuckDB oracle reproduces the selection bit-for-bit.  One window
+    shuffle on the group; no global sort (each partition sorts
+    locally)."""
+    from pyspark.sql import Window
+
+    key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"#{seed}")))
+    w = Window.partitionBy(group_col).orderBy(key.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn")
+    )

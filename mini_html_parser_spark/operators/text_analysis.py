@@ -22,7 +22,10 @@ LANG_MARKERS = {
     "es": ["el", "los", "que", "es"],
 }
 
-TOKEN_REGEX = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+# explicit whitespace class, not \s — Java/RE2/Python \s disagree on
+# \x0b and \x1c-\x1f (see operators/bpe.py, ADVICE r2); this is the
+# same pretoken regex as bpe.PRETOKEN_RE
+TOKEN_REGEX = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\r\f\x0b]"
 
 
 def _count_word(text: Column, word: str) -> Column:
@@ -151,3 +154,76 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     md5 — stable across whitespace/punctuation jitter."""
     normalized = F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9]", "")
     return df.withColumn("fingerprint", F.md5(normalized))
+
+
+def boilerplate_lines(
+    df: DataFrame,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Lines (``\\n``-separated) that occur in ≥ ``min_docs`` DISTINCT
+    documents — the CCNet/RefinedWeb-style corpus-level boilerplate
+    set (nav bars, cookie banners, footers repeated across a crawl).
+    Blank/whitespace-only lines are never boilerplate.  One
+    explode + one groupBy shuffle; the output is typically tiny
+    relative to the corpus (only lines shared across documents
+    survive the HAVING)."""
+    lines = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), "\n")).alias("line")
+    )
+    return (
+        lines.filter(F.length(F.trim("line")) > 0)
+        .groupBy("line")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level line dedup: drop every line that appears in
+    ≥ ``min_docs`` distinct documents, preserving line order (and the
+    document row even if ALL its lines were boilerplate).  Returns
+    ``(id_col, text_clean, n_lines_removed)``.
+
+    Shape: posexplode → anti-join against :func:`boilerplate_lines`
+    (data-scale side keyed on the line; the boilerplate side is small
+    after its HAVING, so AQE broadcasts it in practice) → one groupBy
+    to reassemble per document.  Never O(corpus²); three shuffles of
+    which one is metadata-scale.
+    """
+    exploded = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    bp = boilerplate_lines(df, min_docs, text_col, id_col).select("line")
+    kept = exploded.join(bp, "line", "left_anti")
+    reassembled = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("text_clean"),
+        F.count("*").alias("_n_kept"),
+    )
+    totals = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), "\n")).alias("_n_total"),
+    )
+    return (
+        totals.join(reassembled, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            (F.col("_n_total") - F.coalesce("_n_kept", F.lit(0)))
+            .cast("int")
+            .alias("n_lines_removed"),
+        )
+    )

@@ -840,7 +840,7 @@ def q_token_counts(spark, sf_dir):
 ORACLE_TOKEN_COUNTS = """
 SELECT doc_id,
        CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
-       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS bpe_ish_tokens
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\r\f\x0b]')) AS BIGINT) AS bpe_ish_tokens
 FROM documents
 """
 
@@ -1245,6 +1245,80 @@ FROM orders WHERE NOT EXISTS (
 """
 
 
+def q_remove_boilerplate_lines(spark, sf_dir):
+    """CCNet/RefinedWeb-style corpus-level line dedup: lines occurring
+    in ≥ 5 distinct documents (the planted cookie banner in every doc;
+    the planted footer shared by each doc_id%7 class) are removed from
+    every document, order-preserving."""
+    docs = _docs(spark, sf_dir)
+    corpus = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("COOKIE BANNER ACCEPT"),
+            F.col("text"),
+            F.concat(F.lit("© footer "), F.pmod("doc_id", F.lit(7)).cast("string")),
+        ).alias("text"),
+    )
+    return text_analysis.remove_boilerplate_lines(corpus, min_docs=5)
+
+
+ORACLE_BOILERPLATE_LINES = """
+WITH corpus AS (
+  SELECT doc_id,
+         'COOKIE BANNER ACCEPT' || chr(10) || text || chr(10)
+           || '© footer ' || CAST(doc_id % 7 AS VARCHAR) AS text
+  FROM documents
+), lines AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         generate_subscripts(string_split(text, chr(10)), 1) AS pos
+  FROM corpus
+), bp AS (
+  SELECT line FROM lines WHERE trim(line) <> ''
+  GROUP BY line HAVING count(DISTINCT doc_id) >= 5
+), kept AS (
+  SELECT l.doc_id, l.line, l.pos FROM lines l
+  ANTI JOIN bp b ON l.line = b.line
+), agg AS (
+  SELECT doc_id,
+         array_to_string(list(line ORDER BY pos), chr(10)) AS text_clean,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT c.doc_id,
+       coalesce(a.text_clean, '') AS text_clean,
+       CAST(len(string_split(c.text, chr(10))) - coalesce(a.n_kept, 0) AS INTEGER)
+         AS n_lines_removed
+FROM corpus c LEFT JOIN agg a ON c.doc_id = a.doc_id
+"""
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic stratified sampling: exactly 7 docs per
+    doc_id%5 stratum, selected by an engine-portable md5 order key
+    (bit-identical in DuckDB)."""
+    docs = _docs(spark, sf_dir).withColumn(
+        "grp", F.pmod("doc_id", F.lit(5))
+    )
+    out = sampling.sample_exact_n_per_group(docs, "grp", n=7, seed=42)
+    return out.select("doc_id", "grp")
+
+
+ORACLE_SAMPLE_STRATIFIED = """
+WITH g AS (
+  SELECT doc_id, doc_id % 5 AS grp,
+         md5(CAST(doc_id AS VARCHAR) || '#42') AS k
+  FROM documents
+), r AS (
+  SELECT doc_id, grp,
+         row_number() OVER (PARTITION BY grp ORDER BY k, doc_id) AS rn
+  FROM g
+)
+SELECT doc_id, grp FROM r WHERE rn <= 7
+"""
+
+
 # =========================================================================
 # Registry
 # =========================================================================
@@ -1286,6 +1360,8 @@ QUERIES = {
     "token_counts_bpe": q_token_counts_bpe,
     "repetition_ratio": q_repetition_ratio,
     "scrub_pii": q_scrub_pii,
+    "remove_boilerplate_lines": q_remove_boilerplate_lines,
+    "sample_stratified": q_sample_stratified,
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
     "fingerprint": q_fingerprint,
     "multimodal_features": q_multimodal_features,
@@ -1346,5 +1422,7 @@ ORACLES = {
     "similarity_ivf_topk": ORACLE_SIMILARITY_LSH,  # same planted construction
     "repetition_ratio": ORACLE_REPETITION,
     "scrub_pii": _oracle_scrub_pii(),
+    "remove_boilerplate_lines": ORACLE_BOILERPLATE_LINES,
+    "sample_stratified": ORACLE_SAMPLE_STRATIFIED,
     "pipeline_clean_corpus": _oracle_pipeline(),
 }

@@ -632,3 +632,58 @@ def test_lsh_multiprobe_recall(spark):
     # measured on this pinned corpus/seed: 0.1 / 0.3 / 0.6
     assert recall[2] >= 0.6
     assert recall[2] > recall[0]
+
+
+def test_remove_boilerplate_lines(spark):
+    """Corpus-level line dedup (CCNet-style): lines in ≥ min_docs
+    distinct docs vanish from every doc, order preserved; blank lines
+    are never boilerplate; a doc losing all lines survives as ''."""
+    from mini_html_parser_spark.operators.text_analysis import (
+        boilerplate_lines, remove_boilerplate_lines,
+    )
+
+    rows = [
+        (1, "COOKIE BANNER\nalpha one\n\nshared tail"),
+        (2, "COOKIE BANNER\nbeta two\nshared tail"),
+        (3, "COOKIE BANNER\ngamma three\nshared tail"),
+        (4, "COOKIE BANNER"),                 # loses everything
+        (5, "solo doc keeps its single line"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bp = {r["line"] for r in boilerplate_lines(df, min_docs=3).collect()}
+    assert bp == {"COOKIE BANNER", "shared tail"}
+
+    got = {r["doc_id"]: (r["text_clean"], r["n_lines_removed"])
+           for r in remove_boilerplate_lines(df, min_docs=3).collect()}
+    assert got[1] == ("alpha one\n", 2)       # blank line kept, order kept
+    assert got[2] == ("beta two", 2)
+    assert got[3] == ("gamma three", 2)
+    assert got[4] == ("", 1)                  # doc survives empty
+    assert got[5] == ("solo doc keeps its single line", 0)
+    # duplicate lines WITHIN one doc don't make boilerplate
+    df2 = spark.createDataFrame(
+        [(1, "x\nx\nx"), (2, "y")], "doc_id long, text string"
+    )
+    assert boilerplate_lines(df2, min_docs=2).count() == 0
+
+
+def test_sample_exact_n_per_group(spark):
+    from mini_html_parser_spark.operators.sampling import sample_exact_n_per_group
+
+    df = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"), F.pmod("id", F.lit(4)).alias("grp")
+    )
+    out = sample_exact_n_per_group(df, "grp", n=10, seed=1)
+    rows = out.collect()
+    assert len(rows) == 40
+    from collections import Counter
+
+    assert Counter(r["grp"] for r in rows) == {g: 10 for g in range(4)}
+    # deterministic across runs; different seed differs
+    again = {r["doc_id"] for r in sample_exact_n_per_group(df, "grp", n=10, seed=1).collect()}
+    assert again == {r["doc_id"] for r in rows}
+    other = {r["doc_id"] for r in sample_exact_n_per_group(df, "grp", n=10, seed=2).collect()}
+    assert other != again
+    # small groups return all their rows
+    tiny = spark.createDataFrame([(1, 0), (2, 0), (3, 1)], "doc_id long, grp long")
+    assert sample_exact_n_per_group(tiny, "grp", n=10).count() == 3
