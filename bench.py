@@ -73,6 +73,7 @@ def main() -> None:
         q_scrub_pii,
         q_token_counts_bpe,
         q_pipeline_clean_corpus,
+        q_remove_boilerplate_lines,
     )
 
     # one local-mode JVM runs the whole workload back-to-back: size the
@@ -203,6 +204,7 @@ def main() -> None:
     timed_ext("scrub_pii", lambda: q_scrub_pii(spark, SF_DIR).count())
     timed_ext("token_counts_bpe", lambda: q_token_counts_bpe(spark, SF_DIR).count())
     timed_ext("pipeline_clean_corpus", lambda: q_pipeline_clean_corpus(spark, SF_DIR).count())
+    timed_ext("remove_boilerplate_lines", lambda: q_remove_boilerplate_lines(spark, SF_DIR).count())
     extras["extended_queries"] = extended
 
     load_end = os.getloadavg()

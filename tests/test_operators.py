@@ -687,3 +687,34 @@ def test_sample_exact_n_per_group(spark):
     # small groups return all their rows
     tiny = spark.createDataFrame([(1, 0), (2, 0), (3, 1)], "doc_id long, grp long")
     assert sample_exact_n_per_group(tiny, "grp", n=10).count() == 3
+
+
+def test_repetition_ratio_matches_python_reference(spark):
+    """arrays_zip sliding-window form == the definitional Python
+    n-gram computation, incl. short docs (≤ n tokens → ratio 0),
+    empty text, and heavy repetition."""
+    import re
+
+    texts = [
+        "",
+        "one",
+        "one two",
+        "one two three",
+        "one two three four",
+        "a b c a b c a b c a b c",
+        "spam spam spam spam spam spam spam",
+        "the quick brown fox jumps over the lazy dog",
+        "x y " * 50,
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    from mini_html_parser_spark.operators.text_analysis import repetition_ratio
+
+    got = {r["doc_id"]: r["repetition_ratio"]
+           for r in repetition_ratio(df).collect()}
+    for i, t in enumerate(texts):
+        toks = re.split(r"\s+", t.strip())
+        grams = [tuple(toks[j:j + 3]) for j in range(max(len(toks) - 3, 0) + 1)]
+        want = round(1.0 - len(set(grams)) / len(grams), 6)
+        assert got[i] == want, (i, t, got[i], want)
