@@ -363,8 +363,15 @@ def dedup_clusters(
     alternation of Kiveris et al. is the published alternative when
     diameters are large; not needed for dedup graphs).
     """
-    sym = edges.selectExpr("id_a AS src", "id_b AS dst").unionByName(
-        edges.selectExpr("id_b AS src", "id_a AS dst")
+    # materialize the symmetric edge list ONCE: it joins into every
+    # propagation round, and the upstream edge build (shingle → md5 →
+    # groupBy) is expensive — without this, each round recomputes it
+    # from the scan (measured 2-3 recomputations even on 1-round
+    # convergence: label init + each round's prop)
+    sym = (
+        edges.selectExpr("id_a AS src", "id_b AS dst")
+        .unionByName(edges.selectExpr("id_b AS src", "id_a AS dst"))
+        .localCheckpoint()
     )
     labels = (
         sym.groupBy("src")
