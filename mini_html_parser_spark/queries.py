@@ -1294,6 +1294,36 @@ FROM corpus c LEFT JOIN agg a ON c.doc_id = a.doc_id
 """
 
 
+def q_topk_per_group(spark, sf_dir):
+    """Top-3 longest documents per language (B22 per-group form).
+    Catalyst plans this as WindowGroupLimit (partial → final): each
+    map task prunes to its local top-3 BEFORE the shuffle, so shuffle
+    volume is ≤ 3 × groups × tasks at any corpus size."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        docs.withColumn("rank_in_lang", F.row_number().over(w))
+        .filter(F.col("rank_in_lang") <= 3)
+        .select("lang", "doc_id", "n_chars", "rank_in_lang")
+    )
+
+
+ORACLE_TOPK_PER_GROUP = """
+SELECT lang, doc_id, n_chars, CAST(rank_in_lang AS INTEGER) AS rank_in_lang
+FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC)
+           AS rank_in_lang
+  FROM documents
+)
+WHERE rank_in_lang <= 3
+"""
+
+
 def q_sample_stratified(spark, sf_dir):
     """Deterministic stratified sampling: exactly 7 docs per
     doc_id%5 stratum, selected by an engine-portable md5 order key
@@ -1362,6 +1392,7 @@ QUERIES = {
     "scrub_pii": q_scrub_pii,
     "remove_boilerplate_lines": q_remove_boilerplate_lines,
     "sample_stratified": q_sample_stratified,
+    "topk_per_group": q_topk_per_group,
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
     "fingerprint": q_fingerprint,
     "multimodal_features": q_multimodal_features,
@@ -1424,5 +1455,6 @@ ORACLES = {
     "scrub_pii": _oracle_scrub_pii(),
     "remove_boilerplate_lines": ORACLE_BOILERPLATE_LINES,
     "sample_stratified": ORACLE_SAMPLE_STRATIFIED,
+    "topk_per_group": ORACLE_TOPK_PER_GROUP,
     "pipeline_clean_corpus": _oracle_pipeline(),
 }
