@@ -502,3 +502,26 @@ def simhash_candidates(df_with_sig: DataFrame, id_col: str = "doc_id", max_hammi
         "id_a", "id_b",
         F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))).alias("hamming"),
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def neardup_survivors(
+    df: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Survivors after near-duplicate CLUSTER resolution: every doc
+    keeps its row unless it belongs to a duplicate cluster and is not
+    that cluster's representative (the minimum id — same deterministic
+    keep-rule as :func:`exact_dedup`).  Completes the near-dup
+    workflow: candidates (:func:`minhash_lsh_candidates` /
+    :func:`exact_shingle_duplicates`) → clusters
+    (:func:`dedup_clusters`) → survivors.
+
+    Scale shape: the doomed set (non-representative members) is
+    cluster-membership-sized, far smaller than the corpus, and the
+    anti-join needs no sort — at real scale AQE broadcasts it when it
+    fits, shuffles otherwise.
+    """
+    clusters = dedup_clusters(edges, id_col=id_col)
+    doomed = clusters.filter(F.col(id_col) != F.col("cluster_id")).select(id_col)
+    return df.join(doomed, id_col, "left_anti")

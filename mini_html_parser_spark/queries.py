@@ -1294,6 +1294,21 @@ FROM corpus c LEFT JOIN agg a ON c.doc_id = a.doc_id
 """
 
 
+def q_neardup_survivors(spark, sf_dir):
+    """Full near-dup workflow end-to-end: candidate edges → connected
+    components → survivor selection (keep each cluster's min id).
+    Planted corpus: every doc_id%10==0 doc has one +10⁶ copy, so
+    survivors are exactly the original documents table."""
+    corpus = _dup_corpus(spark, sf_dir)
+    edges = dedup.exact_shingle_duplicates(corpus).select("id_a", "id_b")
+    return dedup.neardup_survivors(corpus, edges).select("doc_id")
+
+
+ORACLE_NEARDUP_SURVIVORS = """
+SELECT doc_id FROM documents
+"""
+
+
 def q_topk_per_group(spark, sf_dir):
     """Top-3 longest documents per language (B22 per-group form).
     Catalyst plans this as WindowGroupLimit (partial → final): each
@@ -1393,6 +1408,7 @@ QUERIES = {
     "remove_boilerplate_lines": q_remove_boilerplate_lines,
     "sample_stratified": q_sample_stratified,
     "topk_per_group": q_topk_per_group,
+    "neardup_survivors": q_neardup_survivors,
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
     "fingerprint": q_fingerprint,
     "multimodal_features": q_multimodal_features,
@@ -1456,5 +1472,6 @@ ORACLES = {
     "remove_boilerplate_lines": ORACLE_BOILERPLATE_LINES,
     "sample_stratified": ORACLE_SAMPLE_STRATIFIED,
     "topk_per_group": ORACLE_TOPK_PER_GROUP,
+    "neardup_survivors": ORACLE_NEARDUP_SURVIVORS,
     "pipeline_clean_corpus": _oracle_pipeline(),
 }

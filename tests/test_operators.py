@@ -718,3 +718,17 @@ def test_repetition_ratio_matches_python_reference(spark):
         grams = [tuple(toks[j:j + 3]) for j in range(max(len(toks) - 3, 0) + 1)]
         want = round(1.0 - len(set(grams)) / len(grams), 6)
         assert got[i] == want, (i, t, got[i], want)
+
+
+def test_neardup_survivors(spark):
+    """candidates → clusters → survivors keeps exactly one doc (the
+    min id) per duplicate cluster and every unclustered doc."""
+    rows = [(i, "identical duplicated page body text repeated here") for i in (5, 2, 9)]
+    rows += [(7, "another duplicated family of text body words here"),
+             (8, "another duplicated family of text body words here")]
+    rows += [(1, "a unique document with entirely different words one"),
+             (3, "second unique document about unrelated topics two")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    edges = dedup.exact_shingle_duplicates(df).select("id_a", "id_b")
+    got = sorted(r["doc_id"] for r in dedup.neardup_survivors(df, edges).collect())
+    assert got == [1, 2, 3, 7]
