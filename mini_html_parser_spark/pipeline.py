@@ -167,11 +167,16 @@ def run_extraction_job(
     config: str = "boilerplate_strip",
     parallelism: int | None = None,
     buckets_per_core: int = 2,
+    auto_compact_every: int | None = None,
 ) -> dict:
     """End-to-end corpus parse (reference §3.2) with icelite commit +
     resume: read → salt/repartition → extract UDF → write committed
     snapshot with per-bucket lineage; already-committed buckets are
     skipped (reference B8's skip-if-done, done relationally).
+    ``auto_compact_every=N`` folds the table to one snapshot whenever
+    the active snapshot count reaches N (long incremental jobs) —
+    committed buckets and the recorded layout survive compaction, so
+    resume semantics are unchanged (pytest-pinned).
 
     Resume stability: the bucket id is a pure function of
     ``(doc_id, n_buckets)``, so the FIRST commit's layout is recorded
@@ -221,6 +226,7 @@ def run_extraction_job(
         partition_col="bucket",
         metrics_provider=lambda: {k: int(v) for k, v in obs.get.items()},
         partitioning=layout,
+        auto_compact_every=auto_compact_every,
     )
     metrics = snapshot["metrics"] if snapshot is not None else {}
     return {"snapshot": snapshot, "metrics": metrics}

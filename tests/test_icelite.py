@@ -205,3 +205,31 @@ def test_bucket_pruned_read(spark, tmp_path):
     assert part.count() == 50
     plan = part._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 1
+
+
+def test_extraction_job_auto_compact_preserves_resume(spark, tmp_path):
+    """Incremental extraction runs with auto_compact_every: snapshots
+    stay bounded, committed buckets + layout survive compaction, and a
+    full resume still finds nothing pending."""
+    from mini_html_parser_spark.datagen import generate_documents
+    from mini_html_parser_spark.pipeline import run_extraction_job, with_salt_bucket
+
+    out = str(tmp_path / "tblc")
+    docs = generate_documents(spark, 30)
+    # three partial runs, each seeing a disjoint bucket slice of the
+    # corpus (the crash-and-retry shape resume is built for)
+    salted = with_salt_bucket(docs, 4)
+    for buckets in ((0, 1), (2,), (3,)):
+        subset = salted.filter(F.col("bucket").isin(*buckets)).drop("bucket")
+        run_extraction_job(spark, subset, out, parallelism=2,
+                           auto_compact_every=2)
+    t = IceliteTable(out)
+    assert len(t.snapshots()) <= 2  # compaction kept the count bounded
+    assert t.partitioning()["n_buckets"] == 4
+    back = t.read(spark)
+    assert back.select("doc_id").distinct().count() == 30
+    assert back.count() == 30
+    # resume over the full corpus: everything already committed
+    r = run_extraction_job(spark, docs, out)
+    assert r["snapshot"] is None
+    assert t.read(spark).count() == 30
