@@ -1,0 +1,59 @@
+"""Sequence packing: assign documents to fixed-token-budget training
+sequences (the GPT-style "concatenate the corpus, slice every
+``budget`` tokens" layout used by every public LLM data loader).
+
+Semantics are deterministic concat-and-chunk **within a partition
+column** (default ``source``): documents are laid out in ``order_col``
+order inside each partition value, token counts accumulate, and a
+document belongs to the sequence where its first token lands.
+Documents longer than the remaining budget straddle a boundary —
+``n_seqs_spanned`` says how many sequences receive a piece.
+
+100-TB shape: one window shuffle on the partition column (each
+partition value's docs sort locally inside its task) — there is NO
+global sort.  At real scale the partition column is whatever unit a
+data loader consumes independently (source, shard, date); packing
+never needs cross-partition coordination, which is exactly why the
+per-partition form is the scalable one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    part_col: str = "source",
+    order_col: str = "doc_id",
+    text_col: str = "text",
+    token_count: Column | None = None,
+) -> DataFrame:
+    """Add packing columns to ``df``.
+
+    Output adds ``n_tokens`` (whitespace tokens by default; pass
+    ``token_count`` for a different counter, e.g. BPE),
+    ``seq_id`` (0-based, per ``part_col`` value), ``offset_in_seq``
+    (token offset of this doc's first token inside its sequence) and
+    ``n_seqs_spanned``.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    tok = (
+        token_count
+        if token_count is not None
+        else F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    ).cast("long")
+    w = Window.partitionBy(part_col).orderBy(order_col)
+    cum = F.sum(tok).over(w)  # inclusive running total
+    start = cum - tok  # global token offset of this doc's first token
+    seq_id = F.floor(start / budget)
+    # last token of the doc sits at cum-1; empty docs stay in seq_id
+    last_seq = F.greatest(F.floor((cum - 1) / budget), seq_id)
+    return (
+        df.withColumn("n_tokens", tok)
+        .withColumn("seq_id", seq_id.cast("long"))
+        .withColumn("offset_in_seq", (start % budget).cast("long"))
+        .withColumn("n_seqs_spanned", (last_seq - seq_id + 1).cast("long"))
+    )

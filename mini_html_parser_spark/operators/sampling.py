@@ -57,3 +57,44 @@ def sample_exact_n_per_group(
         .filter(F.col("_rn") <= n)
         .drop("_rn")
     )
+
+
+def _rate_threshold_hex(rate: float) -> str:
+    """Keep-threshold for a rate in [0, 1] as a string compared
+    against the first 8 md5 hex chars.  Lowercase-hex lexicographic
+    order IS numeric order, so the compare is engine-portable
+    (Spark, DuckDB, Python all agree).  rate >= 1 maps to 'g', which
+    sorts after every hex string → keep-all."""
+    if rate >= 1.0:
+        return "g"
+    return format(max(int(rate * 16**8), 0), "08x")
+
+
+def sample_mixture(
+    df: DataFrame,
+    rates: dict[str, float],
+    group_col: str = "lang",
+    seed: int = 42,
+    id_col: str = "doc_id",
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Deterministic per-group Bernoulli downsampling — the data-
+    mixture / temperature-resampling step of a pre-training pipeline
+    (keep ``rates[group]`` of each group, e.g. upweight low-resource
+    languages by downsampling the head ones).
+
+    A row is kept iff ``md5(f"{id}#{seed}")[:8] < threshold(rate)``:
+    pure codegen filter — NO shuffle, NO join, and Catalyst pushes it
+    into the scan.  Deterministic in the id alone, so re-runs and
+    resumed jobs select the identical subset (unlike ``df.sample``,
+    whose selection depends on partitioning).
+    """
+    key = F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"#{seed}"))), 1, 8
+    )
+    thr = F.lit(_rate_threshold_hex(default_rate))
+    for group, rate in sorted(rates.items()):
+        thr = F.when(
+            F.col(group_col) == group, F.lit(_rate_threshold_hex(rate))
+        ).otherwise(thr)
+    return df.filter(key < thr)

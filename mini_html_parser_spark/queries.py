@@ -18,7 +18,16 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .operators import dedup, multimodal, sampling, similarity, stats, text_analysis
+from .operators import (
+    decontam,
+    dedup,
+    multimodal,
+    packing,
+    sampling,
+    similarity,
+    stats,
+    text_analysis,
+)
 from .operators.extract import extract_documents, explode_spans
 from .sources.readers import load_table
 
@@ -667,12 +676,14 @@ FROM documents WHERE doc_id % 10 = 0
 
 
 def q_dedup_clusters(spark, sf_dir):
-    """Connected-component duplicate clusters over the planted corpus:
-    exact-duplicate candidate edges form one 2-node cluster per
-    planted copy (no organic identical-shingle-set pairs exist in this
-    data — pinned by dedup_ngram_jaccard), so the expected
-    (doc_id, cluster_id) table is closed-form."""
-    corpus = _dup_corpus(spark, sf_dir)
+    """Connected-component duplicate clusters over the planted
+    token-disjoint corpus: exact-duplicate candidate edges form one
+    2-node cluster per planted copy (distinct docs share no tokens, so
+    organic identical-shingle-set pairs are impossible — at sf0.1 the
+    raw corpus DOES contain 8 organic duplicate-text groups, which is
+    why the closed-form oracle needs the disjoint variant), so the
+    expected (doc_id, cluster_id) table is closed-form."""
+    corpus = _disjoint_dup_corpus(spark, sf_dir)
     edges = dedup.exact_shingle_duplicates(corpus).select("id_a", "id_b")
     return dedup.dedup_clusters(edges)
 
@@ -1297,9 +1308,11 @@ FROM corpus c LEFT JOIN agg a ON c.doc_id = a.doc_id
 def q_neardup_survivors(spark, sf_dir):
     """Full near-dup workflow end-to-end: candidate edges → connected
     components → survivor selection (keep each cluster's min id).
-    Planted corpus: every doc_id%10==0 doc has one +10⁶ copy, so
-    survivors are exactly the original documents table."""
-    corpus = _dup_corpus(spark, sf_dir)
+    Planted token-disjoint corpus: every doc_id%10==0 doc has one
+    +10⁶ copy and distinct docs share no tokens (organic duplicate
+    texts exist in the raw corpus at sf0.1), so survivors are exactly
+    the original documents table."""
+    corpus = _disjoint_dup_corpus(spark, sf_dir)
     edges = dedup.exact_shingle_duplicates(corpus).select("id_a", "id_b")
     return dedup.neardup_survivors(corpus, edges).select("doc_id")
 
@@ -1364,6 +1377,107 @@ SELECT doc_id, grp FROM r WHERE rn <= 7
 """
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: n-gram overlap of every document
+    against a broadcast benchmark set (here: the doc_id%11==0 docs,
+    which therefore flag themselves at contamination 1.0).  One corpus
+    scan, one broadcast join, one groupBy shuffle."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.pmod("doc_id", F.lit(11)) == 0).select("text")
+    return decontam.decontaminate(docs, bench, n=3, threshold=0.2)
+
+
+ORACLE_DECONTAMINATE = r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+), bench AS (
+  SELECT DISTINCT array_to_string(list_slice(t, i + 1, i + 3), ' ') AS g
+  FROM (SELECT t FROM tok WHERE doc_id % 11 = 0) b,
+       LATERAL (SELECT unnest(range(0,
+         CASE WHEN len(t) >= 3 THEN len(t) - 2 ELSE 0 END)) AS i) s
+), grams AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(t, i + 1, i + 3), ' ') AS g
+  FROM tok,
+       LATERAL (SELECT unnest(range(0,
+         CASE WHEN len(t) >= 3 THEN len(t) - 2 ELSE 0 END)) AS i) s
+), counted AS (
+  SELECT g.doc_id, count(*) AS n_ngrams, count(b.g) AS n_shared
+  FROM grams g LEFT JOIN bench b ON g.g = b.g
+  GROUP BY g.doc_id
+), ratio AS (
+  SELECT d.doc_id,
+         coalesce(c.n_ngrams, 0) AS n_ngrams,
+         coalesce(c.n_shared, 0) AS n_shared,
+         CASE WHEN coalesce(c.n_ngrams, 0) > 0
+              THEN round(c.n_shared / c.n_ngrams, 6) ELSE 0.0 END AS contamination
+  FROM documents d LEFT JOIN counted c ON d.doc_id = c.doc_id
+)
+SELECT doc_id,
+       CAST(n_ngrams AS BIGINT) AS n_ngrams,
+       CAST(n_shared AS BIGINT) AS n_shared,
+       CAST(contamination AS DOUBLE) AS contamination,
+       contamination >= 0.2 AS contaminated
+FROM ratio
+"""
+
+
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style sequence packing: concat-and-chunk each source's docs
+    into 256-token training sequences.  One window shuffle on source —
+    no global sort at any corpus size."""
+    out = packing.pack_sequences(_docs(spark, sf_dir), budget=256)
+    return out.select(
+        "doc_id", "source", "n_tokens", "seq_id", "offset_in_seq",
+        "n_seqs_spanned",
+    )
+
+
+ORACLE_PACK_SEQUENCES = r"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, source, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT doc_id, source, n_tokens,
+       CAST((cum - n_tokens) // 256 AS BIGINT) AS seq_id,
+       CAST((cum - n_tokens) % 256 AS BIGINT) AS offset_in_seq,
+       CAST(greatest((cum - 1) // 256, (cum - n_tokens) // 256)
+            - (cum - n_tokens) // 256 + 1 AS BIGINT) AS n_seqs_spanned
+FROM c
+"""
+
+
+MIXTURE_RATES = {"en": 0.25, "fr": 0.5, "de": 1.0, "zh": 0.0}
+
+
+def q_sample_mixture(spark, sf_dir):
+    """Data-mixture resampling: deterministic per-language Bernoulli
+    keep rates (downsample head languages, drop zh, keep de).  Pure
+    codegen filter — zero shuffles, pushed into the scan."""
+    out = sampling.sample_mixture(
+        _docs(spark, sf_dir), MIXTURE_RATES, default_rate=0.75, seed=7
+    )
+    return out.select("doc_id", "lang")
+
+
+ORACLE_SAMPLE_MIXTURE = """
+SELECT doc_id, lang FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR) || '#7'), 1, 8) <
+  CASE lang
+    WHEN 'de' THEN 'g'
+    WHEN 'en' THEN '40000000'
+    WHEN 'fr' THEN '80000000'
+    WHEN 'zh' THEN '00000000'
+    ELSE 'c0000000'
+  END
+"""
+
+
 # =========================================================================
 # Registry
 # =========================================================================
@@ -1407,6 +1521,9 @@ QUERIES = {
     "scrub_pii": q_scrub_pii,
     "remove_boilerplate_lines": q_remove_boilerplate_lines,
     "sample_stratified": q_sample_stratified,
+    "sample_mixture": q_sample_mixture,
+    "decontaminate": q_decontaminate,
+    "pack_sequences": q_pack_sequences,
     "topk_per_group": q_topk_per_group,
     "neardup_survivors": q_neardup_survivors,
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
@@ -1471,6 +1588,9 @@ ORACLES = {
     "scrub_pii": _oracle_scrub_pii(),
     "remove_boilerplate_lines": ORACLE_BOILERPLATE_LINES,
     "sample_stratified": ORACLE_SAMPLE_STRATIFIED,
+    "sample_mixture": ORACLE_SAMPLE_MIXTURE,
+    "decontaminate": ORACLE_DECONTAMINATE,
+    "pack_sequences": ORACLE_PACK_SEQUENCES,
     "topk_per_group": ORACLE_TOPK_PER_GROUP,
     "neardup_survivors": ORACLE_NEARDUP_SURVIVORS,
     "pipeline_clean_corpus": _oracle_pipeline(),

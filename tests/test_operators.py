@@ -732,3 +732,113 @@ def test_neardup_survivors(spark):
     edges = dedup.exact_shingle_duplicates(df).select("id_a", "id_b")
     got = sorted(r["doc_id"] for r in dedup.neardup_survivors(df, edges).collect())
     assert got == [1, 2, 3, 7]
+
+
+def test_decontaminate_edge_cases(spark):
+    from mini_html_parser_spark.operators.decontam import decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),  # contains bench
+            (2, "totally different words in this clean document here"),
+            (3, "too few"),  # < n tokens -> zero n-grams
+            (4, "quick brown fox"),  # exactly one gram, shared
+            (5, ""),  # empty text
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [("the quick brown fox is a pangram start",)], "text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in decontaminate(docs, bench, n=3, threshold=0.5).collect()
+    }
+    assert len(out) == 5  # every doc surfaces, even gram-less ones
+    # doc 1: 7 distinct grams, shares 'the quick brown' + 'quick brown fox'
+    assert out[1]["n_ngrams"] == 7 and out[1]["n_shared"] == 2
+    assert not out[1]["contaminated"]
+    assert out[2]["n_shared"] == 0 and not out[2]["contaminated"]
+    assert out[3]["n_ngrams"] == 0 and out[3]["contamination"] == 0.0
+    # doc 4: single gram, fully shared -> contamination 1.0, flagged
+    assert out[4]["n_ngrams"] == 1 and out[4]["n_shared"] == 1
+    assert out[4]["contamination"] == 1.0 and out[4]["contaminated"]
+    assert out[5]["n_ngrams"] == 0 and not out[5]["contaminated"]
+
+
+def test_decontaminate_empty_bench(spark):
+    from mini_html_parser_spark.operators.decontam import decontaminate
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([], "text string")
+    row = decontaminate(docs, bench).collect()[0]
+    assert row["n_ngrams"] == 2 and row["n_shared"] == 0
+    assert not row["contaminated"]
+
+
+def test_pack_sequences_boundary_straddle(spark):
+    import pytest as _pytest
+
+    from mini_html_parser_spark.operators.packing import pack_sequences
+
+    # token counts: 6, 3, 8, 2 under budget 8 ->
+    #   doc 1 starts seq 0 @0, doc 2 starts seq 0 @6 and straddles into
+    #   seq 1 (tokens 6..8), doc 3 starts seq 1 @1 and straddles into
+    #   seq 2, doc 4 starts seq 2 @1
+    docs = spark.createDataFrame(
+        [
+            (1, "s", "a a a a a a"),
+            (2, "s", "b b b"),
+            (3, "s", "c c c c c c c c"),
+            (4, "s", "d d"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in pack_sequences(docs, budget=8, part_col="source").collect()
+    }
+    assert (got[1]["seq_id"], got[1]["offset_in_seq"], got[1]["n_seqs_spanned"]) == (0, 0, 1)
+    assert (got[2]["seq_id"], got[2]["offset_in_seq"], got[2]["n_seqs_spanned"]) == (0, 6, 2)
+    assert (got[3]["seq_id"], got[3]["offset_in_seq"], got[3]["n_seqs_spanned"]) == (1, 1, 2)
+    assert (got[4]["seq_id"], got[4]["offset_in_seq"], got[4]["n_seqs_spanned"]) == (2, 1, 1)
+
+    # independent per-source numbering: same docs under two sources
+    two = docs.union(
+        spark.createDataFrame(
+            [(11, "t", "x x x x x x x x x x")], "doc_id long, source string, text string"
+        )
+    )
+    got2 = {r["doc_id"]: r for r in pack_sequences(two, budget=8).collect()}
+    assert got2[11]["seq_id"] == 0 and got2[11]["n_seqs_spanned"] == 2
+
+    with _pytest.raises(ValueError):
+        pack_sequences(docs, budget=0)
+
+
+def test_sample_mixture_rates_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from mini_html_parser_spark.operators.sampling import sample_mixture
+
+    docs = spark.range(0, 4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("fr").alias("lang"),
+    )
+    rates = {"en": 0.25, "fr": 1.0}
+    kept = sample_mixture(docs, rates, seed=3)
+    counts = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts["fr"] == 2000  # rate 1.0 keeps everything
+    assert 350 <= counts["en"] <= 650  # ~0.25 of 2000
+    # rate 0 drops the group entirely
+    none = sample_mixture(docs, {"en": 0.0, "fr": 0.0}, seed=3)
+    assert none.count() == 0
+    # deterministic in ids alone: repartitioned input selects the same set
+    a = sorted(r["doc_id"] for r in kept.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in sample_mixture(docs.repartition(13), rates, seed=3).collect()
+    )
+    assert a == b
