@@ -100,6 +100,41 @@ def streaming_exact_dedup(
     )
 
 
+def windowed_event_agg(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "15 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """EVENT-time windowed aggregation with a late-data watermark —
+    the Structured Streaming shape for time-series rollups over an
+    unbounded feed (doc-arrival rates, span throughput, malformed-HTML
+    counts per window).
+
+    In append mode a window is emitted exactly once, when the
+    watermark passes its end; events later than ``watermark`` behind
+    the max seen event time are DROPPED, bounding state size — the
+    property that keeps this runnable forever at ingest scale (state
+    holds only the open windows, not the stream's history).  The
+    watermark persists in the checkpoint, so lateness is enforced
+    across restarts too (pinned by the restart pytest).
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def span_rate_monitor(extracted: DataFrame, window: str = "10 seconds") -> DataFrame:
     """Windowed spans/sec with late-data watermark (stateful demo)."""
     stamped = extracted.withColumn("ingest_ts", F.current_timestamp())

@@ -94,3 +94,53 @@ def test_streaming_stateful_dedup(spark, tmp_path):
     ids = {r["doc_id"] for r in rows}
     assert "e" in ids and "d" not in ids   # state survived the restart
     assert len(rows) == 3
+
+
+def test_windowed_event_agg_drops_late_data(spark, tmp_path):
+    """Event-time windows + watermark across a checkpointed restart:
+    a row arriving 47 minutes late (vs a 10-minute watermark) must be
+    dropped, and only watermark-finalized windows are emitted."""
+    from datetime import datetime
+
+    from mini_html_parser_spark.streaming.extract_stream import windowed_event_agg
+
+    inp, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+
+    def write_batch(rows):
+        spark.createDataFrame(
+            [(datetime(2024, 1, 1, *hm), float(v)) for hm, v in rows],
+            "ts timestamp, value double",
+        ).coalesce(1).write.mode("append").parquet(inp)
+
+    def run_available():
+        stream = spark.readStream.schema("ts timestamp, value double").parquet(inp)
+        q = (
+            windowed_event_agg(stream, window="15 minutes", watermark="10 minutes")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: two rows in the 10:00 window + one at 10:59 that pulls
+    # the watermark to 10:49, finalizing every window ending <= 10:49
+    write_batch([((10, 0), 1), ((10, 5), 2), ((10, 59), 4)])
+    run_available()
+    # batch 2 after restart: one row 47 min late (10:02 < watermark
+    # 10:49 -> dropped, its value 100 must not appear anywhere) and
+    # one on-time row at 11:00
+    write_batch([((10, 2), 100), ((11, 0), 8)])
+    run_available()
+    # batch 3: a flush row at 11:30 pushes the watermark to 11:20,
+    # finalizing the 10:45 and 11:00 windows; its own window stays open
+    write_batch([((11, 30), 16)])
+    run_available()
+
+    got = {
+        r["win_start"].strftime("%H:%M"): (r["n_events"], r["sum_value"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {"10:00": (2, 3.0), "10:45": (1, 4.0), "11:00": (1, 8.0)}
