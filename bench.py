@@ -74,6 +74,9 @@ def main() -> None:
         q_token_counts_bpe,
         q_pipeline_clean_corpus,
         q_remove_boilerplate_lines,
+        q_decontaminate,
+        q_pack_sequences,
+        q_sample_mixture,
     )
 
     # one local-mode JVM runs the whole workload back-to-back: size the
@@ -205,6 +208,9 @@ def main() -> None:
     timed_ext("token_counts_bpe", lambda: q_token_counts_bpe(spark, SF_DIR).count())
     timed_ext("pipeline_clean_corpus", lambda: q_pipeline_clean_corpus(spark, SF_DIR).count())
     timed_ext("remove_boilerplate_lines", lambda: q_remove_boilerplate_lines(spark, SF_DIR).count())
+    timed_ext("decontaminate", lambda: q_decontaminate(spark, SF_DIR).count())
+    timed_ext("pack_sequences", lambda: q_pack_sequences(spark, SF_DIR).count())
+    timed_ext("sample_mixture", lambda: q_sample_mixture(spark, SF_DIR).count())
     extras["extended_queries"] = extended
 
     load_end = os.getloadavg()
