@@ -53,9 +53,12 @@ def as_of_join(
 
     Implementation: union the tagged sides, window-sort by
     ``(ts, side)`` with right rows first at equal timestamps
-    (inclusiveness), and ``last(..., ignorenulls=True)`` each right
-    value over the unbounded-preceding frame.  One shuffle on the key
-    (or on (key, range) when splitting).
+    (inclusiveness), and ``last(..., ignorenulls=True)`` over ONE
+    struct holding the whole right row — so the emitted values are the
+    matched row's fields verbatim, nulls included (DuckDB/pandas ASOF
+    matched-row semantics; a per-column fill-forward would leak an
+    older row's value through a matched row's null).  One shuffle on
+    the key (or on (key, range) when splitting).
     """
     if ts_col in value_cols:
         raise ValueError("ts_col is always emitted as the asof timestamp; "
@@ -100,15 +103,25 @@ def as_of_join(
             .orderBy(*order_cols)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
+    # carry the matched right row as ONE struct: emitted values are
+    # the matched row's fields verbatim (nulls included) — identical
+    # to DuckDB/pandas ASOF matched-row semantics.  Per-column
+    # last(_r_c, ignorenulls=True) would instead fill each column
+    # forward independently (an older row's value shows through a
+    # matched row's null), and the split path's single-row carry-in
+    # could not reproduce that.
+    matched_row = F.when(
+        F.col("_side") == 0,
+        F.struct(*[F.col(f"_r_{c}").alias(c) for c in carried]),
+    )
     u = u.select(
-        "*",
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}")
-            for c in carried
-        ],
+        "*", F.last(matched_row, ignorenulls=True).over(w).alias("_m")
+    )
+    u = u.select(
+        "*", *[F.col("_m").getField(c).alias(f"{prefix}{c}") for c in carried]
     )
     out = u.filter(F.col("_side") == 1).drop(
-        "_side", *drop_extra, *[f"_r_{c}" for c in carried]
+        "_side", "_m", *drop_extra, *[f"_r_{c}" for c in carried]
     )
     matched_ts = F.col(f"{prefix}__ts")
     if tolerance is not None:

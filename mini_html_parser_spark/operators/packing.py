@@ -45,7 +45,17 @@ def pack_sequences(
         if token_count is not None
         else F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
     ).cast("long")
-    w = Window.partitionBy(part_col).orderBy(order_col)
+    # explicit ROWS frame: the default frame for an ordered window is
+    # RANGE, which sums ALL rows tied on order_col into every tied
+    # row's cumulative — two tied docs would claim the same offset and
+    # leave a hole in the layout.  With ROWS, ties are laid out in
+    # (arbitrary but non-overlapping) order; pass a unique order_col
+    # for a fully deterministic layout.
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     cum = F.sum(tok).over(w)  # inclusive running total
     start = cum - tok  # global token offset of this doc's first token
     seq_id = F.floor(start / budget)

@@ -92,9 +92,17 @@ def _lsh_bucket_udf(planes: list[list[float]]):
     def bucket(v: pd.Series) -> pd.Series:
         if v.empty:
             return pd.Series([], dtype="int32")
-        M = np.stack(v.to_numpy())           # batch × dim
-        bits = (M @ P) >= 0                  # batch × n_planes
-        return pd.Series((bits @ weights).astype(np.int32))
+        arr = v.to_numpy()
+        # null vectors bucket to 0 — the literal path's semantics
+        # (every when(null >= 0) bit evaluates to its otherwise(0)),
+        # and np.stack would crash on a None row
+        mask = np.fromiter((x is not None for x in arr), dtype=bool, count=len(arr))
+        out = np.zeros(len(arr), dtype=np.int32)
+        if mask.any():
+            M = np.stack(arr[mask])          # non-null batch × dim
+            bits = (M @ P) >= 0              # batch × n_planes
+            out[mask] = (bits @ weights).astype(np.int32)
+        return pd.Series(out)
 
     return bucket
 

@@ -203,39 +203,37 @@ def remove_boilerplate_lines(
     document row even if ALL its lines were boilerplate).  Returns
     ``(id_col, text_clean, n_lines_removed)``.
 
-    Shape: posexplode → anti-join against :func:`boilerplate_lines`
-    (data-scale side keyed on the line; the boilerplate side is small
-    after its HAVING, so AQE broadcasts it in practice) → one groupBy
-    to reassemble per document.  Never O(corpus²); three shuffles of
-    which one is metadata-scale.
+    Shape: posexplode → LEFT join against the (tiny, post-HAVING)
+    boilerplate set with a marker column → ONE groupBy that both
+    reassembles the kept lines (``collect_list`` skips the nulled-out
+    boilerplate entries) and counts removals — so the corpus is
+    scanned twice (once to build the set, once to rewrite), not three
+    times, and there is no corpus-scale reassembly join.  Never
+    O(corpus²).
     """
     exploded = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
     )
-    bp = boilerplate_lines(df, min_docs, text_col, id_col).select("line")
-    kept = exploded.join(bp, "line", "left_anti")
-    reassembled = kept.groupBy(id_col).agg(
+    bp = (
+        exploded.filter(F.length(F.trim("line")) > 0)
+        .groupBy("line")
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("line", F.lit(1).alias("_bp"))
+    )
+    marked = exploded.join(bp, "line", "left")
+    return marked.groupBy(id_col).agg(
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_bp").isNull(), F.struct("pos", "line"))
+                    )
+                ),
                 lambda s: s["line"],
             ),
             "\n",
         ).alias("text_clean"),
-        F.count("*").alias("_n_kept"),
-    )
-    totals = df.select(
-        F.col(id_col),
-        F.size(F.split(F.col(text_col), "\n")).alias("_n_total"),
-    )
-    return (
-        totals.join(reassembled, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
-            (F.col("_n_total") - F.coalesce("_n_kept", F.lit(0)))
-            .cast("int")
-            .alias("n_lines_removed"),
-        )
+        F.count("_bp").cast("int").alias("n_lines_removed"),
     )

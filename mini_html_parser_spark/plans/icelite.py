@@ -191,6 +191,14 @@ class IceliteTable:
         written = spark.read.option("basePath", data_dir).parquet(data_dir)
         rows = written.groupBy(bucket_col).count().collect()
         bucket_rows = {str(r[bucket_col]): r["count"] for r in rows}
+        # job-level metrics are additive counters (docs parsed, spans
+        # emitted, malformed fallbacks): key-wise sum the folded
+        # snapshots' metrics so compaction never destroys them
+        merged_metrics: dict = {}
+        for s in snaps:
+            for k, v in (s.get("metrics") or {}).items():
+                if isinstance(v, (int, float)) and not isinstance(v, bool):
+                    merged_metrics[k] = merged_metrics.get(k, 0) + v
         manifest = {
             "sequence": snap_n,
             "snapshot_id": uuid.uuid4().hex,
@@ -199,7 +207,7 @@ class IceliteTable:
             "data_files": self._list_data_files(data_dir),
             "bucket_rows": bucket_rows,
             "total_rows": int(sum(bucket_rows.values())),
-            "metrics": {"compacted_snapshots": len(snaps)},
+            "metrics": {**merged_metrics, "compacted_snapshots": len(snaps)},
             "partitioning": layout,
             "compacted": True,
         }
@@ -293,5 +301,10 @@ class IceliteTable:
         if auto_compact_every and len(self.snapshots()) >= auto_compact_every:
             compacted = self.compact(spark)
             if compacted is not None:
-                return compacted
+                # return the APPEND manifest: callers read their own
+                # commit's metrics from the return value (the job
+                # report would otherwise show compaction bookkeeping
+                # instead of the run's parse/malformed counters); the
+                # durable table state is the compacted snapshot.
+                manifest["compaction"] = compacted["snapshot_id"]
         return manifest

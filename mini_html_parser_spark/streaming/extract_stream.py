@@ -105,6 +105,7 @@ def windowed_event_agg(
     ts_col: str = "ts",
     window: str = "15 minutes",
     watermark: str = "10 minutes",
+    value_col: str | None = "value",
 ) -> DataFrame:
     """EVENT-time windowed aggregation with a late-data watermark —
     the Structured Streaming shape for time-series rollups over an
@@ -119,18 +120,18 @@ def windowed_event_agg(
     watermark persists in the checkpoint, so lateness is enforced
     across restarts too (pinned by the restart pytest).
     """
+    aggs = [F.count("*").alias("n_events")]
+    if value_col is not None:
+        aggs.append(F.sum(value_col).alias("sum_value"))
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, window))
-        .agg(
-            F.count("*").alias("n_events"),
-            F.sum("value").alias("sum_value"),
-        )
+        .agg(*aggs)
         .select(
             F.col("window.start").alias("win_start"),
             F.col("window.end").alias("win_end"),
             "n_events",
-            "sum_value",
+            *(["sum_value"] if value_col is not None else []),
         )
     )
 

@@ -233,3 +233,27 @@ def test_extraction_job_auto_compact_preserves_resume(spark, tmp_path):
     r = run_extraction_job(spark, docs, out)
     assert r["snapshot"] is None
     assert t.read(spark).count() == 30
+
+
+def test_auto_compact_preserves_commit_metrics(spark, tmp_path):
+    """The Nth commit (the one that triggers auto-compact) must still
+    return ITS OWN metrics, and compaction must fold the additive
+    counters of superseded snapshots into the compacted manifest."""
+    t = IceliteTable(str(tmp_path / "tbl10"))
+    last = None
+    for i in range(4):
+        last = t.commit_append(
+            _df(spark, i * 10, (i + 1) * 10),
+            metrics={"docs_parsed": 10, "malformed": i},
+            auto_compact_every=2,
+        )
+    # the triggering commit's return still carries its metrics
+    assert last["metrics"]["docs_parsed"] == 10
+    assert last["metrics"]["malformed"] == 3
+    assert "compaction" in last
+    # history counters survived every compaction round
+    snaps = t.snapshots()
+    assert len(snaps) == 1 and snaps[0]["compacted"]
+    assert snaps[0]["metrics"]["docs_parsed"] == 40
+    assert snaps[0]["metrics"]["malformed"] == 0 + 1 + 2 + 3
+    assert t.read(spark).count() == 40

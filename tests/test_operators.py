@@ -842,3 +842,79 @@ def test_sample_mixture_rates_and_determinism(spark):
         for r in sample_mixture(docs.repartition(13), rates, seed=3).collect()
     )
     assert a == b
+
+
+def test_as_of_join_null_values_matched_row_semantics(spark):
+    """ASOF matched-row semantics: a matched right row's null value is
+    emitted as null (not filled from an older row), identically on the
+    split and unsplit plans."""
+    from mini_html_parser_spark.operators.joins import as_of_join
+
+    right = spark.createDataFrame(
+        [(1, 1.0, 5.0), (1, 2.0, None), (2, 1.0, None)],
+        "k long, ts double, v double",
+    )
+    left = spark.createDataFrame(
+        [(1, 0.5), (1, 1.5), (1, 100.0), (2, 50.0), (3, 1.0)],
+        "k long, ts double",
+    )
+    expect = {
+        (1, 0.5): (None, None),   # no right row yet
+        (1, 1.5): (1.0, 5.0),     # matched (ts=1, v=5)
+        (1, 100.0): (2.0, None),  # matched (ts=2, v=null) -> null v
+        (2, 50.0): (1.0, None),
+        (3, 1.0): (None, None),
+    }
+    for split in (None, 3):
+        out = as_of_join(left, right, "k", "ts", ["v"], split_hot_keys=split)
+        got = {
+            (r["k"], r["ts"]): (r["asof_ts"], r["asof_v"])
+            for r in out.collect()
+        }
+        assert got == expect, f"split_hot_keys={split}"
+
+
+def test_pack_sequences_tied_order_no_overlap(spark):
+    """Rows tied on order_col must still occupy disjoint token ranges
+    (ROWS frame, not the default RANGE frame)."""
+    from mini_html_parser_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(1, "s", "a a a"), (2, "s", "b b b")],  # both order key 0
+        "doc_id long, source string, text string",
+    )
+    out = pack_sequences(
+        docs.withColumn("ord", docs.doc_id * 0), budget=4, order_col="ord"
+    ).collect()
+    starts = sorted(
+        (r["seq_id"] * 4 + r["offset_in_seq"], r["n_tokens"]) for r in out
+    )
+    assert starts == [(0, 3), (3, 3)]  # disjoint layout, no hole
+
+
+def test_lsh_udf_null_vector_matches_literal_path(spark):
+    """Null embeddings: the Arrow-batched bucket UDF must assign
+    bucket 0 like the literal codegen path, not crash."""
+    from pyspark.sql import functions as F
+
+    from mini_html_parser_spark.operators.similarity import lsh_bucket_col
+
+    planes = [[1.0, -1.0, 0.5], [-0.5, 1.0, 1.0]]
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0]), (2, None), (3, [-1.0, -2.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    lit = {
+        r["vec_id"]: r["b"]
+        for r in df.select(
+            "vec_id", lsh_bucket_col(F.col("embedding"), planes, use_udf=False).alias("b")
+        ).collect()
+    }
+    udf = {
+        r["vec_id"]: r["b"]
+        for r in df.select(
+            "vec_id", lsh_bucket_col(F.col("embedding"), planes, use_udf=True).alias("b")
+        ).collect()
+    }
+    assert lit == udf
+    assert udf[2] == 0
