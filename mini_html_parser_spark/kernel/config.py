@@ -33,6 +33,29 @@ class TagToRemoveWithContent:
 
 
 @dataclass
+class DensityPruneConfig:
+    """Text/link-density boilerplate scoring (north-star heuristic the
+    reference itself lacks; rules are the published JusText/Boilerpipe
+    family, simplified to two deterministic tests).  A candidate block
+    subtree is pruned when
+
+    * its link density (chars under ``<a>`` descendants / all text
+      chars) reaches ``max_link_density`` — nav bars, link farms,
+      "related articles" boxes; or
+    * it has fewer than ``min_text_length`` text chars AND contains a
+      link — short link-y stubs ("read more", breadcrumbs).
+
+    Plain short paragraphs with no links are never pruned, so body
+    text is safe at any length."""
+
+    max_link_density: float = 0.5
+    min_text_length: int = 25
+    candidate_tags: tuple = (
+        "div", "nav", "ul", "ol", "table", "aside", "section", "menu",
+    )
+
+
+@dataclass
 class ExtractionConfig:
     """All knobs of the extraction kernel (reference: html_parser.py:366-382)."""
 
@@ -48,6 +71,7 @@ class ExtractionConfig:
     txt_max_chr_len_with_content: float = NEG_INF
     txt_min_chr_len_with_content: float = NEG_INF
     tags_exceptions_with_content: list[str] | None = None
+    density_prune: DensityPruneConfig | None = None
 
 
 def keep_everything_config() -> ExtractionConfig:
@@ -81,8 +105,18 @@ def boilerplate_strip_br_config() -> ExtractionConfig:
     return cfg
 
 
+def density_prune_config() -> ExtractionConfig:
+    """Boilerplate strip + text/link-density block scoring — the
+    north-star heuristic layer (beyond the reference's tag-rule-only
+    configs)."""
+    cfg = boilerplate_strip_config()
+    cfg.density_prune = DensityPruneConfig()
+    return cfg
+
+
 NAMED_CONFIGS = {
     "keep_everything": keep_everything_config,
     "boilerplate_strip": boilerplate_strip_config,
     "boilerplate_strip_br": boilerplate_strip_br_config,
+    "density_prune": density_prune_config,
 }

@@ -323,6 +323,22 @@ def remove_keeping_tail(node: Node) -> None:
     node.getparent().remove(node)
 
 
+def _text_and_link_chars(node: Node) -> tuple[int, int]:
+    """(all text chars, text chars under ``<a>`` descendants) of the
+    subtree rooted at ``node`` — the two numbers link-density scoring
+    needs.  Anchor tails are ordinary text (they sit outside the
+    link), anchor-nested markup counts fully as link text."""
+    n = len(node.text or "")
+    n_link = 0
+    for child in node.children:
+        cn, cl = _text_and_link_chars(child)
+        if child.tag == "a":
+            cl = cn
+        n += cn + len(child.tail or "")
+        n_link += cl
+    return n, n_link
+
+
 class _Extractor:
     """One-shot extraction state machine (reference TextAndMetadataCleaner)."""
 
@@ -343,6 +359,12 @@ class _Extractor:
         self.folder = ConsecutiveTagFolder(self.block_elements, cfg.consecutive_tags_to_fold)
         self.attr_cleaner = AttributeCleaner(cfg.attrs_to_keep)
         self.tag_filter = TagFilter(cfg, alone)
+        self.density_cfg = cfg.density_prune
+        self.density_tags = (
+            frozenset(cfg.density_prune.candidate_tags)
+            if cfg.density_prune is not None
+            else frozenset()
+        )
 
     # ---- tree rewriting (reference: html_parser.py:583-607) ---------------
     # Parent-managed deletion: a node signals "remove me" via return
@@ -359,6 +381,21 @@ class _Extractor:
             drop = self.tag_filter.drop_subtree_top_down(root.tag, root.subtree_text())
         if drop:
             return True
+
+        # text/link-density scoring (north-star heuristic; config.py
+        # DensityPruneConfig).  Top-down like the tag rules: pruning
+        # the highest offending block removes its whole subtree with
+        # the same tail-preserving splice.  Cost is one subtree walk
+        # per candidate along KEPT paths only (a pruned subtree is
+        # never descended into), so nested-div chains cost
+        # O(depth × size) worst case but O(size) on typical trees.
+        if self.density_cfg is not None and root.tag in self.density_tags:
+            n_text, n_link = _text_and_link_chars(root)
+            dp = self.density_cfg
+            if (n_text > 0 and n_link / n_text >= dp.max_link_density) or (
+                n_text < dp.min_text_length and n_link > 0
+            ):
+                return True
 
         kept: list[Node] = []
         changed = False

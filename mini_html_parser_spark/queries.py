@@ -1377,6 +1377,64 @@ SELECT doc_id, grp FROM r WHERE rn <= 7
 """
 
 
+def q_extract_density_prune(spark, sf_dir):
+    """Text/link-density boilerplate scoring (the north-star heuristic
+    beyond the reference's tag rules): a nav link bar (density ≈ 0.9)
+    and a short link stub are pruned, the real body text survives.
+    The surviving tree is structurally the flagship's (body → h1 →
+    div → p), so the span offsets follow the same closed form."""
+    docs = _docs(spark, sf_dir)
+    html = F.concat(
+        F.lit('<html><body><h1>Title '),
+        F.col("doc_id").cast("string"),
+        F.lit('</h1><div class="nav"><a href="/1">home</a> <a href="/2">about'
+              '</a> <a href="/3">contact</a></div><div class="main"><p>'),
+        F.col("text"),
+        F.lit('</p></div><div class="short"><a href="/x">more</a></div>'
+              '</body></html>'),
+    )
+    wrapped = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("html").alias("kind"),
+                html.alias("text"),
+                F.lit("").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    ext = extract_documents(wrapped, "density_prune")
+    return explode_spans(ext).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("tag"),
+        "char_start_idx", "relative_start_pos",
+        "char_end_idx", "relative_end_pos", "offset",
+    )
+
+
+# same closed form as ORACLE_FLAGSHIP: after density pruning the
+# surviving tree is body[h1, div[p]] with identical texts
+ORACLE_DENSITY_PRUNE = """
+WITH base AS (
+  SELECT doc_id,
+         CAST(length('Title ' || CAST(doc_id AS VARCHAR)) AS INTEGER) AS l,
+         CAST(length(text) AS INTEGER) AS t
+  FROM documents
+)
+SELECT doc_id, 'body' AS tag,
+       CAST(0 AS INTEGER) AS char_start_idx, CAST(0 AS INTEGER) AS relative_start_pos,
+       CAST(l + t + 2 AS INTEGER) AS char_end_idx, CAST(1 AS INTEGER) AS relative_end_pos,
+       CAST(0 AS INTEGER) AS offset FROM base
+UNION ALL
+SELECT doc_id, 'h1', 0, 1, l, 0, 1 FROM base
+UNION ALL
+SELECT doc_id, 'div', l + 1, 0, l + t + 2, 0, 2 FROM base
+UNION ALL
+SELECT doc_id, 'p', l + 1, 1, l + t + 1, 0, 3 FROM base
+"""
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: n-gram overlap of every document
     against a broadcast benchmark set (here: the doc_id%11==0 docs,
@@ -1491,6 +1549,7 @@ QUERIES = {
     "extract_span_stats": q_extract_span_stats,
     "extract_br_conversion": q_extract_br_conversion,
     "extract_config_comparison": q_extract_config_comparison,
+    "extract_density_prune": q_extract_density_prune,
     # relational (B9–B23)
     "agg_median_by_lang": q_agg_median_by_lang,
     "describe_two_level": q_describe_two_level,
@@ -1549,6 +1608,7 @@ ORACLES = {
     "extract_span_stats": ORACLE_SPAN_STATS,
     "extract_br_conversion": ORACLE_BR_CONVERSION,
     "extract_config_comparison": ORACLE_CONFIG_COMPARISON,
+    "extract_density_prune": ORACLE_DENSITY_PRUNE,
     "agg_median_by_lang": ORACLE_AGG_MEDIAN,
     "describe_two_level": ORACLE_DESCRIBE_TWO_LEVEL,
     "explode_tokens_topk": ORACLE_EXPLODE_TOKENS,

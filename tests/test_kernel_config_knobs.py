@@ -119,3 +119,54 @@ def test_min_length_bound_on_alone_rule():
     assert "span" in tags              # 4 < 9 → kept
     assert "p" not in tags             # long → dropped
     assert "div" not in tags           # "mid length" (10) → dropped
+
+
+class TestDensityPrune:
+    """Text/link-density boilerplate scoring (DensityPruneConfig)."""
+
+    def _extract(self, html, **kw):
+        from mini_html_parser_spark.kernel.config import (
+            DensityPruneConfig,
+            boilerplate_strip_config,
+        )
+        from mini_html_parser_spark.kernel.extract import extract
+
+        cfg = boilerplate_strip_config()
+        cfg.density_prune = DensityPruneConfig(**kw)
+        return extract(html, cfg)
+
+    def test_link_farm_pruned_body_kept(self):
+        html = (
+            '<html><body>'
+            '<div><a href="/1">home</a> <a href="/2">about</a> <a href="/3">contact</a></div>'
+            '<p>twenty-five chars of real body text here</p>'
+            '</body></html>'
+        )
+        assert self._extract(html).text == "twenty-five chars of real body text here\n"
+
+    def test_short_link_stub_pruned_plain_short_text_kept(self):
+        html = (
+            '<html><body><div><a href="/x">more</a></div>'
+            '<div><p>tiny</p></div></body></html>'
+        )
+        # "more" div: 4 chars, has a link -> pruned; "tiny" div: no
+        # link -> kept at any length
+        assert self._extract(html).text == "tiny\n"
+
+    def test_density_threshold_boundary(self):
+        # "link" (4) of "link rest5678" (13 chars): density 4/13=0.31
+        html = '<html><body><div><a href="/l">link</a> rest5678901234567890</div></body></html>'
+        assert "link" in self._extract(html, min_text_length=5).text
+        assert self._extract(html, min_text_length=5, max_link_density=0.15).text == ""
+
+    def test_non_candidate_tags_untouched(self):
+        # p is not a candidate tag: pure-link paragraph survives
+        html = '<html><body><p><a href="/1">only a link here padding</a></p></body></html>'
+        assert "only a link here" in self._extract(html).text
+
+    def test_disabled_by_default(self):
+        from mini_html_parser_spark.kernel.config import boilerplate_strip_config
+        from mini_html_parser_spark.kernel.extract import extract
+
+        html = '<html><body><div><a href="/1">home</a> <a href="/2">about</a></div></body></html>'
+        assert "home about" in extract(html, boilerplate_strip_config()).text
