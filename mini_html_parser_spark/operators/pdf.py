@@ -1,0 +1,241 @@
+"""PDF / layout parsing (north_rule: "HTML boilerplate strip,
+PDF/layout parse, DOM heuristics").
+
+No PDF library ships in this environment, so the operator is built in
+two genuinely-functional layers rather than a stub:
+
+* :func:`extract_pdf_text` — a from-scratch parser for the textual
+  subset of PDF (published ISO 32000 structure): it walks
+  ``stream…endstream`` content streams and evaluates the text-showing
+  operators ``Tj`` / ``'`` / ``TJ`` inside ``BT…ET`` blocks, with PDF
+  string-escape handling and ``Td``/``TD``/``T*`` treated as line
+  breaks, ``/Type /Page`` counted for pagination.  Uncompressed
+  streams only (``/FlateDecode`` needs zlib — wired behind an
+  import-try since zlib IS stdlib, so deflated streams work too).
+* :func:`pdf_bytes_from_text` — a deterministic minimal-PDF writer
+  (one font, one content stream per page) used by datagen/tests; its
+  output is exactly the subset the parser handles, giving a
+  byte-exact round-trip contract the DuckDB oracle can check in
+  closed form.
+
+Spark side: :func:`parse_pdf_documents` is the same Arrow-batched
+``mapInPandas`` shape as the HTML kernel — binary column in, (text,
+n_pages, malformed) out, no per-row Python at the DataFrame level.
+Malformed bytes degrade to ``malformed=True`` with empty text, the
+same fallback-metric contract as the HTML path.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# ---------------------------------------------------------------------------
+# minimal writer (datagen/tests)
+# ---------------------------------------------------------------------------
+
+
+def _escape_pdf_string(s: str) -> bytes:
+    out = s.encode("utf-8")
+    out = out.replace(b"\\", rb"\\").replace(b"(", rb"\(").replace(b")", rb"\)")
+    # a raw newline inside a literal string would be a PDF line break;
+    # keep the byte stream single-line per Tj
+    return out.replace(b"\r", rb"\r").replace(b"\n", rb"\n")
+
+
+def pdf_bytes_from_text(text: str, lines_per_page: int = 40) -> bytes:
+    """A deterministic, minimal, single-font PDF carrying ``text``
+    (``\\n``-separated lines; paginated every ``lines_per_page``).
+    Structurally complete — header, page tree, per-page uncompressed
+    content streams, xref table, trailer — so any conforming reader
+    sees the same text the bundled parser extracts."""
+    lines = text.split("\n")
+    pages = [
+        lines[i : i + lines_per_page]
+        for i in range(0, len(lines), lines_per_page)
+    ] or [[""]]
+
+    objs: list[bytes] = []  # 1-indexed object bodies, in object order
+    n_pages = len(pages)
+    # object layout: 1=Catalog, 2=Pages, 3=Font,
+    #                4..3+n = Page objects, 4+n..3+2n = content streams
+    page_ids = [4 + i for i in range(n_pages)]
+    content_ids = [4 + n_pages + i for i in range(n_pages)]
+
+    kids = " ".join(f"{pid} 0 R" for pid in page_ids)
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
+    )
+    objs.append(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    )
+    for pid, cid in zip(page_ids, content_ids):
+        objs.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                f"/Resources << /Font << /F1 3 0 R >> >> "
+                f"/Contents {cid} 0 R >>"
+            ).encode()
+        )
+    for page_lines in pages:
+        ops = [b"BT /F1 12 Tf 72 720 Td"]
+        for i, line in enumerate(page_lines):
+            if i > 0:
+                ops.append(b"0 -14 Td")
+            ops.append(b"(" + _escape_pdf_string(line) + b") Tj")
+        ops.append(b"ET")
+        stream = b"\n".join(ops)
+        objs.append(
+            b"<< /Length %d >>\nstream\n%s\nendstream" % (len(stream), stream)
+        )
+
+    buf = bytearray(b"%PDF-1.4\n")
+    offsets = [0]  # object 0 is the free head
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(buf))
+        buf += b"%d 0 obj\n%s\nendobj\n" % (i, body)
+    xref_at = len(buf)
+    buf += b"xref\n0 %d\n" % (len(objs) + 1)
+    buf += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        buf += b"%010d 00000 n \n" % off
+    buf += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, xref_at)
+    )
+    return bytes(buf)
+
+
+# ---------------------------------------------------------------------------
+# from-scratch reader
+# ---------------------------------------------------------------------------
+
+_STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.DOTALL)
+_PAGE_RE = re.compile(rb"/Type\s*/Page(?![s/])")
+_FLATE_RE = re.compile(rb"/Filter\s*(?:\[\s*)?/FlateDecode")
+# text-showing / positioning operators, scanned linearly over the
+# stream: literal strings are matched as whole tokens FIRST, so their
+# content can never be misread as an operator (a "BT…ET" bracketing
+# regex would end the block at an "ET" inside a string).  BT itself is
+# a token and acts as the text-block separator.
+_OP_RE = re.compile(
+    rb"\(((?:\\.|[^\\()])*)\)\s*(Tj|')"  # literal string + show op
+    rb"|\[((?:\\.|[^\]\\])*)\]\s*TJ"     # array show
+    rb"|(T\*|-?[\d.]+\s+-?[\d.]+\s+(?:Td|TD))"  # line moves
+    rb"|(BT)",
+    re.DOTALL,
+)
+_TJ_STR_RE = re.compile(rb"\(((?:\\.|[^\\()])*)\)")
+_ESC_RE = re.compile(rb"\\([nrtbf()\\]|[0-7]{1,3})")
+
+_ESC_MAP = {
+    b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
+    b"(": b"(", b")": b")", b"\\": b"\\",
+}
+
+
+def _unescape(raw: bytes) -> bytes:
+    def sub(m: "re.Match[bytes]") -> bytes:
+        g = m.group(1)
+        if g in _ESC_MAP:
+            return _ESC_MAP[g]
+        return bytes([int(g, 8) & 0xFF])  # octal escape
+
+    return _ESC_RE.sub(sub, raw)
+
+
+def extract_pdf_text(data: bytes) -> tuple[str, int, bool]:
+    """Extract ``(text, n_pages, malformed)`` from PDF bytes.
+
+    Handles literal-string ``Tj``/``'``/``TJ`` text in uncompressed or
+    Flate-compressed content streams; ``Td``/``TD``/``T*`` emit line
+    breaks.  Anything that is not a PDF (or has no parsable text)
+    degrades to ``("", 0/…, True)`` — never raises."""
+    if not data or not data.startswith(b"%PDF-"):
+        return "", 0, True
+    n_pages = len(_PAGE_RE.findall(data))
+    chunks: list[bytes] = []
+    try:
+        for sm in _STREAM_RE.finditer(data):
+            stream = sm.group(1)
+            # the dict immediately preceding this stream declares filters
+            head = data[max(0, sm.start() - 512) : sm.start()]
+            if _FLATE_RE.search(head):
+                try:
+                    stream = zlib.decompress(stream.rstrip(b"\r\n"))
+                except zlib.error:
+                    continue
+            first = True
+            for op in _OP_RE.finditer(stream):
+                if op.group(5):  # BT → text-block (≈ page) separator
+                    if chunks and chunks[-1] != b"\n":
+                        chunks.append(b"\n")
+                    first = True
+                    continue
+                if op.group(4):  # Td/TD/T* → new line
+                    if chunks and chunks[-1] != b"\n" and not first:
+                        chunks.append(b"\n")
+                    continue
+                if op.group(1) is not None:
+                    chunks.append(_unescape(op.group(1)))
+                    first = False
+                elif op.group(3) is not None:
+                    for s in _TJ_STR_RE.finditer(op.group(3)):
+                        chunks.append(_unescape(s.group(1)))
+                    first = False
+    except Exception:
+        return "", n_pages, True
+    text = b"".join(chunks).decode("utf-8", errors="replace")
+    return text, n_pages, False
+
+
+# ---------------------------------------------------------------------------
+# Spark operator
+# ---------------------------------------------------------------------------
+
+PDF_RESULT_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("text", StringType()),
+        StructField("n_pages", IntegerType()),
+        StructField("malformed", BooleanType()),
+    ]
+)
+
+
+def parse_pdf_documents(
+    df: DataFrame, content_col: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """Arrow-batched PDF text extraction: ``(id, binary)`` in →
+    ``(doc_id, text, n_pages, malformed)`` out.  Stateless narrow map
+    — identical scaling shape to the HTML extraction kernel (and the
+    same malformed-fallback metric contract)."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            ids, texts, pages, bad = [], [], [], []
+            for doc_id, blob in zip(pdf[id_col], pdf[content_col]):
+                t, n, m = extract_pdf_text(bytes(blob) if blob is not None else b"")
+                ids.append(str(doc_id))
+                texts.append(t)
+                pages.append(n)
+                bad.append(m)
+            yield pd.DataFrame(
+                {"doc_id": ids, "text": texts, "n_pages": pages, "malformed": bad}
+            )
+
+    return df.select(F.col(id_col), F.col(content_col)).mapInPandas(
+        run, PDF_RESULT_SCHEMA
+    )

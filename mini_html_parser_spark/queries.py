@@ -1435,6 +1435,52 @@ SELECT doc_id, 'p', l + 1, 1, l + t + 1, 0, 3 FROM base
 """
 
 
+def q_extract_pdf(spark, sf_dir):
+    """PDF/layout parse (north_rule): deterministic minimal PDFs are
+    synthesized from each document's text (one word per line, 5 lines
+    per page) and run through the from-scratch PDF text extractor —
+    the oracle checks the byte-exact text round-trip and the page
+    count in closed form."""
+    from .operators import pdf as pdfmod
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+
+    def gen(batches):
+        import pandas as pd
+
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": b["doc_id"].astype(str),
+                    "content": [
+                        pdfmod.pdf_bytes_from_text(
+                            t.replace(" ", "\n"), lines_per_page=5
+                        )
+                        for t in b["text"]
+                    ],
+                }
+            )
+
+    blobs = docs.mapInPandas(gen, "doc_id string, content binary")
+    out = pdfmod.parse_pdf_documents(blobs)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("text").alias("text_extracted"),
+        F.col("n_pages").cast("int").alias("n_pages"),
+        "malformed",
+    )
+
+
+ORACLE_EXTRACT_PDF = """
+SELECT doc_id,
+       replace(text, ' ', chr(10)) AS text_extracted,
+       CAST(greatest(ceil(len(string_split(text, ' ')) / 5.0), 1) AS INTEGER)
+         AS n_pages,
+       FALSE AS malformed
+FROM documents
+"""
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: n-gram overlap of every document
     against a broadcast benchmark set (here: the doc_id%11==0 docs,
@@ -1550,6 +1596,7 @@ QUERIES = {
     "extract_br_conversion": q_extract_br_conversion,
     "extract_config_comparison": q_extract_config_comparison,
     "extract_density_prune": q_extract_density_prune,
+    "extract_pdf": q_extract_pdf,
     # relational (B9–B23)
     "agg_median_by_lang": q_agg_median_by_lang,
     "describe_two_level": q_describe_two_level,
@@ -1609,6 +1656,7 @@ ORACLES = {
     "extract_br_conversion": ORACLE_BR_CONVERSION,
     "extract_config_comparison": ORACLE_CONFIG_COMPARISON,
     "extract_density_prune": ORACLE_DENSITY_PRUNE,
+    "extract_pdf": ORACLE_EXTRACT_PDF,
     "agg_median_by_lang": ORACLE_AGG_MEDIAN,
     "describe_two_level": ORACLE_DESCRIBE_TWO_LEVEL,
     "explode_tokens_topk": ORACLE_EXPLODE_TOKENS,

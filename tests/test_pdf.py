@@ -1,0 +1,72 @@
+"""PDF/layout parsing: from-scratch writer↔reader round trip and the
+Spark mapInPandas operator (north_rule: "PDF/layout parse")."""
+
+import random
+import re
+import string
+import zlib
+
+from mini_html_parser_spark.operators.pdf import (
+    extract_pdf_text,
+    parse_pdf_documents,
+    pdf_bytes_from_text,
+)
+
+
+def test_round_trip_escapes_unicode_pagination():
+    t = "hello (world) \\ test\nsecond line\n中文 text\nlast"
+    assert extract_pdf_text(pdf_bytes_from_text(t, lines_per_page=2)) == (t, 2, False)
+
+
+def test_round_trip_randomized():
+    random.seed(7)
+    alphabet = string.printable[:-5] + "()\\中ü"
+    for _ in range(300):
+        s = "".join(
+            random.choice(alphabet) for _ in range(random.randint(0, 120))
+        )
+        txt, n, m = extract_pdf_text(pdf_bytes_from_text(s, lines_per_page=3))
+        assert not m and txt == s, (s, txt)
+        assert n == max(-(-len(s.split("\n")) // 3), 1)
+
+
+def test_operator_tokens_in_strings_do_not_break_parse():
+    # "ET"/"BT"/"Tj" inside literal strings must not terminate blocks
+    t = "PET BT ET Tj (nested) [array] T* 1 2 Td"
+    assert extract_pdf_text(pdf_bytes_from_text(t)) == (t, 1, False)
+
+
+def test_flate_compressed_stream():
+    raw = pdf_bytes_from_text("flate line one\nflate two")
+    m = re.search(rb"<< /Length (\d+) >>\nstream\n(.*?)\nendstream", raw, re.DOTALL)
+    comp = zlib.compress(m.group(2))
+    new = (
+        raw[: m.start()]
+        + b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(comp)
+        + comp
+        + b"\nendstream"
+        + raw[m.end() :]
+    )
+    assert extract_pdf_text(new) == ("flate line one\nflate two", 1, False)
+
+
+def test_malformed_fallback():
+    assert extract_pdf_text(b"") == ("", 0, True)
+    assert extract_pdf_text(b"not a pdf at all") == ("", 0, True)
+    # PDF header but garbage body: parses to empty text, not an error
+    txt, _n, m = extract_pdf_text(b"%PDF-1.4\ngarbage")
+    assert txt == "" and not m
+
+
+def test_spark_operator(spark):
+    rows = [
+        ("1", pdf_bytes_from_text("alpha\nbeta", lines_per_page=1)),
+        ("2", b"broken bytes"),
+        ("3", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, content binary")
+    got = {r["doc_id"]: r for r in parse_pdf_documents(df).collect()}
+    assert got["1"]["text"] == "alpha\nbeta" and got["1"]["n_pages"] == 2
+    assert not got["1"]["malformed"]
+    assert got["2"]["malformed"] and got["2"]["text"] == ""
+    assert got["3"]["malformed"]
