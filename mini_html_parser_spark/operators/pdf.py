@@ -100,6 +100,12 @@ def pdf_bytes_from_text(text: str, lines_per_page: int = 40) -> bytes:
             b"<< /Length %d >>\nstream\n%s\nendstream" % (len(stream), stream)
         )
 
+    return _assemble_pdf(objs)
+
+
+def _assemble_pdf(objs: list[bytes]) -> bytes:
+    """Body + xref + trailer around 1-indexed object bodies (object 1
+    must be the Catalog)."""
     buf = bytearray(b"%PDF-1.4\n")
     offsets = [0]  # object 0 is the free head
     for i, body in enumerate(objs, start=1):
@@ -115,6 +121,61 @@ def pdf_bytes_from_text(text: str, lines_per_page: int = 40) -> bytes:
         % (len(objs) + 1, xref_at)
     )
     return bytes(buf)
+
+
+def pdf_bytes_from_spans(spans: list) -> bytes:
+    """A deterministic single-page PDF interleaving text and media:
+    ``spans`` is a sequence of ``("text", content)`` /
+    ``("media", ref)`` tuples.  Text spans become ``BT…ET`` blocks,
+    media spans become 1×1 image XObjects painted with ``Do`` at their
+    document-order position, carrying ``ref`` in ``/Subject`` — the
+    convention :func:`extract_pdf_spans` reads back, giving a lossless
+    interleaved round trip (modulo text-internal ``\\n`` structure)."""
+    content_ops: list[bytes] = []
+    images: list[tuple[bytes, str]] = []  # (name, ref)
+    for kind, payload in spans:
+        if kind == "media":
+            name = b"Im%d" % len(images)
+            images.append((name, payload))
+            content_ops.append(b"q 1 0 0 1 72 72 cm /" + name + b" Do Q")
+        else:
+            ops = [b"BT /F1 12 Tf 72 720 Td"]
+            for i, line in enumerate(payload.split("\n")):
+                if i > 0:
+                    ops.append(b"0 -14 Td")
+                ops.append(b"(" + _escape_pdf_string(line) + b") Tj")
+            ops.append(b"ET")
+            content_ops.append(b"\n".join(ops))
+    stream = b"\n".join(content_ops)
+
+    # object layout: 1=Catalog, 2=Pages, 3=Font, 4=Page, 5=Contents,
+    #                6..5+k = image XObjects
+    img_ids = {name: 6 + i for i, (name, _ref) in enumerate(images)}
+    xobj = b""
+    if images:
+        entries = b" ".join(
+            b"/%s %d 0 R" % (name, img_ids[name]) for name, _ in images
+        )
+        xobj = b" /XObject << " + entries + b" >>"
+    objs: list[bytes] = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 3 0 R >>" + xobj + b" >> "
+        b"/Contents 5 0 R >>",
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(stream), stream),
+    ]
+    for name, ref in images:
+        pixel = b"\x00"
+        objs.append(
+            b"<< /Type /XObject /Subtype /Image /Name /" + name
+            + b" /Subject (" + _escape_pdf_string(ref) + b")"
+            + b" /Width 1 /Height 1 /ColorSpace /DeviceGray"
+            + b" /BitsPerComponent 8 /Length %d >>\nstream\n%s\nendstream"
+            % (len(pixel), pixel)
+        )
+    return _assemble_pdf(objs)
 
 
 # ---------------------------------------------------------------------------
@@ -133,9 +194,18 @@ _OP_RE = re.compile(
     rb"\(((?:\\.|[^\\()])*)\)\s*(Tj|')"  # literal string + show op
     rb"|\[((?:\\.|[^\]\\])*)\]\s*TJ"     # array show
     rb"|(T\*|-?[\d.]+\s+-?[\d.]+\s+(?:Td|TD))"  # line moves
-    rb"|(BT)",
+    rb"|(BT)"
+    rb"|/(\w+)\s+Do",                    # XObject paint (images)
     re.DOTALL,
 )
+# image XObject dicts: /Name pairs the Do operand, /Subject carries
+# the media reference (the writer's convention; a plain image without
+# /Subject falls back to its name)
+_IMAGE_OBJ_RE = re.compile(
+    rb"<<[^>]*?/Subtype\s*/Image[^>]*?>>", re.DOTALL
+)
+_IMG_NAME_RE = re.compile(rb"/Name\s*/(\w+)")
+_IMG_SUBJECT_RE = re.compile(rb"/Subject\s*\(((?:\\.|[^\\()])*)\)")
 _TJ_STR_RE = re.compile(rb"\(((?:\\.|[^\\()])*)\)")
 _ESC_RE = re.compile(rb"\\([nrtbf()\\]|[0-7]{1,3})")
 
@@ -155,17 +225,42 @@ def _unescape(raw: bytes) -> bytes:
     return _ESC_RE.sub(sub, raw)
 
 
-def extract_pdf_text(data: bytes) -> tuple[str, int, bool]:
-    """Extract ``(text, n_pages, malformed)`` from PDF bytes.
-
-    Handles literal-string ``Tj``/``'``/``TJ`` text in uncompressed or
-    Flate-compressed content streams; ``Td``/``TD``/``T*`` emit line
-    breaks.  Anything that is not a PDF (or has no parsable text)
-    degrades to ``("", 0/…, True)`` — never raises."""
+def extract_pdf_spans(data: bytes) -> tuple[list, int, bool]:
+    """Extract ``(spans, n_pages, malformed)`` from PDF bytes, where
+    ``spans`` is the ordered interleaved sequence of
+    ``("text", content)`` and ``("media", ref)`` tuples — text from
+    the ``Tj``/``'``/``TJ`` operators (``Td``/``TD``/``T*`` emit line
+    breaks, ``BT`` separates blocks), media from image-XObject ``Do``
+    paints in document order (ref = the image dict's ``/Subject``
+    string, falling back to the XObject name).  Uncompressed and
+    Flate-compressed content streams.  Anything that is not a PDF
+    degrades to ``([], 0, True)`` — never raises."""
     if not data or not data.startswith(b"%PDF-"):
-        return "", 0, True
+        return [], 0, True
     n_pages = len(_PAGE_RE.findall(data))
+    # media_ref lookup: image name → /Subject
+    refs: dict[bytes, str] = {}
+    for im in _IMAGE_OBJ_RE.finditer(data):
+        name = _IMG_NAME_RE.search(im.group(0))
+        if name is None:
+            continue
+        subj = _IMG_SUBJECT_RE.search(im.group(0))
+        refs[name.group(1)] = (
+            _unescape(subj.group(1)).decode("utf-8", errors="replace")
+            if subj is not None
+            else name.group(1).decode()
+        )
+
+    spans: list = []
     chunks: list[bytes] = []
+
+    def flush():
+        if chunks:
+            spans.append(
+                ("text", b"".join(chunks).decode("utf-8", errors="replace"))
+            )
+            chunks.clear()
+
     try:
         for sm in _STREAM_RE.finditer(data):
             stream = sm.group(1)
@@ -178,6 +273,12 @@ def extract_pdf_text(data: bytes) -> tuple[str, int, bool]:
                     continue
             first = True
             for op in _OP_RE.finditer(stream):
+                if op.group(6):  # image paint → media span, in order
+                    name = op.group(6)
+                    if name in refs:
+                        flush()
+                        spans.append(("media", refs[name]))
+                    continue
                 if op.group(5):  # BT → text-block (≈ page) separator
                     if chunks and chunks[-1] != b"\n":
                         chunks.append(b"\n")
@@ -195,9 +296,20 @@ def extract_pdf_text(data: bytes) -> tuple[str, int, bool]:
                         chunks.append(_unescape(s.group(1)))
                     first = False
     except Exception:
-        return "", n_pages, True
-    text = b"".join(chunks).decode("utf-8", errors="replace")
-    return text, n_pages, False
+        return [], n_pages, True
+    flush()
+    return spans, n_pages, False
+
+
+def extract_pdf_text(data: bytes) -> tuple[str, int, bool]:
+    """Text-only view of :func:`extract_pdf_spans`: the concatenated
+    text spans (media paints contribute nothing)."""
+    spans, n_pages, malformed = extract_pdf_spans(data)
+    return (
+        "".join(t for kind, t in spans if kind == "text"),
+        n_pages,
+        malformed,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -238,4 +350,51 @@ def parse_pdf_documents(
 
     return df.select(F.col(id_col), F.col(content_col)).mapInPandas(
         run, PDF_RESULT_SCHEMA
+    )
+
+
+# the input_hint span schema: (kind, text, media_ref, offset)
+PDF_SPANS_SCHEMA = (
+    "doc_id string, "
+    "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, "
+    "n_pages int, malformed boolean"
+)
+
+
+def parse_pdf_interleaved(
+    df: DataFrame, content_col: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """PDF → the engine's interleaved document contract:
+    ``spans array<struct<kind,text,media_ref,offset>>`` in document
+    order (text blocks + image paints), so a PDF corpus feeds the same
+    downstream pipeline as HTML-extracted documents."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf[id_col], pdf[content_col]):
+                spans, n, m = extract_pdf_spans(
+                    bytes(blob) if blob is not None else b""
+                )
+                rows.append(
+                    {
+                        "doc_id": str(doc_id),
+                        "spans": [
+                            {
+                                "kind": kind,
+                                "text": payload if kind == "text" else "",
+                                "media_ref": payload if kind == "media" else "",
+                                "offset": i,
+                            }
+                            for i, (kind, payload) in enumerate(spans)
+                        ],
+                        "n_pages": n,
+                        "malformed": m,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "spans", "n_pages", "malformed"])
+
+    return df.select(F.col(id_col), F.col(content_col)).mapInPandas(
+        run, PDF_SPANS_SCHEMA
     )

@@ -1481,6 +1481,61 @@ FROM documents
 """
 
 
+def q_extract_pdf_interleaved(spark, sf_dir):
+    """Interleaved PDF parse: text blocks and image paints come back
+    as one ordered span sequence in the engine's
+    (kind, text, media_ref, offset) contract — the PDF-side analogue
+    of extract_interleaved_media."""
+    from .operators import pdf as pdfmod
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+
+    def gen(batches):
+        import pandas as pd
+
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": b["doc_id"].astype(str),
+                    "content": [
+                        pdfmod.pdf_bytes_from_spans(
+                            [
+                                ("text", f"Doc {i}"),
+                                ("media", f"media://img/{i}"),
+                                ("text", t),
+                            ]
+                        )
+                        for i, t in zip(b["doc_id"], b["text"])
+                    ],
+                }
+            )
+
+    blobs = docs.mapInPandas(gen, "doc_id string, content binary")
+    out = pdfmod.parse_pdf_interleaved(blobs)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.explode("spans").alias("s"),
+    ).select(
+        "doc_id",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("offset"),
+    )
+
+
+ORACLE_EXTRACT_PDF_INTERLEAVED = """
+SELECT doc_id, 'text' AS kind, 'Doc ' || CAST(doc_id AS VARCHAR) AS text,
+       '' AS media_ref, CAST(0 AS INTEGER) AS offset
+FROM documents
+UNION ALL
+SELECT doc_id, 'media', '', 'media://img/' || CAST(doc_id AS VARCHAR), 1
+FROM documents
+UNION ALL
+SELECT doc_id, 'text', text, '', 2 FROM documents
+"""
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: n-gram overlap of every document
     against a broadcast benchmark set (here: the doc_id%11==0 docs,
@@ -1597,6 +1652,7 @@ QUERIES = {
     "extract_config_comparison": q_extract_config_comparison,
     "extract_density_prune": q_extract_density_prune,
     "extract_pdf": q_extract_pdf,
+    "extract_pdf_interleaved": q_extract_pdf_interleaved,
     # relational (B9–B23)
     "agg_median_by_lang": q_agg_median_by_lang,
     "describe_two_level": q_describe_two_level,
@@ -1657,6 +1713,7 @@ ORACLES = {
     "extract_config_comparison": ORACLE_CONFIG_COMPARISON,
     "extract_density_prune": ORACLE_DENSITY_PRUNE,
     "extract_pdf": ORACLE_EXTRACT_PDF,
+    "extract_pdf_interleaved": ORACLE_EXTRACT_PDF_INTERLEAVED,
     "agg_median_by_lang": ORACLE_AGG_MEDIAN,
     "describe_two_level": ORACLE_DESCRIBE_TWO_LEVEL,
     "explode_tokens_topk": ORACLE_EXPLODE_TOKENS,

@@ -70,3 +70,38 @@ def test_spark_operator(spark):
     assert not got["1"]["malformed"]
     assert got["2"]["malformed"] and got["2"]["text"] == ""
     assert got["3"]["malformed"]
+
+
+def test_interleaved_spans_round_trip():
+    from mini_html_parser_spark.operators.pdf import (
+        extract_pdf_spans,
+        pdf_bytes_from_spans,
+    )
+
+    spans = [
+        ("text", "intro paragraph\nline two"),
+        ("media", "media://img/7"),
+        ("text", "after the (image) BT ET Do"),
+        ("media", "media://vid/9 \\x"),
+        ("text", "tail"),
+    ]
+    assert extract_pdf_spans(pdf_bytes_from_spans(spans)) == (spans, 1, False)
+    # media-first and media-only documents
+    assert extract_pdf_spans(pdf_bytes_from_spans([("media", "m")])) == (
+        [("media", "m")], 1, False,
+    )
+
+
+def test_interleaved_spark_operator(spark):
+    from mini_html_parser_spark.operators.pdf import (
+        parse_pdf_interleaved,
+        pdf_bytes_from_spans,
+    )
+
+    blob = pdf_bytes_from_spans([("text", "a"), ("media", "r1"), ("text", "b")])
+    df = spark.createDataFrame([("1", blob)], "doc_id string, content binary")
+    row = parse_pdf_interleaved(df).collect()[0]
+    assert [
+        (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in row["spans"]
+    ] == [("text", "a", "", 0), ("media", "", "r1", 1), ("text", "b", "", 2)]
+    assert row["n_pages"] == 1 and not row["malformed"]
