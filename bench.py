@@ -77,6 +77,8 @@ def main() -> None:
         q_decontaminate,
         q_pack_sequences,
         q_sample_mixture,
+        q_extract_pdf,
+        q_extract_density_prune,
     )
 
     # one local-mode JVM runs the whole workload back-to-back: size the
@@ -211,6 +213,8 @@ def main() -> None:
     timed_ext("decontaminate", lambda: q_decontaminate(spark, SF_DIR).count())
     timed_ext("pack_sequences", lambda: q_pack_sequences(spark, SF_DIR).count())
     timed_ext("sample_mixture", lambda: q_sample_mixture(spark, SF_DIR).count())
+    timed_ext("extract_pdf", lambda: q_extract_pdf(spark, SF_DIR).count())
+    timed_ext("extract_density_prune", lambda: q_extract_density_prune(spark, SF_DIR).count())
     extras["extended_queries"] = extended
 
     load_end = os.getloadavg()
