@@ -26,8 +26,16 @@ def main(argv=None) -> int:
     p.add_argument("--input", required=True)
     p.add_argument("--output", required=True)
     p.add_argument("--config", default="boilerplate_strip",
-                   choices=["keep_everything", "boilerplate_strip", "boilerplate_strip_br"])
+                   choices=["keep_everything", "boilerplate_strip",
+                            "boilerplate_strip_br", "density_prune"])
+    p.add_argument("--input-format", default="html", choices=["html", "pdf"],
+                   help="html: interleaved documents table through the "
+                        "extraction kernel; pdf: (doc_id, content binary) "
+                        "table through the PDF span parser")
     p.add_argument("--parallelism", type=int, default=None)
+    p.add_argument("--auto-compact-every", type=int, default=None,
+                   help="fold the output table to one snapshot whenever "
+                        "the active snapshot count reaches N")
     p.add_argument("--streaming", action="store_true",
                    help="treat --input as a stream source (availableNow batch)")
     p.add_argument("--iceberg-catalog", default=None,
@@ -64,16 +72,27 @@ def main(argv=None) -> int:
         print(json.dumps({"mode": "streaming", "output": args.output}))
         return 0
 
-    from mini_html_parser_spark.pipeline import run_extraction_job
+    from mini_html_parser_spark.pipeline import (
+        run_extraction_job,
+        run_pdf_extraction_job,
+    )
 
     if args.iceberg_catalog and args.input.startswith(args.iceberg_catalog + "."):
         documents = spark.table(args.input)  # catalog table swap-in
     else:
         documents = spark.read.parquet(args.input)
-    result = run_extraction_job(
-        spark, documents, args.output, config=args.config,
-        parallelism=args.parallelism,
-    )
+    if args.input_format == "pdf":
+        result = run_pdf_extraction_job(
+            spark, documents, args.output,
+            parallelism=args.parallelism,
+            auto_compact_every=args.auto_compact_every,
+        )
+    else:
+        result = run_extraction_job(
+            spark, documents, args.output, config=args.config,
+            parallelism=args.parallelism,
+            auto_compact_every=args.auto_compact_every,
+        )
     snap = result["snapshot"]
     print(json.dumps({
         "mode": "batch",

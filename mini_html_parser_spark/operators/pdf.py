@@ -362,39 +362,57 @@ PDF_SPANS_SCHEMA = (
 
 
 def parse_pdf_interleaved(
-    df: DataFrame, content_col: str = "content", id_col: str = "doc_id"
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    passthrough_cols: list[str] | None = None,
 ) -> DataFrame:
     """PDF → the engine's interleaved document contract:
     ``spans array<struct<kind,text,media_ref,offset>>`` in document
     order (text blocks + image paints), so a PDF corpus feeds the same
-    downstream pipeline as HTML-extracted documents."""
+    downstream pipeline as HTML-extracted documents.
+    ``passthrough_cols`` (e.g. the lineage ``bucket``) are carried
+    through the batch unchanged."""
     import pandas as pd
+
+    extra = list(passthrough_cols or [])
 
     def run(batches):
         for pdf in batches:
             rows = []
-            for doc_id, blob in zip(pdf[id_col], pdf[content_col]):
+            for idx, (doc_id, blob) in enumerate(
+                zip(pdf[id_col], pdf[content_col])
+            ):
                 spans, n, m = extract_pdf_spans(
                     bytes(blob) if blob is not None else b""
                 )
-                rows.append(
-                    {
-                        "doc_id": str(doc_id),
-                        "spans": [
-                            {
-                                "kind": kind,
-                                "text": payload if kind == "text" else "",
-                                "media_ref": payload if kind == "media" else "",
-                                "offset": i,
-                            }
-                            for i, (kind, payload) in enumerate(spans)
-                        ],
-                        "n_pages": n,
-                        "malformed": m,
-                    }
-                )
-            yield pd.DataFrame(rows, columns=["doc_id", "spans", "n_pages", "malformed"])
+                row = {
+                    "doc_id": str(doc_id),
+                    "spans": [
+                        {
+                            "kind": kind,
+                            "text": payload if kind == "text" else "",
+                            "media_ref": payload if kind == "media" else "",
+                            "offset": i,
+                        }
+                        for i, (kind, payload) in enumerate(spans)
+                    ],
+                    "n_pages": n,
+                    "malformed": m,
+                }
+                for c in extra:
+                    row[c] = pdf[c].iloc[idx]
+                rows.append(row)
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "spans", "n_pages", "malformed"] + extra
+            )
 
-    return df.select(F.col(id_col), F.col(content_col)).mapInPandas(
-        run, PDF_SPANS_SCHEMA
+    schema = PDF_SPANS_SCHEMA
+    if extra:
+        extra_schema = ", ".join(
+            f"{c} {df.schema[c].dataType.simpleString()}" for c in extra
+        )
+        schema = f"{PDF_SPANS_SCHEMA}, {extra_schema}"
+    return df.select(F.col(id_col), F.col(content_col), *extra).mapInPandas(
+        run, schema
     )

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, Observation, SparkSession, functions as F
 
 DEFAULT_SHUFFLE_PARTITIONS = 32
 ARROW_MAX_RECORDS = 256
@@ -85,7 +85,7 @@ GIANT_BUCKET_SPACE = 1024
 
 def with_salt_bucket(
     df: DataFrame, n_buckets: int, doc_id_col: str = "doc_id",
-    spans_col: str | None = "spans",
+    spans_col: str | None = "spans", weight: Column | None = None,
 ) -> DataFrame:
     """Deterministic size-aware salt bucket — the unit of partitioning
     AND lineage (north_rule: skew handled explicitly).
@@ -96,10 +96,11 @@ def with_salt_bucket(
     Pure function of (doc_id, size) → resumable and replayable.
     """
     salt = F.pmod(F.xxhash64(F.col(doc_id_col)), F.lit(n_buckets))
-    if spans_col is not None and spans_col in df.columns:
+    if weight is None and spans_col is not None and spans_col in df.columns:
         weight = F.aggregate(
             F.col(spans_col), F.lit(0), lambda acc, s: acc + F.length(s["text"])
         )
+    if weight is not None:
         giant_salt = n_buckets + F.pmod(
             F.xxhash64(F.col(doc_id_col)), F.lit(GIANT_BUCKET_SPACE)
         )
@@ -112,6 +113,7 @@ def with_salt_bucket(
 def repartition_for_extraction(
     df: DataFrame, parallelism: int, buckets_per_core: int = 2,
     doc_id_col: str = "doc_id", n_buckets: int | None = None,
+    weight: Column | None = None,
 ) -> DataFrame:
     """Salted repartition ahead of the extraction UDF (reference B6).
 
@@ -134,7 +136,7 @@ def repartition_for_extraction(
     wall-clock (measured).
     """
     n_buckets = n_buckets or parallelism * buckets_per_core
-    salted = with_salt_bucket(df, n_buckets, doc_id_col)
+    salted = with_salt_bucket(df, n_buckets, doc_id_col, weight=weight)
     # Physical placement: ROUND-ROBIN over 2×parallelism partitions —
     # measured fastest of four strategies on the skewed corpus at
     # local[32] (two-tier giant/small split union: 48s — the two
@@ -158,6 +160,84 @@ def observed_extraction(extracted: DataFrame) -> tuple[DataFrame, Observation]:
         F.sum(F.col("malformed").cast("long")).alias("malformed_fallbacks"),
     )
     return out, obs
+
+
+def _resolve_layout(
+    table, spark: SparkSession, output_path: str,
+    parallelism: int | None, buckets_per_core: int,
+) -> tuple[int, int, dict]:
+    """Resume-stable bucket layout: reuse the manifest-recorded layout
+    verbatim, error on conflicting explicit requests (see
+    run_extraction_job docstring)."""
+    recorded = table.partitioning()
+    if recorded is not None:
+        if (recorded.get("giant_bucket_space"), recorded.get("giant_doc_chars")) != (
+            GIANT_BUCKET_SPACE, GIANT_DOC_CHARS
+        ):
+            raise ValueError(
+                f"resume layout mismatch: table {output_path} was committed with "
+                f"giant-doc tier {recorded}, but this build uses "
+                f"{GIANT_BUCKET_SPACE}/{GIANT_DOC_CHARS}"
+            )
+        n_buckets = int(recorded["n_buckets"])
+        if parallelism is not None and parallelism * buckets_per_core != n_buckets:
+            raise ValueError(
+                f"resume layout mismatch: table {output_path} was committed with "
+                f"n_buckets={n_buckets}; requested parallelism={parallelism} × "
+                f"buckets_per_core={buckets_per_core} = {parallelism * buckets_per_core}. "
+                "Omit `parallelism` to reuse the recorded layout."
+            )
+        parallelism = parallelism or max(1, n_buckets // buckets_per_core)
+    else:
+        parallelism = parallelism or spark.sparkContext.defaultParallelism
+        n_buckets = parallelism * buckets_per_core
+    layout = {
+        "n_buckets": n_buckets,
+        "giant_bucket_space": GIANT_BUCKET_SPACE,
+        "giant_doc_chars": GIANT_DOC_CHARS,
+    }
+    return parallelism, n_buckets, layout
+
+
+def run_pdf_extraction_job(
+    spark: SparkSession,
+    pdfs: DataFrame,
+    output_path: str,
+    parallelism: int | None = None,
+    buckets_per_core: int = 2,
+    auto_compact_every: int | None = None,
+) -> dict:
+    """PDF-corpus variant of :func:`run_extraction_job`: input is
+    ``(doc_id, content binary)``, the extractor is
+    :func:`~.operators.pdf.parse_pdf_interleaved`, and everything else
+    — size-aware salting (giant tier keyed on the PDF byte length),
+    committed-bucket resume, per-bucket lineage, observed metrics,
+    auto-compaction — is the same machinery.  Output rows carry the
+    interleaved span contract, so downstream consumers are shared with
+    the HTML path."""
+    from .operators.pdf import parse_pdf_interleaved
+    from .plans.icelite import IceliteTable
+
+    table = IceliteTable(output_path)
+    parallelism, n_buckets, layout = _resolve_layout(
+        table, spark, output_path, parallelism, buckets_per_core
+    )
+    salted = repartition_for_extraction(
+        pdfs, parallelism, n_buckets=n_buckets, weight=F.length("content")
+    )
+    pending = table.filter_pending(salted)
+    parsed = parse_pdf_interleaved(pending, passthrough_cols=["bucket"])
+    parsed = parsed.withColumn("n_spans", F.size("spans"))
+    observed, obs = observed_extraction(parsed)
+    snapshot = table.commit_append(
+        observed,
+        partition_col="bucket",
+        metrics_provider=lambda: {k: int(v) for k, v in obs.get.items()},
+        partitioning=layout,
+        auto_compact_every=auto_compact_every,
+    )
+    metrics = snapshot["metrics"] if snapshot is not None else {}
+    return {"snapshot": snapshot, "metrics": metrics}
 
 
 def run_extraction_job(
@@ -189,33 +269,9 @@ def run_extraction_job(
     from .plans.icelite import IceliteTable
 
     table = IceliteTable(output_path)
-    recorded = table.partitioning()
-    if recorded is not None:
-        if (recorded.get("giant_bucket_space"), recorded.get("giant_doc_chars")) != (
-            GIANT_BUCKET_SPACE, GIANT_DOC_CHARS
-        ):
-            raise ValueError(
-                f"resume layout mismatch: table {output_path} was committed with "
-                f"giant-doc tier {recorded}, but this build uses "
-                f"{GIANT_BUCKET_SPACE}/{GIANT_DOC_CHARS}"
-            )
-        n_buckets = int(recorded["n_buckets"])
-        if parallelism is not None and parallelism * buckets_per_core != n_buckets:
-            raise ValueError(
-                f"resume layout mismatch: table {output_path} was committed with "
-                f"n_buckets={n_buckets}; requested parallelism={parallelism} × "
-                f"buckets_per_core={buckets_per_core} = {parallelism * buckets_per_core}. "
-                "Omit `parallelism` to reuse the recorded layout."
-            )
-        parallelism = parallelism or max(1, n_buckets // buckets_per_core)
-    else:
-        parallelism = parallelism or spark.sparkContext.defaultParallelism
-        n_buckets = parallelism * buckets_per_core
-    layout = {
-        "n_buckets": n_buckets,
-        "giant_bucket_space": GIANT_BUCKET_SPACE,
-        "giant_doc_chars": GIANT_DOC_CHARS,
-    }
+    parallelism, n_buckets, layout = _resolve_layout(
+        table, spark, output_path, parallelism, buckets_per_core
+    )
 
     salted = repartition_for_extraction(documents, parallelism, n_buckets=n_buckets)
     pending = table.filter_pending(salted)  # prune committed buckets

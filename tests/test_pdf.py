@@ -105,3 +105,37 @@ def test_interleaved_spark_operator(spark):
         (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in row["spans"]
     ] == [("text", "a", "", 0), ("media", "", "r1", 1), ("text", "b", "", 2)]
     assert row["n_pages"] == 1 and not row["malformed"]
+
+
+def test_pdf_extraction_job_end_to_end_with_resume(spark, tmp_path):
+    """run_pdf_extraction_job: salting/lineage/metrics/resume over a
+    binary PDF corpus, sharing the icelite machinery with HTML."""
+    from pyspark.sql import functions as F
+
+    from mini_html_parser_spark.pipeline import run_pdf_extraction_job
+
+    rows = [
+        (str(i), pdf_bytes_from_text(f"doc {i} line one\nline two"))
+        for i in range(30)
+    ] + [("bad", b"not a pdf")]
+    pdfs = spark.createDataFrame(rows, "doc_id string, content binary")
+
+    out = str(tmp_path / "pdftbl")
+    result = run_pdf_extraction_job(spark, pdfs, out, parallelism=2)
+    snap = result["snapshot"]
+    assert snap["total_rows"] == 31
+    assert result["metrics"]["docs_parsed"] == 31
+    assert result["metrics"]["malformed_fallbacks"] == 1
+    assert result["metrics"]["spans_emitted"] == 30  # one text span each
+
+    # resume: identical input -> all buckets committed, no-op commit
+    again = run_pdf_extraction_job(spark, pdfs, out, parallelism=2)
+    assert again["snapshot"] is None
+
+    from mini_html_parser_spark.plans.icelite import IceliteTable
+
+    back = IceliteTable(out).read(spark)
+    assert back.count() == 31
+    good = back.filter(F.col("doc_id") == "7").collect()[0]
+    assert [s["text"] for s in good["spans"]] == ["doc 7 line one\nline two"]
+    assert good["n_pages"] == 1 and not good["malformed"]
