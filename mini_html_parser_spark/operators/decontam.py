@@ -36,12 +36,17 @@ from pyspark.sql import Column, DataFrame, functions as F
 _WS = r"\s+"
 
 
-def word_ngram_set(text_col: Column, n: int = 3) -> Column:
-    """Distinct word ``n``-grams of ``text_col`` as ``array<string>``
-    (space-joined; tokens cannot contain spaces so joined-string
-    equality ⇔ token-sequence equality).  Pure built-in expressions.
-    Documents with fewer than ``n`` tokens yield an empty array."""
-    toks = F.split(F.trim(text_col), _WS)
+def ngrams_of_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct word ``n``-grams of a TOKEN-ARRAY column as
+    ``array<string>`` (space-joined; tokens cannot contain spaces so
+    joined-string equality ⇔ token-sequence equality).  Documents with
+    fewer than ``n`` tokens yield an empty array.
+
+    ``toks`` must be a materialized column (projected with
+    ``withColumn``/``select``), NOT an inline ``split(...)``
+    expression: Catalyst does not common-subexpression-eliminate
+    inside lambda functions, so an inline split is re-evaluated by
+    every ``element_at`` — measured 17× slower on the sf0.1 corpus."""
     width = F.size(toks) - (n - 1)
     grams = F.transform(
         F.sequence(F.lit(1), width),
@@ -52,6 +57,13 @@ def word_ngram_set(text_col: Column, n: int = 3) -> Column:
     return F.when(width >= 1, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def word_ngram_set(text_col: Column, n: int = 3) -> Column:
+    """Distinct word n-grams of a TEXT column.  Only for one-shot /
+    small-side use — for the corpus-scale path pre-project the token
+    array and use :func:`ngrams_of_tokens` (see its docstring)."""
+    return ngrams_of_tokens(F.split(F.trim(text_col), _WS), n)
 
 
 def decontaminate(
@@ -77,16 +89,18 @@ def decontaminate(
     matches bench; not counted in ``n_ngrams``), so no second scan /
     join-back is needed to re-surface them.
     """
+    toks = F.split(F.trim(F.col(text_col)), _WS)
     bench_grams = (
-        bench.select(F.explode(word_ngram_set(F.col(text_col), n)).alias("g"))
+        bench.select(toks.alias("_toks"))
+        .select(F.explode(ngrams_of_tokens(F.col("_toks"), n)).alias("g"))
         .select(F.xxhash64("g").alias("gh"))
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
 
-    doc_grams = docs.select(
+    doc_grams = docs.select(F.col(id_col), toks.alias("_toks")).select(
         F.col(id_col),
-        F.explode_outer(word_ngram_set(F.col(text_col), n)).alias("g"),
+        F.explode_outer(ngrams_of_tokens(F.col("_toks"), n)).alias("g"),
     ).select(
         id_col,
         "g",
