@@ -45,6 +45,8 @@ def main(argv=None) -> int:
                         "be a table identifier like <catalog>.db.documents")
     p.add_argument("--iceberg-warehouse", default=None)
     args = p.parse_args(argv)
+    if args.streaming and args.input_format == "pdf":
+        p.error("--streaming currently supports --input-format html only")
 
     from pyspark.sql import SparkSession
 

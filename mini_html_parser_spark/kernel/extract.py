@@ -382,21 +382,6 @@ class _Extractor:
         if drop:
             return True
 
-        # text/link-density scoring (north-star heuristic; config.py
-        # DensityPruneConfig).  Top-down like the tag rules: pruning
-        # the highest offending block removes its whole subtree with
-        # the same tail-preserving splice.  Cost is one subtree walk
-        # per candidate along KEPT paths only (a pruned subtree is
-        # never descended into), so nested-div chains cost
-        # O(depth × size) worst case but O(size) on typical trees.
-        if self.density_cfg is not None and root.tag in self.density_tags:
-            n_text, n_link = _text_and_link_chars(root)
-            dp = self.density_cfg
-            if (n_text > 0 and n_link / n_text >= dp.max_link_density) or (
-                n_text < dp.min_text_length and n_link > 0
-            ):
-                return True
-
         kept: list[Node] = []
         changed = False
         for child in root.children:
@@ -411,7 +396,27 @@ class _Extractor:
         drop, needs_text = self.tag_filter.decide_bottom_up(root.tag)
         if needs_text:
             drop = self.tag_filter.drop_subtree_bottom_up(root.tag, root.subtree_text())
-        return drop
+        if drop:
+            return True
+
+        # text/link-density scoring (north-star heuristic; config.py
+        # DensityPruneConfig).  Scored AFTER the children pass on
+        # purpose: tag-rule removals (script/style/…) and inner
+        # density prunes have already been applied, so a nav bar
+        # padded with a 300-char <script> is judged on its links
+        # alone, not diluted by code that is about to be deleted
+        # anyway.  Pruning still removes the whole (cleaned) subtree
+        # with the same tail-preserving splice.  Cost is one walk of
+        # the cleaned subtree per candidate — O(depth × size) worst
+        # case on nested-div chains, O(size) on typical trees.
+        if self.density_cfg is not None and root.tag in self.density_tags:
+            n_text, n_link = _text_and_link_chars(root)
+            dp = self.density_cfg
+            if (n_text > 0 and n_link / n_text >= dp.max_link_density) or (
+                n_text < dp.min_text_length and n_link > 0
+            ):
+                return True
+        return False
 
     # ---- linearization (reference: html_parser.py:496-581) ----------------
     # The text accumulator is a chunk list with (length, last-char)

@@ -49,8 +49,26 @@ def _escape_pdf_string(s: str) -> bytes:
     out = s.encode("utf-8")
     out = out.replace(b"\\", rb"\\").replace(b"(", rb"\(").replace(b")", rb"\)")
     # a raw newline inside a literal string would be a PDF line break;
-    # keep the byte stream single-line per Tj
-    return out.replace(b"\r", rb"\r").replace(b"\n", rb"\n")
+    # keep the byte stream single-line per Tj.  '>' is octal-escaped
+    # so the reader's [^>]-bounded dict regexes can never be cut short
+    # by a '>' inside a /Subject media ref.
+    return (
+        out.replace(b"\r", rb"\r")
+        .replace(b"\n", rb"\n")
+        .replace(b">", rb"\076")
+    )
+
+
+def _text_block_ops(text: str) -> bytes:
+    """One ``BT…ET`` block showing ``text`` (``\\n`` → ``Td`` line
+    moves) — the single text-encoding point shared by both writers."""
+    ops = [b"BT /F1 12 Tf 72 720 Td"]
+    for i, line in enumerate(text.split("\n")):
+        if i > 0:
+            ops.append(b"0 -14 Td")
+        ops.append(b"(" + _escape_pdf_string(line) + b") Tj")
+    ops.append(b"ET")
+    return b"\n".join(ops)
 
 
 def pdf_bytes_from_text(text: str, lines_per_page: int = 40) -> bytes:
@@ -89,13 +107,7 @@ def pdf_bytes_from_text(text: str, lines_per_page: int = 40) -> bytes:
             ).encode()
         )
     for page_lines in pages:
-        ops = [b"BT /F1 12 Tf 72 720 Td"]
-        for i, line in enumerate(page_lines):
-            if i > 0:
-                ops.append(b"0 -14 Td")
-            ops.append(b"(" + _escape_pdf_string(line) + b") Tj")
-        ops.append(b"ET")
-        stream = b"\n".join(ops)
+        stream = _text_block_ops("\n".join(page_lines))
         objs.append(
             b"<< /Length %d >>\nstream\n%s\nendstream" % (len(stream), stream)
         )
@@ -139,13 +151,7 @@ def pdf_bytes_from_spans(spans: list) -> bytes:
             images.append((name, payload))
             content_ops.append(b"q 1 0 0 1 72 72 cm /" + name + b" Do Q")
         else:
-            ops = [b"BT /F1 12 Tf 72 720 Td"]
-            for i, line in enumerate(payload.split("\n")):
-                if i > 0:
-                    ops.append(b"0 -14 Td")
-                ops.append(b"(" + _escape_pdf_string(line) + b") Tj")
-            ops.append(b"ET")
-            content_ops.append(b"\n".join(ops))
+            content_ops.append(_text_block_ops(payload))
     stream = b"\n".join(content_ops)
 
     # object layout: 1=Catalog, 2=Pages, 3=Font, 4=Page, 5=Contents,
@@ -182,9 +188,48 @@ def pdf_bytes_from_spans(spans: list) -> bytes:
 # from-scratch reader
 # ---------------------------------------------------------------------------
 
-_STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.DOTALL)
+_STREAM_START_RE = re.compile(rb"stream\r?\n")
+# direct /Length only (an indirect "/Length 5 0 R" is ignored and the
+# stream falls back to endstream-scanning)
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
 _PAGE_RE = re.compile(rb"/Type\s*/Page(?![s/])")
 _FLATE_RE = re.compile(rb"/Filter\s*(?:\[\s*)?/FlateDecode")
+
+
+def _iter_streams(data: bytes):
+    """Yield ``(head, body, (start, end))`` for each content stream.
+
+    The body is sliced by the dict's direct ``/Length`` when present —
+    NOT by searching for ``endstream`` — so document text containing
+    the word "endstream" (or compressed bytes that happen to spell it)
+    cannot truncate or desynchronize the scan.  ``head`` is the dict
+    region before ``stream`` (back to the enclosing ``obj``, bounded),
+    used for filter detection."""
+    pos = 0
+    n = len(data)
+    while pos < n:
+        m = _STREAM_START_RE.search(data, pos)
+        if m is None:
+            return
+        body_start = m.end()
+        dict_start = max(data.rfind(b"obj", 0, m.start()), m.start() - 2048, 0)
+        head = data[dict_start : m.start()]
+        lm = None
+        for lm in _LENGTH_RE.finditer(head):
+            pass  # keep the LAST /Length in the window (nearest dict)
+        if lm is not None:
+            length = int(lm.group(1))
+            body_end = min(body_start + length, n)
+            nxt = data.find(b"endstream", body_end)
+            pos = nxt + len(b"endstream") if nxt != -1 else body_end
+        else:
+            body_end = data.find(b"endstream", body_start)
+            if body_end == -1:
+                body_end = n
+                pos = n
+            else:
+                pos = body_end + len(b"endstream")
+        yield head, data[body_start:body_end], (body_start, body_end)
 # text-showing / positioning operators, scanned linearly over the
 # stream: literal strings are matched as whole tokens FIRST, so their
 # content can never be misread as an operator (a "BT…ET" bracketing
@@ -237,10 +282,22 @@ def extract_pdf_spans(data: bytes) -> tuple[list, int, bool]:
     degrades to ``([], 0, True)`` — never raises."""
     if not data or not data.startswith(b"%PDF-"):
         return [], 0, True
-    n_pages = len(_PAGE_RE.findall(data))
+    streams = list(_iter_streams(data))
+    # structural scans (/Type /Page counting, image-dict refs) run on
+    # the NON-stream bytes only, so document text that happens to
+    # contain "/Type /Page" or an image-dict-shaped string can't
+    # inflate the page count or plant phantom media refs
+    gaps: list[bytes] = []
+    prev = 0
+    for _h, _b, (s, e) in streams:
+        gaps.append(data[prev:s])
+        prev = e
+    gaps.append(data[prev:])
+    structure = b"".join(gaps)
+    n_pages = len(_PAGE_RE.findall(structure))
     # media_ref lookup: image name → /Subject
     refs: dict[bytes, str] = {}
-    for im in _IMAGE_OBJ_RE.finditer(data):
+    for im in _IMAGE_OBJ_RE.finditer(structure):
         name = _IMG_NAME_RE.search(im.group(0))
         if name is None:
             continue
@@ -262,15 +319,15 @@ def extract_pdf_spans(data: bytes) -> tuple[list, int, bool]:
             chunks.clear()
 
     try:
-        for sm in _STREAM_RE.finditer(data):
-            stream = sm.group(1)
-            # the dict immediately preceding this stream declares filters
-            head = data[max(0, sm.start() - 512) : sm.start()]
+        for head, stream, _span in streams:
             if _FLATE_RE.search(head):
                 try:
                     stream = zlib.decompress(stream.rstrip(b"\r\n"))
                 except zlib.error:
-                    continue
+                    # misdetected filter (e.g. the PREVIOUS object's
+                    # text mentions /FlateDecode): scan the raw bytes
+                    # instead of dropping the stream's text
+                    pass
             first = True
             for op in _OP_RE.finditer(stream):
                 if op.group(6):  # image paint → media span, in order
@@ -289,6 +346,14 @@ def extract_pdf_spans(data: bytes) -> tuple[list, int, bool]:
                         chunks.append(b"\n")
                     continue
                 if op.group(1) is not None:
+                    # ' is "next line, then show" (ISO 32000 9.4.3)
+                    if (
+                        op.group(2) == b"'"
+                        and chunks
+                        and chunks[-1] != b"\n"
+                        and not first
+                    ):
+                        chunks.append(b"\n")
                     chunks.append(_unescape(op.group(1)))
                     first = False
                 elif op.group(3) is not None:

@@ -216,28 +216,15 @@ def run_pdf_extraction_job(
     interleaved span contract, so downstream consumers are shared with
     the HTML path."""
     from .operators.pdf import parse_pdf_interleaved
-    from .plans.icelite import IceliteTable
 
-    table = IceliteTable(output_path)
-    parallelism, n_buckets, layout = _resolve_layout(
-        table, spark, output_path, parallelism, buckets_per_core
+    return _run_job(
+        spark, pdfs, output_path,
+        lambda pending: parse_pdf_interleaved(
+            pending, passthrough_cols=["bucket"]
+        ).withColumn("n_spans", F.size("spans")),
+        parallelism, buckets_per_core, auto_compact_every,
+        weight=F.length("content"),
     )
-    salted = repartition_for_extraction(
-        pdfs, parallelism, n_buckets=n_buckets, weight=F.length("content")
-    )
-    pending = table.filter_pending(salted)
-    parsed = parse_pdf_interleaved(pending, passthrough_cols=["bucket"])
-    parsed = parsed.withColumn("n_spans", F.size("spans"))
-    observed, obs = observed_extraction(parsed)
-    snapshot = table.commit_append(
-        observed,
-        partition_col="bucket",
-        metrics_provider=lambda: {k: int(v) for k, v in obs.get.items()},
-        partitioning=layout,
-        auto_compact_every=auto_compact_every,
-    )
-    metrics = snapshot["metrics"] if snapshot is not None else {}
-    return {"snapshot": snapshot, "metrics": metrics}
 
 
 def run_extraction_job(
@@ -266,17 +253,41 @@ def run_extraction_job(
     one raises instead of silently re-bucketing.
     """
     from .operators.extract import extract_documents
+
+    return _run_job(
+        spark, documents, output_path,
+        lambda pending: extract_documents(
+            pending, config, passthrough_cols=["bucket"]
+        ),
+        parallelism, buckets_per_core, auto_compact_every,
+    )
+
+
+def _run_job(
+    spark: SparkSession,
+    df: DataFrame,
+    output_path: str,
+    extract_stage,
+    parallelism: int | None,
+    buckets_per_core: int,
+    auto_compact_every: int | None,
+    weight: Column | None = None,
+) -> dict:
+    """Shared job tail: layout resolve → salt → committed-bucket prune
+    → extract_stage → observed metrics → icelite commit.  Both the
+    HTML and PDF jobs are thin wrappers, so commit/resume/metrics
+    semantics cannot drift between the two paths."""
     from .plans.icelite import IceliteTable
 
     table = IceliteTable(output_path)
     parallelism, n_buckets, layout = _resolve_layout(
         table, spark, output_path, parallelism, buckets_per_core
     )
-
-    salted = repartition_for_extraction(documents, parallelism, n_buckets=n_buckets)
+    salted = repartition_for_extraction(
+        df, parallelism, n_buckets=n_buckets, weight=weight
+    )
     pending = table.filter_pending(salted)  # prune committed buckets
-    extracted = extract_documents(pending, config, passthrough_cols=["bucket"])
-    observed, obs = observed_extraction(extracted)
+    observed, obs = observed_extraction(extract_stage(pending))
     snapshot = table.commit_append(
         observed,
         partition_col="bucket",

@@ -170,3 +170,15 @@ class TestDensityPrune:
 
         html = '<html><body><div><a href="/1">home</a> <a href="/2">about</a></div></body></html>'
         assert "home about" in extract(html, boilerplate_strip_config()).text
+
+    def test_script_padding_cannot_dilute_link_density(self):
+        # scored after tag-rule child removal: 300 chars of JS in a
+        # nav div must not rescue it from the link-density prune
+        js = "var x = 1;" * 30
+        html = (
+            f'<html><body><div><script>{js}</script>'
+            '<a href="/1">home</a> <a href="/2">about</a></div>'
+            '<p>twenty-five chars of real body text here</p>'
+            '</body></html>'
+        )
+        assert self._extract(html).text == "twenty-five chars of real body text here\n"

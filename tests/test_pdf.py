@@ -139,3 +139,47 @@ def test_pdf_extraction_job_end_to_end_with_resume(spark, tmp_path):
     good = back.filter(F.col("doc_id") == "7").collect()[0]
     assert [s["text"] for s in good["spans"]] == ["doc 7 line one\nline two"]
     assert good["n_pages"] == 1 and not good["malformed"]
+
+
+def test_adversarial_pdf_keywords_in_text():
+    """PDF structural keywords inside document text must not corrupt
+    the scan: streams are sliced by /Length, structural scans exclude
+    stream bytes, filter misdetection falls back to a raw scan."""
+    cases = [
+        "before endstream after",          # stream truncation bait
+        "x stream\nBT (fake) Tj ET y",     # stream-start bait
+        "docs about /Type /Page counting", # page-count bait
+        "uses /Filter /FlateDecode here",  # filter misdetection bait
+        "dict-ish << /Subtype /Image /Name /Im9 /Subject (phantom) >>",
+        "endobj 9 0 obj trailer xref",
+    ]
+    for t in cases:
+        got = extract_pdf_text(pdf_bytes_from_text(t, lines_per_page=40))
+        assert got == (t, 1, False), (t, got)
+    # the filter-bait text must also not poison the NEXT page's stream
+    two_pages = "uses /Filter /FlateDecode here\nsecond page line"
+    assert extract_pdf_text(pdf_bytes_from_text(two_pages, lines_per_page=1)) == (
+        two_pages, 2, False,
+    )
+    # interleaved: keywords in text AND a '>' in the media ref
+    from mini_html_parser_spark.operators.pdf import (
+        extract_pdf_spans,
+        pdf_bytes_from_spans,
+    )
+
+    spans = [
+        ("text", "see endstream and /Type /Page"),
+        ("media", "media://a>b?c=<d>"),
+        ("text", "after"),
+    ]
+    assert extract_pdf_spans(pdf_bytes_from_spans(spans)) == (spans, 1, False)
+
+
+def test_quote_show_operator_moves_to_next_line():
+    """The ' operator is "next line, then show" (ISO 32000 9.4.3) —
+    hand-built PDF, since the bundled writer only emits Tj."""
+    stream = b"BT /F1 12 Tf 72 720 Td (line one) Tj (line two) ' ET"
+    body = b"%PDF-1.4\n1 0 obj\n<< /Type /Page >>\nendobj\n" \
+        b"2 0 obj\n<< /Length " + str(len(stream)).encode() + \
+        b" >>\nstream\n" + stream + b"\nendstream\nendobj\n"
+    assert extract_pdf_text(body) == ("line one\nline two", 1, False)
