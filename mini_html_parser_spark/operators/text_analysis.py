@@ -237,3 +237,66 @@ def remove_boilerplate_lines(
         ).alias("text_clean"),
         F.count("_bp").cast("int").alias("n_lines_removed"),
     )
+
+
+def normalize_text(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """C4/CCNet-style text normalization: lowercase, strip C0/C1
+    control characters, collapse whitespace runs to single spaces,
+    trim.  Pure codegen projection — no shuffle, no Python — and
+    engine-portable (the oracle replicates each step exactly).
+    Unicode NFC canonicalization is deliberately NOT part of this
+    operator: Spark SQL has no normalization builtin, so callers that
+    need it should apply a pandas UDF over ``unicodedata.normalize``
+    upstream (the slow path, used only when the corpus is known to
+    mix compositions)."""
+    t = F.lower(F.col(text_col))
+    t = F.regexp_replace(t, r"[\x00-\x08\x0e-\x1f\x7f]", "")
+    t = F.regexp_replace(t, r"[ \t\n\r\f\x0b]+", " ")
+    return df.withColumn("text_norm", F.trim(t))
+
+
+def chunk_documents(
+    df: DataFrame,
+    window: int = 128,
+    stride: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into overlapping token windows (the
+    RAG/long-context chunking step): chunk ``i`` covers tokens
+    ``[i·stride, i·stride + window)``; every document yields at least
+    one chunk.  One row per chunk with
+    ``(id, chunk_idx, chunk_text, n_chunk_tokens)``.
+
+    Narrow plan: token array projected once per row (see
+    decontam.ngrams_of_tokens for why it must NOT stay inline), chunk
+    starts generated JVM-side, posexplode — no shuffle at all, and
+    the ~window/stride× output amplification happens after the scan,
+    never across the wire."""
+    if window <= 0 or stride <= 0:
+        raise ValueError(f"window and stride must be positive, got {window}/{stride}")
+    toks = F.col("_toks")
+    n = F.size(toks)
+    # starts: 0, stride, 2·stride … < n_tokens (≥1 even for empty docs)
+    n_chunks = F.greatest(F.ceil(n / stride), F.lit(1)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(toks, i * stride + 1, window), " "),
+    )
+    return (
+        df.withColumn("_toks", F.split(F.trim(F.col(text_col)), r"\s+"))
+        .select(
+            F.col(id_col),
+            "_toks",
+            F.posexplode(chunks).alias("chunk_idx", "chunk_text"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            "chunk_text",
+            F.least(
+                F.size(F.col("_toks")) - F.col("chunk_idx") * stride,
+                F.lit(window),
+            ).cast("int").alias("n_chunk_tokens"),
+        )
+    )

@@ -1611,6 +1611,59 @@ FROM c
 """
 
 
+def q_normalize_text(spark, sf_dir):
+    """C4-style normalization: lowercase, control-char strip,
+    whitespace collapse, trim — zero-shuffle codegen projection."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        # plant normalization work: controls, tabs, case, run-on spaces
+        F.concat(
+            F.lit("  MixedCase\x01\x1f "), F.col("text"), F.lit("\t\ttail  ")
+        ).alias("text"),
+    )
+    return text_analysis.normalize_text(docs).select("doc_id", "text_norm")
+
+
+ORACLE_NORMALIZE_TEXT = r"""
+SELECT doc_id,
+       trim(regexp_replace(
+         regexp_replace(lower('  MixedCase' || chr(1) || chr(31) || ' '
+                              || text || chr(9) || chr(9) || 'tail  '),
+                        '[\x00-\x08\x0e-\x1f\x7f]', '', 'g'),
+         '[ \t\n\r\f\x0b]+', ' ', 'g')) AS text_norm
+FROM documents
+"""
+
+
+def q_chunk_documents(spark, sf_dir):
+    """Overlapping token-window chunking (RAG/long-context prep):
+    32-token windows at stride 16, one output row per chunk, no
+    shuffle anywhere in the plan."""
+    out = text_analysis.chunk_documents(
+        _docs(spark, sf_dir), window=32, stride=16
+    )
+    return out.select("doc_id", "chunk_idx", "chunk_text", "n_chunk_tokens")
+
+
+ORACLE_CHUNK_DOCUMENTS = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+), c AS (
+  SELECT doc_id, toks,
+         unnest(range(0, greatest(CAST(ceil(len(toks) / 16.0) AS INTEGER), 1)))
+           AS chunk_idx
+  FROM t
+)
+SELECT doc_id,
+       CAST(chunk_idx AS INTEGER) AS chunk_idx,
+       array_to_string(list_slice(toks, chunk_idx * 16 + 1,
+                                  chunk_idx * 16 + 32), ' ') AS chunk_text,
+       CAST(least(len(toks) - chunk_idx * 16, 32) AS INTEGER)
+         AS n_chunk_tokens
+FROM c
+"""
+
+
 MIXTURE_RATES = {"en": 0.25, "fr": 0.5, "de": 1.0, "zh": 0.0}
 
 
@@ -1686,6 +1739,8 @@ QUERIES = {
     "sample_mixture": q_sample_mixture,
     "decontaminate": q_decontaminate,
     "pack_sequences": q_pack_sequences,
+    "normalize_text": q_normalize_text,
+    "chunk_documents": q_chunk_documents,
     "topk_per_group": q_topk_per_group,
     "neardup_survivors": q_neardup_survivors,
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
@@ -1756,6 +1811,8 @@ ORACLES = {
     "sample_mixture": ORACLE_SAMPLE_MIXTURE,
     "decontaminate": ORACLE_DECONTAMINATE,
     "pack_sequences": ORACLE_PACK_SEQUENCES,
+    "normalize_text": ORACLE_NORMALIZE_TEXT,
+    "chunk_documents": ORACLE_CHUNK_DOCUMENTS,
     "topk_per_group": ORACLE_TOPK_PER_GROUP,
     "neardup_survivors": ORACLE_NEARDUP_SURVIVORS,
     "pipeline_clean_corpus": _oracle_pipeline(),
