@@ -59,6 +59,46 @@ def sample_exact_n_per_group(
     )
 
 
+def assign_shards(
+    df: DataFrame,
+    n_shards: int,
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic pseudo-random training-shard assignment: every
+    row gets ``(shard, pos_in_shard)`` — the pre-training "global
+    shuffle then split into N files" step, done the scale-correct way.
+
+    A true global shuffle is a full sort of the corpus; at 100 TB that
+    is the single most expensive possible plan.  Equivalent layout,
+    one window shuffle instead: shard = hash(id, seed) mod N (rows
+    land pseudo-randomly), position = rank of a second hash within the
+    shard (rows are pseudo-randomly ordered inside each shard).  A
+    data loader reading shards in any order sees the same
+    distributional shuffle a global sort would give, and the
+    assignment is a pure function of (id, seed) — resumable,
+    replayable, engine-portable (md5-hex order keys)."""
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    from pyspark.sql import Window
+
+    sid = F.col(id_col).cast("string")
+    # shard from the first 4 md5 hex chars (0..65535 → mod N): md5 is
+    # the one hash every engine computes identically, so a DuckDB
+    # oracle reproduces the assignment bit-for-bit (xxhash64 would be
+    # Spark-only)
+    shard = (
+        F.conv(F.substring(F.md5(F.concat(sid, F.lit(f"@{seed}"))), 1, 4), 16, 10)
+        .cast("int") % n_shards
+    )
+    order_key = F.md5(F.concat(sid, F.lit(f"!{seed}")))
+    w = Window.partitionBy("shard").orderBy(order_key.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("shard", shard)
+        .withColumn("pos_in_shard", (F.row_number().over(w) - 1).cast("long"))
+    )
+
+
 def _rate_threshold_hex(rate: float) -> str:
     """Keep-threshold for a rate in [0, 1] as a string compared
     against the first 8 md5 hex chars.  Lowercase-hex lexicographic

@@ -1611,6 +1611,29 @@ FROM c
 """
 
 
+def q_assign_shards(spark, sf_dir):
+    """Deterministic training-shard assignment (pseudo-random shard +
+    in-shard position) — the scale-correct replacement for a global
+    corpus shuffle: ONE window shuffle, never a full sort."""
+    out = sampling.assign_shards(_docs(spark, sf_dir), n_shards=8, seed=13)
+    return out.select("doc_id", "shard", "pos_in_shard")
+
+
+ORACLE_ASSIGN_SHARDS = """
+WITH s AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '@13'), 1, 4))
+              AS INTEGER) % 8 AS shard,
+         md5(CAST(doc_id AS VARCHAR) || '!13') AS k
+  FROM documents
+)
+SELECT doc_id, CAST(shard AS INTEGER) AS shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id) - 1
+            AS BIGINT) AS pos_in_shard
+FROM s
+"""
+
+
 def q_normalize_text(spark, sf_dir):
     """C4-style normalization: lowercase, control-char strip,
     whitespace collapse, trim — zero-shuffle codegen projection."""
@@ -1741,6 +1764,7 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "normalize_text": q_normalize_text,
     "chunk_documents": q_chunk_documents,
+    "assign_shards": q_assign_shards,
     "topk_per_group": q_topk_per_group,
     "neardup_survivors": q_neardup_survivors,
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
@@ -1813,6 +1837,7 @@ ORACLES = {
     "pack_sequences": ORACLE_PACK_SEQUENCES,
     "normalize_text": ORACLE_NORMALIZE_TEXT,
     "chunk_documents": ORACLE_CHUNK_DOCUMENTS,
+    "assign_shards": ORACLE_ASSIGN_SHARDS,
     "topk_per_group": ORACLE_TOPK_PER_GROUP,
     "neardup_survivors": ORACLE_NEARDUP_SURVIVORS,
     "pipeline_clean_corpus": _oracle_pipeline(),

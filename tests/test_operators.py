@@ -959,3 +959,29 @@ def test_chunk_documents_overlap_and_edges(spark):
     assert sorted(by_doc[3]) == [(0, "", 1)]
     with _pytest.raises(ValueError):
         chunk_documents(docs, window=0, stride=3)
+
+
+def test_assign_shards_uniform_and_deterministic(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from mini_html_parser_spark.operators.sampling import assign_shards
+
+    docs = spark.range(0, 4000).select(F.col("id").alias("doc_id"))
+    out = assign_shards(docs, n_shards=8, seed=5)
+    sizes = [
+        r["n"] for r in out.groupBy("shard").agg(F.count("*").alias("n")).collect()
+    ]
+    assert len(sizes) == 8 and min(sizes) > 300  # roughly uniform (500 ± tail)
+    # positions are a dense 0..size-1 enumeration within each shard
+    dense = out.groupBy("shard").agg(
+        F.count("*").alias("n"), F.max("pos_in_shard").alias("mx")
+    )
+    assert all(r["mx"] == r["n"] - 1 for r in dense.collect())
+    # pure function of (id, seed): repartitioned input, same layout
+    a = sorted(map(tuple, out.select("doc_id", "shard", "pos_in_shard").collect()))
+    b = sorted(map(tuple, assign_shards(docs.repartition(17), 8, seed=5)
+                   .select("doc_id", "shard", "pos_in_shard").collect()))
+    assert a == b
+    with _pytest.raises(ValueError):
+        assign_shards(docs, n_shards=0)
