@@ -30,10 +30,10 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-# explicit whitespace class rationale: operators/bpe.py (Java/RE2/
-# Python \s disagree on \x0b \x1c-\x1f); documents here are split with
-# the same r"\s+" the token_counts oracle already proved portable.
-_WS = r"\s+"
+# explicit whitespace class, not \s: Java \s includes \x0b, RE2
+# (DuckDB) \s does not — the explicit class is identical in both
+# engines for every byte (rationale: operators/bpe.py, ADVICE r2)
+_WS = r"[ \t\n\r\f\x0b]+"
 
 
 def ngrams_of_tokens(toks: Column, n: int = 3) -> Column:

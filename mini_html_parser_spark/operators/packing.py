@@ -40,10 +40,12 @@ def pack_sequences(
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
+    # explicit whitespace class (not \s): Java and RE2 disagree on
+    # \x0b, and the DuckDB oracle must count identically
     tok = (
         token_count
         if token_count is not None
-        else F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+        else F.size(F.split(F.trim(F.col(text_col)), r"[ \t\n\r\f\x0b]+"))
     ).cast("long")
     # explicit ROWS frame: the default frame for an ordered window is
     # RANGE, which sums ALL rows tied on order_col into every tied

@@ -284,7 +284,8 @@ def chunk_documents(
         lambda i: F.array_join(F.slice(toks, i * stride + 1, window), " "),
     )
     return (
-        df.withColumn("_toks", F.split(F.trim(F.col(text_col)), r"\s+"))
+        # explicit ws class: Java/RE2 \s diverge on \x0b (oracle parity)
+        df.withColumn("_toks", F.split(F.trim(F.col(text_col)), r"[ \t\n\r\f\x0b]+"))
         .select(
             F.col(id_col),
             "_toks",

@@ -1548,7 +1548,7 @@ def q_decontaminate(spark, sf_dir):
 
 ORACLE_DECONTAMINATE = r"""
 WITH tok AS (
-  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\r\f\x0b]+') AS t FROM documents
 ), bench AS (
   SELECT DISTINCT array_to_string(list_slice(t, i + 1, i + 3), ' ') AS g
   FROM (SELECT t FROM tok WHERE doc_id % 11 = 0) b,
@@ -1594,7 +1594,7 @@ def q_pack_sequences(spark, sf_dir):
 ORACLE_PACK_SEQUENCES = r"""
 WITH t AS (
   SELECT doc_id, source,
-         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+         CAST(len(string_split_regex(trim(text), '[ \t\n\r\f\x0b]+')) AS BIGINT) AS n_tokens
   FROM documents
 ), c AS (
   SELECT doc_id, source, n_tokens,
@@ -1670,7 +1670,7 @@ def q_chunk_documents(spark, sf_dir):
 
 ORACLE_CHUNK_DOCUMENTS = r"""
 WITH t AS (
-  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\r\f\x0b]+') AS toks FROM documents
 ), c AS (
   SELECT doc_id, toks,
          unnest(range(0, greatest(CAST(ceil(len(toks) / 16.0) AS INTEGER), 1)))
