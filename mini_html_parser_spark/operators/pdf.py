@@ -189,15 +189,20 @@ def pdf_bytes_from_spans(spans: list) -> bytes:
 # ---------------------------------------------------------------------------
 
 _STREAM_START_RE = re.compile(rb"stream\r?\n")
-# direct /Length only (an indirect "/Length 5 0 R" is ignored and the
-# stream falls back to endstream-scanning)
-_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
+# direct /Length only (an indirect "/Length 12 0 R" is ignored and the
+# stream falls back to endstream-scanning).  The (?!\d) stops the
+# group from backtracking to a digit prefix ("12 0 R" would otherwise
+# match group "1" once the full value fails the lookahead).
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\d|\s+\d+\s+R)")
+_OBJ_HDR_RE = re.compile(rb"\d+\s+\d+\s+obj\b")
 _PAGE_RE = re.compile(rb"/Type\s*/Page(?![s/])")
 _FLATE_RE = re.compile(rb"/Filter\s*(?:\[\s*)?/FlateDecode")
 
 
 def _iter_streams(data: bytes):
-    """Yield ``(head, body, (start, end))`` for each content stream.
+    """Yield ``(head, body, (start, end), exact)`` for each content
+    stream; ``exact`` is True when the body was sliced by a direct
+    ``/Length`` (byte-exact) rather than by endstream-scanning.
 
     The body is sliced by the dict's direct ``/Length`` when present —
     NOT by searching for ``endstream`` — so document text containing
@@ -212,7 +217,15 @@ def _iter_streams(data: bytes):
         if m is None:
             return
         body_start = m.end()
-        dict_start = max(data.rfind(b"obj", 0, m.start()), m.start() - 2048, 0)
+        # head = the dict region back to the enclosing "N G obj"
+        # header (full header match, NOT rfind(b"obj") — 'obj' bytes
+        # inside a dict string value like (media://object1) would
+        # truncate the head and hide /Length //Filter), bounded
+        win_lo = max(m.start() - 2048, 0)
+        hdr = None
+        for hdr in _OBJ_HDR_RE.finditer(data, win_lo, m.start()):
+            pass  # last header before the stream
+        dict_start = hdr.start() if hdr is not None else win_lo
         head = data[dict_start : m.start()]
         lm = None
         for lm in _LENGTH_RE.finditer(head):
@@ -229,7 +242,7 @@ def _iter_streams(data: bytes):
                 pos = n
             else:
                 pos = body_end + len(b"endstream")
-        yield head, data[body_start:body_end], (body_start, body_end)
+        yield head, data[body_start:body_end], (body_start, body_end), lm is not None
 # text-showing / positioning operators, scanned linearly over the
 # stream: literal strings are matched as whole tokens FIRST, so their
 # content can never be misread as an operator (a "BT…ET" bracketing
@@ -289,7 +302,7 @@ def extract_pdf_spans(data: bytes) -> tuple[list, int, bool]:
     # inflate the page count or plant phantom media refs
     gaps: list[bytes] = []
     prev = 0
-    for _h, _b, (s, e) in streams:
+    for _h, _b, (s, e), _exact in streams:
         gaps.append(data[prev:s])
         prev = e
     gaps.append(data[prev:])
@@ -318,15 +331,27 @@ def extract_pdf_spans(data: bytes) -> tuple[list, int, bool]:
             )
             chunks.clear()
 
+    degraded = False
     try:
-        for head, stream, _span in streams:
+        for head, stream, _span, exact in streams:
             if _FLATE_RE.search(head):
                 try:
-                    stream = zlib.decompress(stream.rstrip(b"\r\n"))
+                    # /Length-sliced bodies are byte-exact — no rstrip
+                    # (it could eat legitimate trailing \n/\r of the
+                    # compressed payload); endstream-sliced ones carry
+                    # the writer's framing newline, strip it then
+                    stream = zlib.decompress(
+                        stream if exact else stream.rstrip(b"\r\n")
+                    )
                 except zlib.error:
-                    # misdetected filter (e.g. the PREVIOUS object's
-                    # text mentions /FlateDecode): scan the raw bytes
-                    # instead of dropping the stream's text
+                    if exact:
+                        # genuinely compressed but corrupt: skipping is
+                        # honest only if the caller can see it — raw-
+                        # scanning would emit binary garbage as text
+                        degraded = True
+                        continue
+                    # endstream-sliced + failed: likely a misdetected
+                    # filter (dict not fully visible) — raw-scan
                     pass
             first = True
             for op in _OP_RE.finditer(stream):
@@ -363,7 +388,7 @@ def extract_pdf_spans(data: bytes) -> tuple[list, int, bool]:
     except Exception:
         return [], n_pages, True
     flush()
-    return spans, n_pages, False
+    return spans, n_pages, degraded
 
 
 def extract_pdf_text(data: bytes) -> tuple[str, int, bool]:

@@ -83,14 +83,16 @@ def assign_shards(
     from pyspark.sql import Window
 
     sid = F.col(id_col).cast("string")
-    # shard from the first 4 md5 hex chars (0..65535 → mod N): md5 is
+    # shard from the first 8 md5 hex chars (32 bits → mod N): md5 is
     # the one hash every engine computes identically, so a DuckDB
     # oracle reproduces the assignment bit-for-bit (xxhash64 would be
-    # Spark-only)
+    # Spark-only).  32 bits keep the mod-N bias negligible even at
+    # tens of thousands of shards (16 bits would skew shard sizes 2×
+    # for large N).
     shard = (
-        F.conv(F.substring(F.md5(F.concat(sid, F.lit(f"@{seed}"))), 1, 4), 16, 10)
-        .cast("int") % n_shards
-    )
+        F.conv(F.substring(F.md5(F.concat(sid, F.lit(f"@{seed}"))), 1, 8), 16, 10)
+        .cast("bigint") % n_shards
+    ).cast("int")
     order_key = F.md5(F.concat(sid, F.lit(f"!{seed}")))
     w = Window.partitionBy("shard").orderBy(order_key.asc(), F.col(id_col).asc())
     return (

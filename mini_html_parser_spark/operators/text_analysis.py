@@ -250,7 +250,9 @@ def normalize_text(df: DataFrame, text_col: str = "text") -> DataFrame:
     upstream (the slow path, used only when the corpus is known to
     mix compositions)."""
     t = F.lower(F.col(text_col))
-    t = F.regexp_replace(t, r"[\x00-\x08\x0e-\x1f\x7f]", "")
+    # C0 (minus the whitespace chars collapsed below) + DEL + C1 —
+    # C1 (U+0080–U+009F) is the classic cp1252/latin-1 mojibake range
+    t = F.regexp_replace(t, r"[\x00-\x08\x0e-\x1f\x7f-\x9f]", "")
     t = F.regexp_replace(t, r"[ \t\n\r\f\x0b]+", " ")
     return df.withColumn("text_norm", F.trim(t))
 
@@ -277,8 +279,14 @@ def chunk_documents(
         raise ValueError(f"window and stride must be positive, got {window}/{stride}")
     toks = F.col("_toks")
     n = F.size(toks)
-    # starts: 0, stride, 2·stride … < n_tokens (≥1 even for empty docs)
-    n_chunks = F.greatest(F.ceil(n / stride), F.lit(1)).cast("int")
+    # standard overlapping-window count: the last chunk STARTS at the
+    # final position where an unseen token remains, so no chunk is
+    # ever a strict sub-span of its predecessor (n_chunks =
+    # ceil(n/stride) would append a 100%-redundant tail chunk to
+    # every doc longer than one window)
+    n_chunks = F.greatest(
+        (F.ceil((n - window) / stride) + 1).cast("int"), F.lit(1)
+    )
     chunks = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
         lambda i: F.array_join(F.slice(toks, i * stride + 1, window), " "),

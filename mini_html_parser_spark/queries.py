@@ -1622,8 +1622,8 @@ def q_assign_shards(spark, sf_dir):
 ORACLE_ASSIGN_SHARDS = """
 WITH s AS (
   SELECT doc_id,
-         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '@13'), 1, 4))
-              AS INTEGER) % 8 AS shard,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '@13'), 1, 8))
+              AS BIGINT) % 8 AS shard,
          md5(CAST(doc_id AS VARCHAR) || '!13') AS k
   FROM documents
 )
@@ -1652,7 +1652,7 @@ SELECT doc_id,
        trim(regexp_replace(
          regexp_replace(lower('  MixedCase' || chr(1) || chr(31) || ' '
                               || text || chr(9) || chr(9) || 'tail  '),
-                        '[\x00-\x08\x0e-\x1f\x7f]', '', 'g'),
+                        '[\x00-\x08\x0e-\x1f\x7f-\x9f]', '', 'g'),
          '[ \t\n\r\f\x0b]+', ' ', 'g')) AS text_norm
 FROM documents
 """
@@ -1673,7 +1673,8 @@ WITH t AS (
   SELECT doc_id, string_split_regex(trim(text), '[ \t\n\r\f\x0b]+') AS toks FROM documents
 ), c AS (
   SELECT doc_id, toks,
-         unnest(range(0, greatest(CAST(ceil(len(toks) / 16.0) AS INTEGER), 1)))
+         unnest(range(0, greatest(
+           CAST(ceil((len(toks) - 32) / 16.0) AS INTEGER) + 1, 1)))
            AS chunk_idx
   FROM t
 )

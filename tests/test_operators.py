@@ -924,12 +924,17 @@ def test_normalize_text(spark):
     from mini_html_parser_spark.operators.text_analysis import normalize_text
 
     docs = spark.createDataFrame(
-        [(1, "  A\x00B\x08C\x7f  MiXeD\t\tcase\n\nrun  "), (2, "")],
+        [
+            (1, "  A\x00B\x08C\x7f  MiXeD\t\tcase\n\nrun  "),
+            (2, ""),
+            (3, "C1\x85mojibake\x9d\x80range"),  # U+0080–U+009F stripped
+        ],
         "doc_id long, text string",
     )
     got = {r["doc_id"]: r["text_norm"] for r in normalize_text(docs).collect()}
     assert got[1] == "abc mixed case run"
     assert got[2] == ""
+    assert got[3] == "c1mojibakerange"
 
 
 def test_chunk_documents_overlap_and_edges(spark):
@@ -947,12 +952,12 @@ def test_chunk_documents_overlap_and_edges(spark):
         by_doc.setdefault(r["doc_id"], []).append(
             (r["chunk_idx"], r["chunk_text"], r["n_chunk_tokens"])
         )
-    # 10 tokens, stride 3 -> starts 0,3,6,9 (ceil(10/3)=4 chunks)
+    # 10 tokens, window 4, stride 3 -> ceil((10-4)/3)+1 = 3 chunks;
+    # every token covered, and no chunk is a sub-span of another
     assert sorted(by_doc[1]) == [
         (0, "t0 t1 t2 t3", 4),
         (1, "t3 t4 t5 t6", 4),
         (2, "t6 t7 t8 t9", 4),
-        (3, "t9", 1),
     ]
     assert sorted(by_doc[2]) == [(0, "only three tokens", 3)]
     # empty doc still yields exactly one (empty) chunk

@@ -183,3 +183,29 @@ def test_quote_show_operator_moves_to_next_line():
         b"2 0 obj\n<< /Length " + str(len(stream)).encode() + \
         b" >>\nstream\n" + stream + b"\nendstream\nendobj\n"
     assert extract_pdf_text(body) == ("line one\nline two", 1, False)
+
+
+def test_corrupt_flate_stream_marks_malformed():
+    """A genuinely /FlateDecode-declared, /Length-sliced stream that
+    fails to decompress must surface malformed=True and emit no
+    garbage text — not raw-scan compressed bytes."""
+    junk = b"\x99\x99not-deflate\x99(fake) Tj\x99"
+    body = (
+        b"%PDF-1.4\n1 0 obj\n<< /Type /Page >>\nendobj\n"
+        b"2 0 obj\n<< /Length " + str(len(junk)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + junk + b"\nendstream\nendobj\n"
+    )
+    txt, n, m = extract_pdf_text(body)
+    assert txt == "" and m and n == 1
+
+
+def test_indirect_length_falls_back_to_endstream_scan():
+    """An indirect /Length (12 0 R) must not slice a bogus 1-byte
+    body — the stream falls back to endstream-delimited scanning."""
+    stream = b"BT /F1 12 Tf 72 720 Td (indirect ok) Tj ET"
+    body = (
+        b"%PDF-1.4\n1 0 obj\n<< /Type /Page >>\nendobj\n"
+        b"2 0 obj\n<< /Length 12 0 R >>\nstream\n" + stream
+        + b"\nendstream\nendobj\n"
+    )
+    assert extract_pdf_text(body) == ("indirect ok", 1, False)
