@@ -1714,6 +1714,70 @@ WHERE substr(md5(CAST(doc_id AS VARCHAR) || '#7'), 1, 8) <
 """
 
 
+def q_pipeline_pack_corpus(spark, sf_dir):
+    """The data-PREP side of a pre-training pipeline as ONE Catalyst
+    plan: normalize → exact-dedup survivors (on normalized text) →
+    per-language mixture resampling → sequence packing.  Composes only
+    oracle-verified pieces; two shuffles total (dedup window + packing
+    window — the normalize and mixture stages are codegen-only)."""
+    from pyspark.sql import Window
+
+    norm = text_analysis.normalize_text(_docs(spark, sf_dir))
+    w = Window.partitionBy(F.md5("text_norm")).orderBy("doc_id")
+    survivors = (
+        norm.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    mix = sampling.sample_mixture(
+        survivors, MIXTURE_RATES, default_rate=0.75, seed=7
+    )
+    packed = packing.pack_sequences(mix, budget=256, text_col="text_norm")
+    return packed.select(
+        "doc_id", "lang", "source", "n_tokens", "seq_id", "offset_in_seq"
+    )
+
+
+ORACLE_PIPELINE_PACK = r"""
+WITH norm AS (
+  SELECT doc_id, lang, source,
+         trim(regexp_replace(regexp_replace(lower(text),
+              '[\x00-\x08\x0e-\x1f\x7f-\x9f]', '', 'g'),
+              '[ \t\n\r\f\x0b]+', ' ', 'g')) AS text_norm
+  FROM documents
+), surv AS (
+  SELECT n.* FROM norm n
+  JOIN (SELECT md5(text_norm) AS h, min(doc_id) AS keep
+        FROM norm GROUP BY 1) k
+    ON md5(n.text_norm) = k.h AND n.doc_id = k.keep
+), mix AS (
+  SELECT * FROM surv
+  WHERE substr(md5(CAST(doc_id AS VARCHAR) || '#7'), 1, 8) <
+    CASE lang
+      WHEN 'de' THEN 'g'
+      WHEN 'en' THEN '40000000'
+      WHEN 'fr' THEN '80000000'
+      WHEN 'zh' THEN '00000000'
+      ELSE 'c0000000'
+    END
+), tok AS (
+  SELECT doc_id, lang, source,
+         CAST(len(string_split_regex(trim(text_norm), '[ \t\n\r\f\x0b]+'))
+              AS BIGINT) AS n_tokens
+  FROM mix
+), c AS (
+  SELECT doc_id, lang, source, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM tok
+)
+SELECT doc_id, lang, source, n_tokens,
+       CAST((cum - n_tokens) // 256 AS BIGINT) AS seq_id,
+       CAST((cum - n_tokens) % 256 AS BIGINT) AS offset_in_seq
+FROM c
+"""
+
+
 # =========================================================================
 # Registry
 # =========================================================================
@@ -1769,6 +1833,7 @@ QUERIES = {
     "topk_per_group": q_topk_per_group,
     "neardup_survivors": q_neardup_survivors,
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
+    "pipeline_pack_corpus": q_pipeline_pack_corpus,
     "fingerprint": q_fingerprint,
     "multimodal_features": q_multimodal_features,
     "multimodal_resize": q_multimodal_resize,
@@ -1842,4 +1907,5 @@ ORACLES = {
     "topk_per_group": ORACLE_TOPK_PER_GROUP,
     "neardup_survivors": ORACLE_NEARDUP_SURVIVORS,
     "pipeline_clean_corpus": _oracle_pipeline(),
+    "pipeline_pack_corpus": ORACLE_PIPELINE_PACK,
 }
