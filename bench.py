@@ -79,6 +79,7 @@ def main() -> None:
         q_sample_mixture,
         q_extract_pdf,
         q_extract_density_prune,
+        q_pipeline_pack_corpus,
     )
 
     # one local-mode JVM runs the whole workload back-to-back: size the
@@ -215,6 +216,7 @@ def main() -> None:
     timed_ext("sample_mixture", lambda: q_sample_mixture(spark, SF_DIR).count())
     timed_ext("extract_pdf", lambda: q_extract_pdf(spark, SF_DIR).count())
     timed_ext("extract_density_prune", lambda: q_extract_density_prune(spark, SF_DIR).count())
+    timed_ext("pipeline_pack_corpus", lambda: q_pipeline_pack_corpus(spark, SF_DIR).count())
     extras["extended_queries"] = extended
 
     load_end = os.getloadavg()

@@ -990,3 +990,41 @@ def test_assign_shards_uniform_and_deterministic(spark):
     assert a == b
     with _pytest.raises(ValueError):
         assign_shards(docs, n_shards=0)
+
+
+def test_chunk_documents_grid_properties(spark):
+    """Coverage grid over (n_tokens, window, stride): every token is
+    covered by >= 1 chunk, chunk starts are exactly 0, stride, ... and
+    no chunk is a strict sub-span of its predecessor (the redundant
+    tail a ceil(n/stride) count would emit)."""
+    from pyspark.sql import functions as F
+
+    from mini_html_parser_spark.operators.text_analysis import chunk_documents
+
+    sizes = [0, 1, 2, 3, 5, 7, 15, 16, 17, 31, 32, 33, 63, 64, 65, 100]
+    docs = spark.createDataFrame(
+        [(n, " ".join(f"t{i}" for i in range(n))) for n in sizes],
+        "doc_id long, text string",
+    )
+    for window, stride in ((8, 4), (8, 8), (16, 4), (4, 3)):
+        rows = chunk_documents(docs, window=window, stride=stride).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        for n in sizes:
+            chunks = sorted(by_doc[n], key=lambda r: r["chunk_idx"])
+            n_eff = max(n, 1)  # empty text still splits to one '' token
+            covered = set()
+            prev_span = None
+            for r in chunks:
+                start = r["chunk_idx"] * stride
+                end = min(start + window, n_eff)
+                assert r["n_chunk_tokens"] == end - start
+                span = (start, end)
+                if prev_span is not None:
+                    assert not (span[0] >= prev_span[0] and span[1] <= prev_span[1]), (
+                        n, window, stride, span, prev_span,
+                    )
+                prev_span = span
+                covered.update(range(start, end))
+            assert covered == set(range(n_eff)), (n, window, stride)
