@@ -271,3 +271,139 @@ def embedding_near_duplicates(
         F.round(cosine_col(F.col("v_a"), F.col("v_b")), 6).alias("cosine"),
     )
     return pairs.filter(F.col("cosine") >= threshold)
+
+
+# ---- Product quantization (PQ) ANN -------------------------------------------
+# The FAISS IndexPQ construction, Spark-native: vectors are L2-
+# normalized (so L2 order ⇔ cosine order), split into m subvectors,
+# each quantized to one of k centroids learned by deterministic
+# k-means on a driver-side sample.  A corpus vector becomes m bytes —
+# 1024-dim float32 → 8 bytes is the compression that makes
+# billion-scale ANN fit in memory — and a query scans codes with an
+# asymmetric-distance (ADC) lookup table, never touching the original
+# vectors.
+
+def _lloyd(X, k: int, seed: int, iters: int = 25):
+    """Deterministic numpy k-means (seeded init, fixed iteration
+    count, empty clusters keep their previous centroid)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    idx = rng.permutation(len(X))[:k]
+    C = X[idx].copy()
+    for _ in range(iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+    return C
+
+
+def _normalize_rows(M):
+    import numpy as np
+
+    norms = np.linalg.norm(M, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return M / norms
+
+
+def pq_train(
+    df: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_n: int = 2048,
+    seed: int = 7,
+):
+    """Train PQ codebooks on a deterministic sample (md5-ordered, like
+    sample_exact_n — resumable/replayable).  Returns a numpy array of
+    shape (m, k, dim/m).  dim must divide evenly by m."""
+    import numpy as np
+
+    key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"#pq{seed}")))
+    rows = (
+        df.select(F.col(vec_col).cast("array<double>").alias("v"), key.alias("k"))
+        .orderBy("k")
+        .limit(sample_n)
+        .collect()
+    )
+    X = _normalize_rows(np.asarray([r["v"] for r in rows], dtype=np.float64))
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    return np.stack(
+        [_lloyd(X[:, j * dsub : (j + 1) * dsub], k, seed + j) for j in range(m)]
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode each vector to m uint8 codes (a BinaryType column of m
+    bytes).  Arrow-batched: one numpy distance computation per batch
+    per subspace — no per-row Python."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(codebooks)  # m × k × dsub
+    m, _k, dsub = C.shape
+
+    @pandas_udf("binary")
+    def encode(v: pd.Series) -> pd.Series:
+        if v.empty:
+            return pd.Series([], dtype=object)
+        M = _normalize_rows(np.stack(v.to_numpy()).astype(np.float64))
+        codes = np.empty((len(M), m), dtype=np.uint8)
+        for j in range(m):
+            block = M[:, j * dsub : (j + 1) * dsub]
+            d = ((block[:, None, :] - C[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = d.argmin(axis=1)
+        return pd.Series([c.tobytes() for c in codes])
+
+    return df.select(
+        F.col(id_col), encode(F.col(vec_col).cast("array<double>")).alias("pq_codes")
+    )
+
+
+def pq_topk(
+    df: DataFrame,
+    codebooks,
+    query_vec: list,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k: the query builds an (m × k) lookup table of
+    sub-distances to every centroid; each corpus vector's distance is
+    m table lookups summed — the scan reads only the m-byte codes.
+    TakeOrderedAndProject keeps the result driver-side tiny."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(codebooks)
+    m, _kk, dsub = C.shape
+    q = _normalize_rows(np.asarray([query_vec], dtype=np.float64))[0]
+    lut = np.stack(
+        [((C[j] - q[j * dsub : (j + 1) * dsub]) ** 2).sum(axis=1) for j in range(m)]
+    )  # m × k
+
+    @pandas_udf("double")
+    def adc(codes: pd.Series) -> pd.Series:
+        if codes.empty:
+            return pd.Series([], dtype=np.float64)
+        B = np.stack([np.frombuffer(b, dtype=np.uint8) for b in codes.to_numpy()])
+        return pd.Series(lut[np.arange(m)[None, :], B].sum(axis=1))
+
+    encoded = pq_encode(df, C, vec_col, id_col)
+    return (
+        encoded.select(id_col, F.round(adc("pq_codes"), 9).alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc(id_col))
+        .limit(k)
+    )

@@ -767,6 +767,37 @@ def q_similarity_ivf(spark, sf_dir):
     )
 
 
+def q_similarity_pq(spark, sf_dir):
+    """Product-quantization ANN with planted neighbors: 10 exact
+    copies of the query vector encode to the query's own PQ code, so
+    their ADC distance is the global minimum any code can achieve —
+    the top-11 is provably the query + its copies (ids tie-break).
+    At m=8/k=32 the code space is 32⁸ ≈ 10¹², so no organic vector
+    shares the cell.  Output is the id set (ADC distances are not
+    SQL-expressible; recall vs brute force is asserted in pytest)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    id_type = emb.schema["vec_id"].dataType.simpleString()
+    copies = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(
+            F.explode(F.sequence(F.lit(1_000_000), F.lit(1_000_009))).alias("copy_id"),
+            "embedding",
+        )
+        .select(F.col("copy_id").cast(id_type).alias("vec_id"), "embedding")
+    )
+    corpus = emb.unionByName(copies)
+    books = similarity.pq_train(corpus, m=8, k=32)
+    return similarity.pq_topk(corpus, books, qvec, k=11).select("vec_id")
+
+
+ORACLE_SIMILARITY_PQ = """
+SELECT CAST(0 AS BIGINT) AS vec_id
+UNION ALL
+SELECT CAST(1000000 + t.i AS BIGINT) FROM range(10) t(i)
+"""
+
+
 def q_embedding_near_dups(spark, sf_dir):
     """Embedding-cosine near-dup detection with planted duplicate
     vectors (vec_id + 1e6).  Identical vectors share every LSH bucket
@@ -1815,6 +1846,7 @@ QUERIES = {
     "similarity_bruteforce_topk": q_similarity_bruteforce,
     "similarity_lsh_topk": q_similarity_lsh,
     "similarity_ivf_topk": q_similarity_ivf,
+    "similarity_pq_topk": q_similarity_pq,
     "embedding_near_dups": q_embedding_near_dups,
     "lang_id_heuristic": q_lang_id,
     "quality_scores": q_quality_scores,
@@ -1894,6 +1926,7 @@ ORACLES = {
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "similarity_lsh_topk": ORACLE_SIMILARITY_LSH,
     "similarity_ivf_topk": ORACLE_SIMILARITY_LSH,  # same planted construction
+    "similarity_pq_topk": ORACLE_SIMILARITY_PQ,
     "repetition_ratio": ORACLE_REPETITION,
     "scrub_pii": _oracle_scrub_pii(),
     "remove_boilerplate_lines": ORACLE_BOILERPLATE_LINES,

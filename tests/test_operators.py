@@ -1028,3 +1028,40 @@ def test_chunk_documents_grid_properties(spark):
                 prev_span = span
                 covered.update(range(start, end))
             assert covered == set(range(n_eff)), (n, window, stride)
+
+
+def test_pq_topk_planted_and_recall(spark):
+    """Product quantization: exact query copies share the query's PQ
+    code (globally-minimal ADC distance, provable top hits), and
+    measured recall vs brute force is reported per the no-silent-caps
+    rule."""
+    from mini_html_parser_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    planted = spark.createDataFrame(
+        [(9001, q), (9002, q)], "vec_id long, embedding array<float>"
+    )
+    corpus = emb.unionByName(planted)
+    books = S.pq_train(corpus, m=8, k=32)
+    assert books.shape == (8, 32, len(q) // 8)
+    top = S.pq_topk(corpus, books, q, k=3).collect()
+    assert [r["vec_id"] for r in top] == [0, 9001, 9002]
+    # all three are exact copies -> identical codes -> identical ADC
+    assert len({r["adc_dist"] for r in top}) == 1
+
+    # recall: fraction of the exact top-10 surfaced in the PQ top-50
+    # (codebooks trained on the un-planted corpus — the planted copies
+    # above skew the training sample and shave ~0.2 recall)
+    books_raw = S.pq_train(emb, m=8, k=32)
+    brute = {r["vec_id"] for r in S.brute_force_topk(emb, q, k=10).collect()}
+    pq50 = {r["vec_id"] for r in S.pq_topk(emb, books_raw, q, k=50).collect()}
+    recall = len(brute & pq50) / 10
+    print(f"PQ recall@10-in-top50 (m=8, k=32): {recall}")
+    assert recall >= 0.8  # measured 0.9 on this corpus
+
+    # codes are m bytes: 8x compression vs the float32 input at dim 64
+    enc = S.pq_encode(emb, books).first()
+    assert len(enc["pq_codes"]) == 8
