@@ -104,7 +104,9 @@ def main() -> None:
             t0 = time.perf_counter()
             result = build_and_run()
             runs.append(round(time.perf_counter() - t0, 3))
-            if len(runs) >= max(REPEATS, 1) and max(runs) / min(runs) <= NOISE_SPREAD:
+            # min(runs) can round to 0.0 for sub-ms repeats — compare
+            # against a 1 ms floor instead of dividing by zero
+            if len(runs) >= max(REPEATS, 1) and max(runs) <= NOISE_SPREAD * max(min(runs), 1e-3):
                 break
         samples[name] = runs
         return result, min(runs)
@@ -171,10 +173,19 @@ def main() -> None:
     #    extraction input is materialized OUTSIDE the timed region so
     #    the number measures the stats plan (explode→slice→two-level
     #    agg), not a rerun of the kernel
+    from pyspark import StorageLevel
+
     docs2 = generate_documents(
         spark, max(N_SYNTH_DOCS // 4, 200), partitions=CPUS * 2
     )
-    ext2 = extract_documents(docs2, "boilerplate_strip").persist()
+    # MEMORY_AND_DISK: if executor memory pressure evicts a MEMORY_ONLY
+    # block, Spark silently re-runs the extraction kernel inside the
+    # timed region (the suspected cause of r3's unstable samples for
+    # this query — VERDICT r3 #4); disk-backed blocks make eviction a
+    # re-read, not a re-compute
+    ext2 = extract_documents(docs2, "boilerplate_strip").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     ext2.count()
 
     def run_stats():
@@ -183,6 +194,20 @@ def main() -> None:
     # clear_cache=False: ext2 must STAY cached — the timed region is
     # the stats plan, not a kernel rerun
     timed("span_stats_two_level", run_stats, clear_cache=False)
+    # cache evidence for the sidecar: the timed plan must read the
+    # InMemoryTableScan, and all cached partitions must still be
+    # resident after the repeats (eviction ⇒ kernel re-ran in-region)
+    plan_str = stats.tag_stats(stats.span_stats(ext2))._jdf.queryExecution().executedPlan().toString()
+    rdd_info = [
+        (r.name(), r.numCachedPartitions(), r.numPartitions())
+        for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    ]
+    extras_cache_evidence = {
+        "span_stats_plan_reads_cache": "InMemoryTableScan" in plan_str,
+        "cached_partitions": [
+            {"rdd": n, "cached": c, "total": t} for n, c, t in rdd_info
+        ],
+    }
     ext2.unpersist()
 
     # 5) dedup: minhash-LSH + jaccard verify at sf
@@ -220,6 +245,28 @@ def main() -> None:
     extras["extended_queries"] = extended
 
     load_end = os.getloadavg()
+    # Noise evidence (every repeat per query + box load before/after)
+    # goes to a SIDECAR file: round 3's inline ``samples`` dict pushed
+    # the one-line JSON past the driver's tail capture and BENCH_r03
+    # recorded parsed:null.  The stdout line stays compact and
+    # machine-parseable; the sidecar keeps the self-identifying noise
+    # record (VERDICT r3 #1).
+    sidecar = {
+        "span_stats_cache_evidence": extras_cache_evidence,
+        "samples": samples,
+        "loadavg": {"start": [round(x, 2) for x in LOAD_START],
+                    "end": [round(x, 2) for x in load_end]},
+        "noise_spread_threshold": NOISE_SPREAD,
+        "repeats": REPEATS,
+    }
+    sidecar_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "last_run_samples.json"
+    )
+    try:
+        with open(sidecar_path, "w") as f:
+            json.dump(sidecar, f, indent=1)
+    except OSError:
+        pass  # bench result must still print even on a read-only tree
     print(json.dumps({
         "metric": "headline workload wall-clock (extraction + stats + dedup + similarity + relational), best-of-%d" % REPEATS,
         "value": total,
@@ -229,13 +276,7 @@ def main() -> None:
         "cpus": CPUS,
         "synth_docs": N_SYNTH_DOCS,
         **extras,
-        # noise evidence: every repeat per query + box load before/after
-        # (a best sample recorded under heavy external load or with a
-        # wide spread is self-identifying as suspect)
-        "samples": samples,
-        "loadavg": {"start": [round(x, 2) for x in LOAD_START],
-                    "end": [round(x, 2) for x in load_end]},
-        "noise_spread_threshold": NOISE_SPREAD,
+        "noise_evidence": "BENCH/last_run_samples.json",
     }))
     spark.stop()
 

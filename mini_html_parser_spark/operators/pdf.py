@@ -220,11 +220,21 @@ def _iter_streams(data: bytes):
         # head = the dict region back to the enclosing "N G obj"
         # header (full header match, NOT rfind(b"obj") — 'obj' bytes
         # inside a dict string value like (media://object1) would
-        # truncate the head and hide /Length //Filter), bounded
-        win_lo = max(m.start() - 2048, 0)
+        # truncate the head and hide /Length //Filter).  The window
+        # starts small (the overwhelmingly common case) but WIDENS
+        # until a header is found or file start is reached — a stream
+        # dict larger than the first window must not silently lose its
+        # /Length and /FlateDecode keys (ADVICE r3: a large-dict Flate
+        # stream would be raw-scanned into garbage text).
+        win = 2048
         hdr = None
-        for hdr in _OBJ_HDR_RE.finditer(data, win_lo, m.start()):
-            pass  # last header before the stream
+        while True:
+            win_lo = max(m.start() - win, 0)
+            for hdr in _OBJ_HDR_RE.finditer(data, win_lo, m.start()):
+                pass  # last header before the stream
+            if hdr is not None or win_lo == 0:
+                break
+            win *= 16
         dict_start = hdr.start() if hdr is not None else win_lo
         head = data[dict_start : m.start()]
         lm = None
@@ -243,28 +253,69 @@ def _iter_streams(data: bytes):
             else:
                 pos = body_end + len(b"endstream")
         yield head, data[body_start:body_end], (body_start, body_end), lm is not None
+# PDF literal-string content with up to TWO levels of balanced
+# unescaped parentheses — ISO 32000 7.3.4.2 allows balanced parens
+# unescaped inside literal strings ("(see (Fig. 1)) Tj" is
+# conforming).  Unbounded nesting needs a real tokenizer; two levels
+# covers real-world prose, and anything deeper leaves an unmatched
+# Tj/TJ token behind, which the residue check below converts into
+# degraded=True instead of silent text loss.
+_STR_L0 = rb"(?:\\.|[^\\()])*"
+_STR_L1 = rb"(?:\\.|[^\\()]|\(" + _STR_L0 + rb"\))*"
+_STR_INNER = rb"(?:\\.|[^\\()]|\(" + _STR_L1 + rb"\))*"
 # text-showing / positioning operators, scanned linearly over the
 # stream: literal strings are matched as whole tokens FIRST, so their
 # content can never be misread as an operator (a "BT…ET" bracketing
 # regex would end the block at an "ET" inside a string).  BT itself is
-# a token and acts as the text-block separator.
+# a token and acts as the text-block separator.  The TJ-array branch
+# matches strings as whole tokens too, so a ']' inside a string cannot
+# terminate the array early.
 _OP_RE = re.compile(
-    rb"\(((?:\\.|[^\\()])*)\)\s*(Tj|')"  # literal string + show op
-    rb"|\[((?:\\.|[^\]\\])*)\]\s*TJ"     # array show
+    rb"\((" + _STR_INNER + rb")\)\s*(Tj|')"  # literal string + show op
+    rb"|\[((?:\\.|\(" + _STR_INNER + rb"\)|[^\]\\(])*)\]\s*TJ"  # array show
     rb"|(T\*|-?[\d.]+\s+-?[\d.]+\s+(?:Td|TD))"  # line moves
     rb"|(BT)"
     rb"|/(\w+)\s+Do",                    # XObject paint (images)
     re.DOTALL,
 )
+# show operators that survive in a stream AFTER removing everything
+# _OP_RE matched ⇒ the scanner failed to pair them with a string
+# operand (e.g. >2-level paren nesting) — honesty demands degraded=True
+_UNMATCHED_SHOW_RE = re.compile(rb"(?<![\w/])(?:Tj|TJ)(?![\w])")
 # image XObject dicts: /Name pairs the Do operand, /Subject carries
 # the media reference (the writer's convention; a plain image without
-# /Subject falls back to its name)
-_IMAGE_OBJ_RE = re.compile(
-    rb"<<[^>]*?/Subtype\s*/Image[^>]*?>>", re.DOTALL
-)
+# /Subject falls back to its name).  Located by anchoring on
+# /Subtype /Image and scanning to the BALANCED enclosing << >> (a
+# nested sub-dict like /DecodeParms << … >> would cut a [^>]-class
+# regex short).
+_SUBTYPE_IMAGE_RE = re.compile(rb"/Subtype\s*/Image")
+_DICT_TOK_RE = re.compile(rb"<<|>>")
 _IMG_NAME_RE = re.compile(rb"/Name\s*/(\w+)")
-_IMG_SUBJECT_RE = re.compile(rb"/Subject\s*\(((?:\\.|[^\\()])*)\)")
-_TJ_STR_RE = re.compile(rb"\(((?:\\.|[^\\()])*)\)")
+_IMG_SUBJECT_RE = re.compile(rb"/Subject\s*\((" + _STR_INNER + rb")\)")
+_TJ_STR_RE = re.compile(rb"\((" + _STR_INNER + rb")\)")
+
+
+def _image_dict_regions(structure: bytes) -> list[bytes]:
+    """The innermost balanced ``<< … >>`` region around each
+    ``/Subtype /Image`` anchor — a stack walk over dict tokens, so
+    nested sub-dicts (``/DecodeParms << … >>``) can't truncate the
+    match the way a ``[^>]`` character class does."""
+    anchors = [m.start() for m in _SUBTYPE_IMAGE_RE.finditer(structure)]
+    if not anchors:
+        return []
+    regions: dict[int, tuple[int, int]] = {}
+    stack: list[int] = []
+    for t in _DICT_TOK_RE.finditer(structure):
+        if t.group(0) == b"<<":
+            stack.append(t.start())
+        elif stack:
+            lo, hi = stack.pop(), t.end()
+            # inner dicts close first, so the first region covering an
+            # anchor is its innermost enclosing dict — the image dict
+            for a in anchors:
+                if lo < a < hi and a not in regions:
+                    regions[a] = (lo, hi)
+    return [structure[lo:hi] for lo, hi in regions.values()]
 _ESC_RE = re.compile(rb"\\([nrtbf()\\]|[0-7]{1,3})")
 
 _ESC_MAP = {
@@ -310,11 +361,11 @@ def extract_pdf_spans(data: bytes) -> tuple[list, int, bool]:
     n_pages = len(_PAGE_RE.findall(structure))
     # media_ref lookup: image name → /Subject
     refs: dict[bytes, str] = {}
-    for im in _IMAGE_OBJ_RE.finditer(structure):
-        name = _IMG_NAME_RE.search(im.group(0))
+    for im in _image_dict_regions(structure):
+        name = _IMG_NAME_RE.search(im)
         if name is None:
             continue
-        subj = _IMG_SUBJECT_RE.search(im.group(0))
+        subj = _IMG_SUBJECT_RE.search(im)
         refs[name.group(1)] = (
             _unescape(subj.group(1)).decode("utf-8", errors="replace")
             if subj is not None
@@ -354,7 +405,15 @@ def extract_pdf_spans(data: bytes) -> tuple[list, int, bool]:
                     # filter (dict not fully visible) — raw-scan
                     pass
             first = True
+            gap_lo = 0  # residue tracking: bytes _OP_RE did not consume
             for op in _OP_RE.finditer(stream):
+                # honesty check on the gap before this match: a Tj/TJ
+                # token the operator scan did NOT consume (e.g. a
+                # string with >2 nested paren levels) means text was
+                # dropped — flag it rather than report clean
+                if _UNMATCHED_SHOW_RE.search(stream, gap_lo, op.start()):
+                    degraded = True
+                gap_lo = op.end()
                 if op.group(6):  # image paint → media span, in order
                     name = op.group(6)
                     if name in refs:
@@ -385,6 +444,8 @@ def extract_pdf_spans(data: bytes) -> tuple[list, int, bool]:
                     for s in _TJ_STR_RE.finditer(op.group(3)):
                         chunks.append(_unescape(s.group(1)))
                     first = False
+            if _UNMATCHED_SHOW_RE.search(stream, gap_lo):
+                degraded = True  # trailing unconsumed show op
     except Exception:
         return [], n_pages, True
     flush()

@@ -125,14 +125,21 @@ def sample_mixture(
     (keep ``rates[group]`` of each group, e.g. upweight low-resource
     languages by downsampling the head ones).
 
-    A row is kept iff ``md5(f"{id}#{seed}")[:8] < threshold(rate)``:
+    A row is kept iff ``md5(f"{id}%mix{seed}")[:8] < threshold(rate)``:
     pure codegen filter — NO shuffle, NO join, and Catalyst pushes it
     into the scan.  Deterministic in the id alone, so re-runs and
     resumed jobs select the identical subset (unlike ``df.sample``,
     whose selection depends on partitioning).
+
+    The hash input uses its OWN domain separator (``%mix``, like
+    ``assign_shards``'s ``@``/``!``): with the same ``#`` construction
+    as ``sample_exact_n``, composing mixture sampling with stratified
+    sampling at the same seed would yield fully correlated selections
+    (mixture survivors = the head of the stratified order key), not
+    independent draws (ADVICE r3).
     """
     key = F.substring(
-        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"#{seed}"))), 1, 8
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"%mix{seed}"))), 1, 8
     )
     thr = F.lit(_rate_threshold_hex(default_rate))
     for group, rate in sorted(rates.items()):

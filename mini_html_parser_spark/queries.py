@@ -1734,7 +1734,7 @@ def q_sample_mixture(spark, sf_dir):
 
 ORACLE_SAMPLE_MIXTURE = """
 SELECT doc_id, lang FROM documents
-WHERE substr(md5(CAST(doc_id AS VARCHAR) || '#7'), 1, 8) <
+WHERE substr(md5(CAST(doc_id AS VARCHAR) || '%mix7'), 1, 8) <
   CASE lang
     WHEN 'de' THEN 'g'
     WHEN 'en' THEN '40000000'
@@ -1783,7 +1783,7 @@ WITH norm AS (
     ON md5(n.text_norm) = k.h AND n.doc_id = k.keep
 ), mix AS (
   SELECT * FROM surv
-  WHERE substr(md5(CAST(doc_id AS VARCHAR) || '#7'), 1, 8) <
+  WHERE substr(md5(CAST(doc_id AS VARCHAR) || '%mix7'), 1, 8) <
     CASE lang
       WHEN 'de' THEN 'g'
       WHEN 'en' THEN '40000000'
