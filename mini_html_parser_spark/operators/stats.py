@@ -50,66 +50,7 @@ def span_rows(extracted: DataFrame, tokenizer: str = "bytes") -> DataFrame:
     # with O(1) indexing, so one pass over each doc's spans is linear.
     if tokenizer not in ("bytes", "whitespace", "bpe", "bpe_fixpoint"):
         raise ValueError(f"unknown tokenizer {tokenizer!r}")
-
-    if tokenizer == "bytes":
-        return _span_rows_bytes_vectorized(extracted)
-
-    from typing import Iterator
-
-    import pandas as pd
-
-    from pyspark.sql.types import (
-        DoubleType, IntegerType, StringType, StructField, StructType,
-    )
-
-    schema = StructType([
-        StructField("doc_id", StringType()),
-        StructField("tag", StringType()),
-        StructField("char_start_idx", IntegerType()),
-        StructField("char_end_idx", IntegerType()),
-        StructField("text_length", DoubleType()),
-        StructField("self_closing", IntegerType()),
-        StructField("token_length", DoubleType()),
-    ])
-
-    if tokenizer == "bytes":
-        def count_tokens(piece: str) -> int:
-            return len(piece.encode("utf-8"))
-    elif tokenizer == "whitespace":
-        def count_tokens(piece: str) -> int:
-            return len(piece.split())
-    elif tokenizer == "bpe_fixpoint":
-        # true classic BPE (Sennrich/GPT-2 semantics) — Python-only,
-        # for real-tokenizer statistics; see operators/bpe.py docstring
-        from .bpe import count_tokens as _bpe_count
-
-        def count_tokens(piece: str) -> int:
-            return _bpe_count(piece, fixpoint=True)
-    else:
-        from .bpe import count_tokens
-
-    def slice_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {k: [] for k in
-                   ("doc_id", "tag", "char_start_idx", "char_end_idx",
-                    "text_length", "self_closing", "token_length")}
-            for doc_id, text, spans in zip(pdf["doc_id"], pdf["text"], pdf["spans"]):
-                for s in spans:
-                    start = s["char_start_idx"]
-                    end = s["char_end_idx"] if s["char_end_idx"] is not None else start
-                    piece = text[start:end]
-                    out["doc_id"].append(doc_id)
-                    out["tag"].append(s["value"])
-                    out["char_start_idx"].append(start)
-                    out["char_end_idx"].append(end)
-                    out["text_length"].append(float(end - start))
-                    out["self_closing"].append(int(end == start))
-                    out["token_length"].append(float(count_tokens(piece)))
-            yield pd.DataFrame(out)
-
-    return extracted.select("doc_id", "text", "spans").mapInPandas(
-        slice_rows, schema=schema
-    )
+    return _span_rows_vectorized(extracted, tokenizer)
 
 
 _SPAN_ROW_SCHEMA = (
@@ -117,24 +58,60 @@ _SPAN_ROW_SCHEMA = (
     "text_length double, self_closing int, token_length double"
 )
 
+# CPython's str.split() whitespace set (Py_UNICODE_ISSPACE) — needed
+# to count whitespace tokens per span WITHOUT slicing the span text:
+# token count in [a,b) falls out of a cumulative sum of token-run
+# starts over the whole doc (one vectorized pass), the same shape as
+# the utf-8 cumsum trick.
+_UNICODE_WS = (
+    list(range(0x09, 0x0E)) + list(range(0x1C, 0x21)) + [0x85, 0xA0, 0x1680]
+    + list(range(0x2000, 0x200B)) + [0x2028, 0x2029, 0x202F, 0x205F, 0x3000]
+)
 
-def _span_rows_bytes_vectorized(extracted: DataFrame) -> DataFrame:
-    """``span_rows(tokenizer="bytes")`` with no per-span Python loop.
 
-    utf8_len(text[a:b]) == cum[b] − cum[a] where ``cum`` is the
-    per-doc cumulative utf-8 byte width of each char — so ONE
-    vectorized pass over each doc (utf-32 decode → width table →
-    cumsum) replaces a ``text[a:b]; piece.encode()`` per span.  The
-    per-span dict walk was the allocation hot spot of the stats
+def _span_rows_vectorized(extracted: DataFrame, tokenizer: str) -> DataFrame:
+    """``span_rows`` with no per-span Python dict walk, any tokenizer.
+
+    Spans' start/end/tag arrive as per-doc ARRAYS (JVM ``transform``
+    pre-projection), so the batch loop is per doc, not per span.  The
+    per-span struct walk was the allocation hot spot of the stats
     bench (≈1.4 M spans / 750 docs): numpy gathers cut it ~4× and
-    remove the allocator-pressure creep across repeats.  Spans'
-    start/end/tag arrive as per-doc ARRAYS (JVM ``transform``
-    pre-projection), so the batch loop is per doc, not per span.
+    remove the allocator-pressure creep across repeats.
+
+    token_length per tokenizer:
+
+    * ``bytes`` — utf8_len(text[a:b]) == cum[b] − cum[a] where ``cum``
+      is the per-doc cumulative utf-8 byte width of each char: ONE
+      vectorized pass (utf-32 decode → width table → cumsum) replaces
+      a ``text[a:b]; piece.encode()`` per span.
+    * ``whitespace`` — len(piece.split()) == (token-run starts inside
+      [a,b)) + 1 if a run straddles ``a``; run starts are
+      ``nonspace & shift(space)`` over the doc's codepoints, their
+      cumsum makes every span an O(1) gather.  Zero slicing.
+    * ``bpe`` / ``bpe_fixpoint`` — the subword merge loop is
+      inherently per-piece Python; everything AROUND it (null
+      backfill, clipping, lengths, output assembly) stays vectorized
+      and only ``count_tokens`` runs per span, over a zip of the
+      clipped numpy bounds.
     """
     from typing import Iterator
 
     import numpy as np
     import pandas as pd
+
+    if tokenizer == "bpe_fixpoint":
+        # true classic BPE (Sennrich/GPT-2 semantics) — Python-only,
+        # for real-tokenizer statistics; see operators/bpe.py docstring
+        from .bpe import count_tokens as _bpe_count
+
+        def count_tokens(piece: str) -> int:
+            return _bpe_count(piece, fixpoint=True)
+    elif tokenizer == "bpe":
+        from .bpe import count_tokens
+    else:
+        count_tokens = None  # bytes / whitespace: closed-form cumsum
+
+    ws_codes = np.asarray(_UNICODE_WS, dtype=np.uint32)
 
     pre = extracted.select(
         "doc_id",
@@ -160,26 +137,61 @@ def _span_rows_bytes_vectorized(extracted: DataFrame) -> DataFrame:
                 # char_end_idx is nullable: null backfills from start (B13)
                 e_raw = np.asarray(ends, dtype=np.float64)
                 e = np.where(np.isnan(e_raw), s, e_raw).astype(np.int64)
-                # utf-8 width per char: 1 + [U+0080,) + [U+0800,) + [U+10000,)
-                codes = np.frombuffer(
-                    text.encode("utf-32-le"), dtype=np.uint32
-                )
-                widths = (
-                    1
-                    + (codes >= 0x80).astype(np.int64)
-                    + (codes >= 0x800)
-                    + (codes >= 0x10000)
-                )
-                cum = np.zeros(len(codes) + 1, dtype=np.int64)
-                np.cumsum(widths, out=cum[1:])
-                lo = np.clip(s, 0, len(codes))
-                hi = np.clip(np.maximum(e, s), 0, len(codes))
+                n_chars = len(text)
+                lo = np.clip(s, 0, n_chars)
+                hi = np.clip(np.maximum(e, s), 0, n_chars)
+                if tokenizer == "bytes":
+                    # utf-8 width per char:
+                    # 1 + [U+0080,) + [U+0800,) + [U+10000,)
+                    codes = np.frombuffer(
+                        text.encode("utf-32-le"), dtype=np.uint32
+                    )
+                    widths = (
+                        1
+                        + (codes >= 0x80).astype(np.int64)
+                        + (codes >= 0x800)
+                        + (codes >= 0x10000)
+                    )
+                    cum = np.zeros(len(codes) + 1, dtype=np.int64)
+                    np.cumsum(widths, out=cum[1:])
+                    tok = cum[hi] - cum[lo]
+                elif tokenizer == "whitespace":
+                    codes = np.frombuffer(
+                        text.encode("utf-32-le"), dtype=np.uint32
+                    )
+                    nonspace = ~np.isin(codes, ws_codes)
+                    # run start at i ⇔ nonspace[i] and (i==0 or space[i-1])
+                    run_start = nonspace.copy()
+                    run_start[1:] &= ~nonspace[:-1]
+                    cum = np.zeros(len(codes) + 1, dtype=np.int64)
+                    np.cumsum(run_start, out=cum[1:])
+                    tok = cum[hi] - cum[lo]
+                    if n_chars > 0:
+                        # a run straddling the span start is a token of
+                        # the slice but its start lies before lo: +1
+                        # when the span is non-empty, lo lands on a
+                        # nonspace char, and that char does not itself
+                        # start a run
+                        lo_c = np.minimum(lo, n_chars - 1)
+                        straddle = (
+                            (hi > lo)
+                            & (lo < n_chars)
+                            & nonspace[lo_c]
+                            & ~run_start[lo_c]
+                        )
+                        tok = tok + straddle
+                else:  # bpe variants: per-piece Python, bounds numpy
+                    tok = np.fromiter(
+                        (count_tokens(text[a:b]) for a, b in zip(lo, hi)),
+                        dtype=np.int64,
+                        count=n,
+                    )
                 doc_ids.append(doc_id)
                 counts.append(n)
                 tag_parts.append(np.asarray(tags, dtype=object))
                 s_parts.append(s)
                 e_parts.append(e)
-                tok_parts.append(cum[hi] - cum[lo])
+                tok_parts.append(tok)
             if not doc_ids:
                 yield pd.DataFrame({k: [] for k in cols})
                 continue

@@ -112,3 +112,63 @@ def test_span_rows_bytes_vectorized_parity(spark):
                 float(len(t[a:e].encode("utf-8"))),
             )
     assert got == want
+
+
+def test_span_rows_whitespace_and_bpe_vectorized_parity(spark):
+    """All tokenizer paths now share the vectorized pre-projection
+    (VERDICT r3 #5): the whitespace run-cumsum and the bpe
+    bounds-sliced path must equal a plain-Python
+    `count(text[a:max(a,b)])` recomputation — including spans that
+    start/end mid-token, unicode whitespace, null ends, inverted and
+    out-of-range spans, and empty docs."""
+    import random
+
+    from mini_html_parser_spark.operators.bpe import count_tokens as bpe_count
+    from mini_html_parser_spark.operators.stats import span_rows
+
+    rng = random.Random(20260817)
+    ws_pool = " \t\n  　\x1c\x85"
+    word_pool = ["héllo", "wörld", "漢字", "x", "ab", "🎉🎉", "q-r"]
+    docs = []
+    for i in range(24):
+        parts = []
+        for _ in range(rng.randrange(0, 30)):
+            parts.append(rng.choice(word_pool) if rng.random() < 0.6
+                         else rng.choice(ws_pool) * rng.randrange(1, 4))
+        text = "".join(parts)
+        n = len(text)
+        spans = []
+        for j in range(rng.randrange(0, 8)):
+            a = rng.randrange(0, n + 1) if n else 0
+            b = rng.choice(
+                [None, a, rng.randrange(0, n + 2) if n else 0, n + 50]
+            )
+            spans.append((f"t{j}", a, b))
+        docs.append((f"d{i}", text, spans))
+    # hand-picked straddle cases: span starts mid-token / on a space
+    docs.append(("edge", "aa bb  cc\tdd", [
+        ("m", 1, 5),   # mid-token start, mid-token end → "a bb" = 2
+        ("m2", 2, 6),  # starts on space → "bb " = 1
+        ("m3", 0, 0), ("m4", 3, 3),
+    ]))
+    df = spark.createDataFrame(
+        [(d, t, [{"kind": "tag", "value": v, "char_start_idx": a,
+                  "char_end_idx": b} for v, a, b in sp])
+         for d, t, sp in docs],
+        "doc_id string, text string, spans array<struct<kind:string,"
+        "value:string,char_start_idx:int,char_end_idx:int>>",
+    )
+    for tokenizer, counter in [
+        ("whitespace", lambda p: len(p.split())),
+        ("bpe", bpe_count),
+    ]:
+        got = {
+            (r["doc_id"], r["tag"]): r["token_length"]
+            for r in span_rows(df, tokenizer=tokenizer).collect()
+        }
+        want = {}
+        for d, t, sp in docs:
+            for v, a, b in sp:
+                e = a if b is None else max(b, a)
+                want[(d, v)] = float(counter(t[a:e]))
+        assert got == want, tokenizer
