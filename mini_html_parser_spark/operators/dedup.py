@@ -525,3 +525,101 @@ def neardup_survivors(
     clusters = dedup_clusters(edges, id_col=id_col)
     doomed = clusters.filter(F.col(id_col) != F.col("cluster_id")).select(id_col)
     return df.join(doomed, id_col, "left_anti")
+
+
+# ---- substring-level exact dedup (Lee et al. 2022) --------------------------
+
+# explicit whitespace class, not \s: Java \s includes \x0b, RE2
+# (DuckDB) \s does not (rationale: operators/bpe.py, ADVICE r2)
+_WS = r"[ \t\n\r\f\x0b]+"
+
+
+def duplicated_passages(
+    df: DataFrame,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document duplicated passages of ≥ ``k`` tokens (the
+    substring-level exact dedup of Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better" — their suffix-array
+    construction is single-node; the distributed equivalent is token
+    k-gram fingerprinting).
+
+    Returns one row per maximal duplicated passage:
+    ``(id_col, tok_start, tok_end, n_tokens)`` with 0-based token
+    indexes (``[tok_start, tok_end)``), where a passage is maximal iff
+    every k-token window inside it appears verbatim in at least one
+    OTHER document.  A passage of m ≥ k tokens shared verbatim by two
+    documents makes all its m−k+1 windows cross-doc duplicated, so the
+    consecutive-run merge recovers exactly the maximal shared
+    passages; within-doc repeats alone do NOT count (cross-doc is
+    ``min(doc) ≠ max(doc)``, not total count).
+
+    100-TB shape — never O(pairs), never a corpus suffix array on one
+    node:
+
+    * k-grams are built JVM-side (slice + concat_ws inside a
+      ``transform`` over a MATERIALIZED token-array column — the
+      lambda-CSE invariant) and immediately hashed to 8-byte
+      ``xxhash64`` keys, so no gram string crosses a shuffle;
+    * cross-doc duplicated fingerprints come from ONE
+      ``groupBy(gh)`` with map-side partial ``min/max(doc)`` — a gram
+      duplicated 10⁶ times partially aggregates, unlike a
+      window-over-gh shape which would shuffle every occurrence of a
+      hot gram to one reducer;
+    * marking positions is an inner join of the positions frame
+      against the (much smaller) duplicated-fingerprint set on the
+      8-byte key — O(corpus positions), with AQE skew-join splitting
+      the probe side under mega-duplicated grams.  No pair emission
+      at all, so the ``_bucket_pairs`` star-edge question never
+      arises: output size is bounded by corpus positions, not
+      bucket²;
+    * run merging is gaps-and-islands: one window per document
+      (``p − row_number()``), one shuffle on ``id_col``.
+
+    Three shuffles total, each linear in corpus token count.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    toks = _spread(df).select(
+        F.col(id_col), F.split(F.trim(F.col(text_col)), _WS).alias("_toks")
+    )
+    width = F.size("_toks") - (k - 1)
+    gram_hashes = F.transform(
+        F.sequence(F.lit(1), width),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice("_toks", i, k))),
+    )
+    pos = toks.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(width >= 1, gram_hashes).otherwise(
+                F.array().cast("array<bigint>")
+            )
+        ).alias("p", "gh"),
+    )
+    dup = (
+        pos.groupBy("gh")
+        .agg(F.min(id_col).alias("_mn"), F.max(id_col).alias("_mx"))
+        .filter(F.col("_mn") != F.col("_mx"))
+        .select("gh")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("p")
+    islands = pos.join(dup, "gh").withColumn(
+        "_isl", F.col("p") - F.row_number().over(w)
+    )
+    return (
+        islands.groupBy(id_col, "_isl")
+        .agg(
+            F.min("p").alias("tok_start"),
+            (F.max("p") + F.lit(k)).alias("tok_end"),
+        )
+        .select(
+            id_col,
+            F.col("tok_start").cast("int").alias("tok_start"),
+            F.col("tok_end").cast("int").alias("tok_end"),
+            (F.col("tok_end") - F.col("tok_start")).cast("int").alias("n_tokens"),
+        )
+    )

@@ -696,6 +696,62 @@ FROM documents WHERE doc_id % 10 = 0
 """
 
 
+_SHARED_PASSAGE = " ".join(f"passage{i:02d}" for i in range(24))
+
+
+def _passage_corpus(spark, sf_dir):
+    """Token-disjoint corpus (cf. _disjoint_dup_corpus) with a fixed
+    24-token passage APPENDED to every ``doc_id % 10 == 0`` document.
+    Salting makes every organic token unique to its doc, so the ONLY
+    cross-doc k-grams are the windows fully inside the planted
+    passage: junction windows carry a doc-salted token and cannot
+    recur elsewhere.  The duplicated-passage output is therefore
+    provably one interval per planted doc —
+    ``[n_salted_tokens, n_salted_tokens + 24)`` — at any scale factor
+    (the closed form survives sf0.1's organic duplicate texts because
+    those are salted apart; see planted-oracle scale note)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    salted = docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.split(F.trim("text"), r"\s+"),
+                lambda t: F.concat(F.col("doc_id").cast("string"), F.lit(":"), t),
+            ),
+        ).alias("text"),
+    )
+    return salted.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(F.col("text"), F.lit(" " + _SHARED_PASSAGE)),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+
+
+def q_dedup_substring(spark, sf_dir):
+    """Substring-level exact dedup (Lee et al. 2022): maximal ≥k-token
+    passages duplicated ACROSS documents, as per-doc token intervals.
+    k-gram fingerprint → cross-doc groupBy → island merge; see
+    dedup.duplicated_passages for the 100-TB shape (no pair emission,
+    three linear shuffles)."""
+    return dedup.duplicated_passages(_passage_corpus(spark, sf_dir), k=8).select(
+        "doc_id", "tok_start", "tok_end", "n_tokens"
+    )
+
+
+ORACLE_DEDUP_SUBSTRING = r"""
+SELECT doc_id,
+       CAST(len(string_split_regex(trim(text), '[ \t\n\r\f\x0b]+')) AS INT)
+         AS tok_start,
+       CAST(len(string_split_regex(trim(text), '[ \t\n\r\f\x0b]+')) + 24 AS INT)
+         AS tok_end,
+       CAST(24 AS INT) AS n_tokens
+FROM documents WHERE doc_id % 10 = 0
+"""
+
+
 def q_similarity_bruteforce(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
@@ -1839,6 +1895,7 @@ QUERIES = {
     "cast_rename_project": q_cast_rename_project,
     # training-data operators
     "dedup_exact": q_dedup_exact,
+    "dedup_substring": q_dedup_substring,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_candidates": q_dedup_minhash_candidates,
     "dedup_simhash": q_dedup_simhash,
@@ -1903,6 +1960,7 @@ ORACLES = {
     "null_fill_coalesce": ORACLE_NULL_FILL,
     "cast_rename_project": ORACLE_CAST_RENAME,
     "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_substring": ORACLE_DEDUP_SUBSTRING,
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "similarity_bruteforce_topk": ORACLE_SIMILARITY,
     "lang_id_heuristic": ORACLE_LANG_ID,

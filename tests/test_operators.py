@@ -1065,3 +1065,64 @@ def test_pq_topk_planted_and_recall(spark):
     # codes are m bytes: 8x compression vs the float32 input at dim 64
     enc = S.pq_encode(emb, books).first()
     assert len(enc["pq_codes"]) == 8
+
+
+def test_duplicated_passages_semantics(spark):
+    """Substring-level exact dedup (Lee et al. 2022): maximal shared
+    passages come back as exact token intervals; two separate shared
+    passages split into two islands; cross-doc only (within-doc
+    repeats excluded); short docs and disjoint docs emit nothing."""
+    shared = " ".join(f"t{i}" for i in range(30))
+    rows = [
+        (1, "a1 a2 a3 " + shared + " a4 a5"),
+        (2, "b1 " + shared + " b2 b3 b4"),
+        (3, " ".join(f"c{i}" for i in range(40))),       # disjoint
+        (4, "short doc"),                                 # < k tokens
+        # docs 5/6 share TWO passages separated by doc-unique tokens
+        (5, "x1 p q r s t u v w x y z1 gapA gapB m n o pp qq rr ss tt uu vv"),
+        (6, "y1 p q r s t u v w x y z9 gapC gapD m n o pp qq rr ss tt uu vv"),
+        # doc 7 repeats a passage WITHIN itself only → not duplicated
+        (7, "w1 " + " ".join(f"r{i}" for i in range(10)) + " w2 "
+            + " ".join(f"r{i}" for i in range(10)) + " w3"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        tuple(r) for r in dedup.duplicated_passages(df, k=8).collect()
+    )
+    assert got == [
+        (1, 3, 33, 30),
+        (2, 1, 31, 30),
+        (5, 1, 11, 10), (5, 14, 24, 10),
+        (6, 1, 11, 10), (6, 14, 24, 10),
+    ]
+
+
+def test_duplicated_passages_mass_duplication_stays_linear(spark):
+    """10k docs all containing one shared 24-token passage: every
+    window hash inside the passage is duplicated 10k-fold.  The
+    groupBy(min/max) + position join shape stays O(corpus positions)
+    — no pair emission at all — and completes in seconds with one
+    exact interval per doc."""
+    import time
+
+    n = 10_000
+    shared = " ".join(f"s{i}" for i in range(24))
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("u"), F.col("id").cast("string"),
+            F.lit("a u"), F.col("id").cast("string"), F.lit("b "),
+            F.lit(shared),
+            F.lit(" v"), F.col("id").cast("string"),
+        ).alias("text"),
+    )
+    t0 = time.time()
+    out = dedup.duplicated_passages(df, k=8)
+    assert out.count() == n
+    agg = out.agg(
+        F.min("tok_start").alias("mn"), F.max("tok_start").alias("mx"),
+        F.min("n_tokens").alias("ln"), F.max("n_tokens").alias("lx"),
+    ).first()
+    # every doc: 2 salt tokens, then the 24-token passage, then 1 salt
+    assert (agg["mn"], agg["mx"], agg["ln"], agg["lx"]) == (2, 2, 24, 24)
+    assert time.time() - t0 < 120
