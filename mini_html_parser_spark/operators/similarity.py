@@ -407,3 +407,173 @@ def pq_topk(
         .orderBy(F.asc("adc_dist"), F.asc(id_col))
         .limit(k)
     )
+
+
+# ---- IVF-PQ (pruned lists × compressed codes) --------------------------------
+# The FAISS IndexIVFPQ composition, Spark-native: the IVF coarse
+# quantizer prunes which lists a query scans, and inside each list the
+# vectors are stored as m-byte PQ codes of their RESIDUAL to the list
+# centroid (residuals are tighter than raw vectors, so the same
+# codebook budget quantizes them with far less error).  At 100 TB this
+# is the ANN shape that works: n_probe/n_centroids of the corpus
+# scanned × dim·4/m bytes per vector touched — pruning and compression
+# multiply rather than choosing one.
+
+
+def unit_rows(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, _nv) with ``_nv`` the L2-normalized vector (zero vectors
+    pass through), so downstream L2 order ⇔ cosine order.  The norm is
+    projected to a REAL column before the transform lambda references
+    it — Catalyst does not CSE inside lambdas, an inline _norm would
+    re-aggregate the whole vector per element (the 17× decontaminate
+    lesson, CLAUDE.md)."""
+    v = F.col(vec_col).cast("array<double>")
+    withn = df.select(F.col(id_col), v.alias("_v")).withColumn(
+        "_n", _norm(F.col("_v"))
+    )
+    return withn.select(
+        id_col,
+        F.transform(
+            "_v",
+            lambda x: x / F.when(F.col("_n") > 0, F.col("_n")).otherwise(F.lit(1.0)),
+        ).alias("_nv"),
+    )
+
+
+def ivfpq_index(
+    df: DataFrame,
+    n_centroids: int = 16,
+    m: int = 4,
+    k_codes: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 7,
+    sample_n: int = 2048,
+    train_fraction: float | None = None,
+):
+    """Build the IVF-PQ index: returns ``(encoded, centers, codebooks)``
+    where ``encoded`` is ``(id_col, list_id, pq_codes binary)``,
+    ``centers`` the unit-space IVF centroids (numpy n_centroids × dim)
+    and ``codebooks`` the residual PQ codebooks (numpy m × k × dim/m).
+
+    Training is driver-side on deterministic samples (MLlib k-means on
+    ``train_fraction`` for the coarse quantizer; md5-ordered
+    ``sample_n`` rows for the residual codebooks — the same
+    TakeOrderedAndProject shape as pq_train, no full sort).  Encoding
+    is one Arrow-batched pass: residual = unit vector − its list
+    centroid, then per-subspace argmin — no per-row Python."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    unit = unit_rows(df, vec_col, id_col)
+    assigned, centers = ivf_index(
+        unit, n_centroids, vec_col="_nv", id_col=id_col, seed=seed,
+        train_fraction=train_fraction,
+    )
+    centers_np = np.asarray(centers, dtype=np.float64)
+
+    key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"#ivfpq{seed}")))
+    rows = (
+        assigned.select(F.col("_nv").alias("v"), "list_id", key.alias("k"))
+        .orderBy("k")
+        .limit(sample_n)
+        .collect()
+    )
+    X = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    R = X - centers_np[np.asarray([r["list_id"] for r in rows])]
+    dim = R.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    codebooks = np.stack(
+        [_lloyd(R[:, j * dsub : (j + 1) * dsub], k_codes, seed + j) for j in range(m)]
+    )
+
+    C = codebooks
+
+    @pandas_udf("binary")
+    def encode(v: pd.Series, lid: pd.Series) -> pd.Series:
+        if v.empty:
+            return pd.Series([], dtype=object)
+        M = np.stack(v.to_numpy()).astype(np.float64)
+        M -= centers_np[lid.to_numpy()]
+        codes = np.empty((len(M), m), dtype=np.uint8)
+        for j in range(m):
+            block = M[:, j * dsub : (j + 1) * dsub]
+            d = ((block[:, None, :] - C[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = d.argmin(axis=1)
+        return pd.Series([c.tobytes() for c in codes])
+
+    encoded = assigned.select(
+        F.col(id_col),
+        F.col("list_id"),
+        encode(F.col("_nv"), F.col("list_id")).alias("pq_codes"),
+    )
+    return encoded, centers_np, codebooks
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    query_vec: list,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    m: int = 4,
+    k_codes: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 7,
+    sample_n: int = 2048,
+    train_fraction: float | None = None,
+) -> DataFrame:
+    """IVF-PQ ANN top-k: probe the ``n_probe`` lists nearest the
+    query, ADC-scan only their m-byte codes with a PER-LIST lookup
+    table built from the query's residual to that list's centroid.
+    The scan never touches an original vector; pruning (lists) and
+    compression (codes) compose.  Identical planted vectors share the
+    query's list and its exact code, so their ADC distance is that
+    list's floor — the basis of the driver oracle."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    encoded, centers_np, codebooks = ivfpq_index(
+        df, n_centroids, m, k_codes, vec_col, id_col, seed, sample_n,
+        train_fraction,
+    )
+    dim = centers_np.shape[1]
+    dsub = dim // m
+    q = _normalize_rows(np.asarray([query_vec], dtype=np.float64))[0]
+    d2 = ((centers_np - q) ** 2).sum(axis=1)
+    probe = [int(i) for i in np.argsort(d2, kind="stable")[:n_probe]]
+
+    # per-probed-list ADC tables, gathered by list_id inside the UDF
+    luts = np.zeros((len(centers_np), m, codebooks.shape[1]), dtype=np.float64)
+    for L in probe:
+        qr = q - centers_np[L]
+        luts[L] = np.stack(
+            [
+                ((codebooks[j] - qr[j * dsub : (j + 1) * dsub]) ** 2).sum(axis=1)
+                for j in range(m)
+            ]
+        )
+
+    @pandas_udf("double")
+    def adc(codes: pd.Series, lid: pd.Series) -> pd.Series:
+        if codes.empty:
+            return pd.Series([], dtype=np.float64)
+        B = np.stack([np.frombuffer(b, dtype=np.uint8) for b in codes.to_numpy()])
+        L = lid.to_numpy()
+        return pd.Series(
+            luts[L[:, None], np.arange(m)[None, :], B].sum(axis=1)
+        )
+
+    return (
+        encoded.filter(F.col("list_id").isin(probe))
+        .select(id_col, F.round(adc("pq_codes", "list_id"), 9).alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc(id_col))
+        .limit(k)
+    )

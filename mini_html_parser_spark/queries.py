@@ -854,6 +854,33 @@ SELECT CAST(1000000 + t.i AS BIGINT) FROM range(10) t(i)
 """
 
 
+def q_similarity_ivfpq(spark, sf_dir):
+    """IVF-PQ ANN (the FAISS IndexIVFPQ composition — VERDICT r3 #6):
+    coarse lists prune the scan, residual PQ codes compress it.  The
+    planted construction composes both sub-oracles: 10 exact copies of
+    the query share its k-means list (IVF guarantee) and encode to its
+    exact residual code (that list's ADC floor — PQ guarantee), so the
+    top-11 is provably the query + its copies.  m=8/k=32 leaves the
+    per-list code space at 32⁸ ≈ 10¹² — no organic vector shares the
+    cell.  Output is the id set (ADC distances are not
+    SQL-expressible; recall vs brute force is asserted in pytest)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    id_type = emb.schema["vec_id"].dataType.simpleString()
+    copies = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(
+            F.explode(F.sequence(F.lit(1_000_000), F.lit(1_000_009))).alias("copy_id"),
+            "embedding",
+        )
+        .select(F.col("copy_id").cast(id_type).alias("vec_id"), "embedding")
+    )
+    corpus = emb.unionByName(copies)
+    return similarity.ivfpq_topk(
+        corpus, qvec, k=11, n_centroids=8, n_probe=2, m=8, k_codes=32
+    ).select("vec_id")
+
+
 def q_embedding_near_dups(spark, sf_dir):
     """Embedding-cosine near-dup detection with planted duplicate
     vectors (vec_id + 1e6).  Identical vectors share every LSH bucket
@@ -1904,6 +1931,7 @@ QUERIES = {
     "similarity_lsh_topk": q_similarity_lsh,
     "similarity_ivf_topk": q_similarity_ivf,
     "similarity_pq_topk": q_similarity_pq,
+    "similarity_ivfpq_topk": q_similarity_ivfpq,
     "embedding_near_dups": q_embedding_near_dups,
     "lang_id_heuristic": q_lang_id,
     "quality_scores": q_quality_scores,
@@ -1985,6 +2013,7 @@ ORACLES = {
     "similarity_lsh_topk": ORACLE_SIMILARITY_LSH,
     "similarity_ivf_topk": ORACLE_SIMILARITY_LSH,  # same planted construction
     "similarity_pq_topk": ORACLE_SIMILARITY_PQ,
+    "similarity_ivfpq_topk": ORACLE_SIMILARITY_PQ,  # same planted construction
     "repetition_ratio": ORACLE_REPETITION,
     "scrub_pii": _oracle_scrub_pii(),
     "remove_boilerplate_lines": ORACLE_BOILERPLATE_LINES,

@@ -1126,3 +1126,43 @@ def test_duplicated_passages_mass_duplication_stays_linear(spark):
     # every doc: 2 salt tokens, then the 24-token passage, then 1 salt
     assert (agg["mn"], agg["mx"], agg["ln"], agg["lx"]) == (2, 2, 24, 24)
     assert time.time() - t0 < 120
+
+def test_ivfpq_topk_planted_and_recall(spark):
+    """IVF-PQ composition (FAISS IndexIVFPQ shape): planted exact
+    copies share the query's list AND its residual code (that list's
+    ADC floor, provable top hits), and measured recall vs brute force
+    is reported per the no-silent-caps rule."""
+    from mini_html_parser_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    planted = spark.createDataFrame(
+        [(9001, q), (9002, q)], "vec_id long, embedding array<float>"
+    )
+    corpus = emb.unionByName(planted)
+    top = S.ivfpq_topk(
+        corpus, q, k=3, n_centroids=8, n_probe=2, m=8, k_codes=32
+    ).collect()
+    assert [r["vec_id"] for r in top] == [0, 9001, 9002]
+    assert len({r["adc_dist"] for r in top}) == 1
+
+    # recall: exact top-10 surfaced in the IVF-PQ top-50; n_probe=4
+    # of 8 lists scans about half the corpus with 8-byte codes
+    brute = {r["vec_id"] for r in S.brute_force_topk(emb, q, k=10).collect()}
+    got50 = {
+        r["vec_id"]
+        for r in S.ivfpq_topk(
+            emb, q, k=50, n_centroids=8, n_probe=4, m=8, k_codes=32
+        ).collect()
+    }
+    recall = len(brute & got50) / 10
+    print(f"IVF-PQ recall@10-in-top50 (8 lists, probe 4, m=8/k=32): {recall}")
+    assert recall >= 0.7
+
+    # index shape: m-byte codes + a list id per vector
+    enc, centers, books = S.ivfpq_index(emb, n_centroids=8, m=8, k_codes=32)
+    row = enc.first()
+    assert len(row["pq_codes"]) == 8 and 0 <= row["list_id"] < 8
+    assert centers.shape[1] == len(q) and books.shape == (8, 32, len(q) // 8)
