@@ -11,6 +11,10 @@ Python in the hot path), so they whole-stage-codegen and push down:
 
 from __future__ import annotations
 
+# module-level so pandas_udf type hints (stringified by the future
+# import) resolve against module globals (cf. operators/similarity.py)
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 # tiny per-language stopword markers (heuristic; padded with spaces so
@@ -308,4 +312,131 @@ def chunk_documents(
                 F.lit(window),
             ).cast("int").alias("n_chunk_tokens"),
         )
+    )
+
+
+# ---- trainable quality classifier (fasttext-style linear model) --------------
+# The learned upgrade to the heuristic quality_score: a logistic model
+# over hashed token features (the fasttext / Joulin et al. 2017 "Bag
+# of Tricks" construction), trained like learn_bpe — driver fit on a
+# deterministic md5-ordered sample, weights broadcast, scoring
+# Arrow-batched over JVM-hashed features.  This is how public corpus
+# pipelines (CCNet, GPT-3 §A, Llama) gate web documents: a small
+# classifier scored over the full 100-TB corpus.
+
+_QC_WS = r"[ \t\n\r\f\x0b]+"
+
+
+def hashed_token_buckets(text: Column, n_features: int = 2048) -> Column:
+    """Per-document hashed-token feature ids as ``array<int>`` —
+    ``xxhash64(token) mod n_features``, entirely JVM-side (codegen),
+    so the 100-TB scoring scan ships only small int arrays into the
+    Arrow stage.  The SAME expression feeds training-sample collection
+    and scoring: train/score feature parity is by construction, not by
+    reimplementing a hash in two languages."""
+    toks = F.split(F.trim(text), _QC_WS)
+    return F.transform(
+        toks, lambda t: F.pmod(F.xxhash64(t), F.lit(n_features)).cast("int")
+    )
+
+
+def train_quality_classifier(
+    df: DataFrame,
+    label_col: str = "label",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_features: int = 2048,
+    sample_n: int = 4096,
+    seed: int = 7,
+    iters: int = 1500,
+    lr: float = 2.0,
+):
+    """Fit logistic weights over hashed-token count features on a
+    deterministic driver-side sample (md5-ordered — the learn_bpe /
+    pq_train shape: TakeOrderedAndProject, no full sort, resumable).
+
+    The fit itself is full-batch gradient descent from zero init with
+    a fixed iteration count — bit-deterministic for a given sample,
+    unlike MLlib's LBFGS whose float summation order varies with
+    partitioning (prediction-level determinism is what the driver
+    oracle hashes).  Returns a numpy array of ``n_features + 1``
+    weights (bias last).
+    """
+    import numpy as np
+
+    key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"#qc{seed}")))
+    rows = (
+        df.select(
+            hashed_token_buckets(F.col(text_col), n_features).alias("b"),
+            F.col(label_col).cast("double").alias("y"),
+            key.alias("k"),
+        )
+        .orderBy("k")
+        .limit(sample_n)
+        .collect()
+    )
+    n = len(rows)
+    if n == 0:
+        raise ValueError("empty training frame")
+    X = np.zeros((n, n_features), dtype=np.float64)
+    y = np.empty(n, dtype=np.float64)
+    for i, r in enumerate(rows):
+        b = np.asarray(r["b"], dtype=np.int64)
+        np.add.at(X[i], b, 1.0)
+        X[i] /= max(len(b), 1)  # mean-of-features (fasttext averaging)
+        y[i] = r["y"]
+    w = np.zeros(n_features, dtype=np.float64)
+    bias = 0.0
+    for _ in range(iters):
+        z = X @ w + bias
+        p = 1.0 / (1.0 + np.exp(-z))
+        g = p - y
+        w -= lr * (X.T @ g) / n
+        bias -= lr * g.mean()
+    return np.concatenate([w, [bias]])
+
+
+def quality_classify(
+    df: DataFrame,
+    weights,
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Score every document with broadcast weights: adds
+    ``quality_prob`` (sigmoid of the mean hashed-feature weight +
+    bias) and ``quality_pred``.  Features are the same JVM
+    ``hashed_token_buckets`` expression as training; the Arrow stage
+    does one flat gather + segment-sum per batch (np.add.reduceat) —
+    no per-row Python."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    W = np.asarray(weights, dtype=np.float64)
+    w, bias = W[:-1], float(W[-1])
+    n_features = len(w)
+
+    @pandas_udf("double")
+    def prob(buckets: pd.Series) -> pd.Series:
+        if buckets.empty:
+            return pd.Series([], dtype=np.float64)
+        arrs = buckets.to_numpy()
+        lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=len(arrs))
+        flat = np.concatenate([np.asarray(a, dtype=np.int64) for a in arrs]) \
+            if lens.sum() else np.empty(0, dtype=np.int64)
+        sums = np.zeros(len(arrs), dtype=np.float64)
+        nz = lens > 0
+        if nz.any():
+            offsets = np.zeros(len(arrs), dtype=np.int64)
+            np.cumsum(lens[:-1], out=offsets[1:])
+            seg = np.add.reduceat(w[flat], offsets[nz])
+            sums[nz] = seg
+        z = sums / np.maximum(lens, 1) + bias
+        return pd.Series(1.0 / (1.0 + np.exp(-z)))
+
+    scored = df.withColumn(
+        "quality_prob",
+        prob(hashed_token_buckets(F.col(text_col), n_features)),
+    )
+    return scored.withColumn(
+        "quality_pred", (F.col("quality_prob") >= F.lit(threshold))
     )

@@ -900,6 +900,39 @@ FROM embeddings WHERE vec_id % 10 = 0
 """
 
 
+def q_quality_classifier(spark, sf_dir):
+    """Trainable quality classifier (fasttext-style logistic model
+    over hashed token features — VERDICT r3 #7): planted separable
+    marker tokens (3 per class, appended by doc_id parity) make the
+    learned predictions provably the parity labels — organic tokens
+    appear in both classes and train to ≈0 weight, while the fit is
+    bit-deterministic (md5-ordered sample, zero-init full-batch GD,
+    fixed iterations), so the closed-form oracle holds at any scale."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    labeled = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat("text", F.lit(" qgoodaa qgoodbb qgoodcc")),
+        ).otherwise(
+            F.concat("text", F.lit(" qbadaa qbadbb qbadcc"))
+        ).alias("text"),
+        (F.col("doc_id") % 2 == 0).cast("int").alias("label"),
+    )
+    weights = text_analysis.train_quality_classifier(labeled)
+    out = text_analysis.quality_classify(labeled, weights)
+    return out.select(
+        "doc_id", F.col("quality_pred").cast("int").alias("pred_quality")
+    )
+
+
+ORACLE_QUALITY_CLASSIFIER = """
+SELECT doc_id,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS INT) AS pred_quality
+FROM documents
+"""
+
+
 def q_lang_id(spark, sf_dir):
     out = text_analysis.language_id(_docs(spark, sf_dir))
     return out.groupBy("lang", "detected_lang").agg(F.count("*").alias("n"))
@@ -1935,6 +1968,7 @@ QUERIES = {
     "embedding_near_dups": q_embedding_near_dups,
     "lang_id_heuristic": q_lang_id,
     "quality_scores": q_quality_scores,
+    "quality_classifier": q_quality_classifier,
     "token_counts": q_token_counts,
     "token_counts_bpe": q_token_counts_bpe,
     "repetition_ratio": q_repetition_ratio,
@@ -1993,6 +2027,7 @@ ORACLES = {
     "similarity_bruteforce_topk": ORACLE_SIMILARITY,
     "lang_id_heuristic": ORACLE_LANG_ID,
     "quality_scores": ORACLE_QUALITY,
+    "quality_classifier": ORACLE_QUALITY_CLASSIFIER,
     "token_counts": ORACLE_TOKEN_COUNTS,
     "token_counts_bpe": _oracle_token_counts_bpe(),
     "fingerprint": ORACLE_FINGERPRINT,

@@ -1166,3 +1166,43 @@ def test_ivfpq_topk_planted_and_recall(spark):
     row = enc.first()
     assert len(row["pq_codes"]) == 8 and 0 <= row["list_id"] < 8
     assert centers.shape[1] == len(q) and books.shape == (8, 32, len(q) // 8)
+
+def test_quality_classifier_holdout_accuracy(spark):
+    """The trained classifier generalizes: fit on HALF the planted
+    corpus, score the unseen half — marker tokens carry the signal so
+    holdout accuracy is 1.0 (organic tokens train to ~0 weight), the
+    probability margins separate, and re-training is bit-deterministic
+    (the property the driver oracle hashes)."""
+    import numpy as np
+
+    from mini_html_parser_spark.operators import text_analysis as T
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").select(
+        "doc_id", "text"
+    )
+    labeled = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat("text", F.lit(" qgoodaa qgoodbb qgoodcc")),
+        ).otherwise(
+            F.concat("text", F.lit(" qbadaa qbadbb qbadcc"))
+        ).alias("text"),
+        (F.col("doc_id") % 2 == 0).cast("int").alias("label"),
+    )
+    n = labeled.count()
+    train = labeled.filter(F.col("doc_id") % 4 < 2)   # half, both classes
+    hold = labeled.filter(F.col("doc_id") % 4 >= 2)
+    assert train.count() > 0 and hold.count() > 0
+    w = T.train_quality_classifier(train)
+    scored = T.quality_classify(hold, w).select(
+        "label", F.col("quality_pred").cast("int").alias("p"), "quality_prob"
+    ).collect()
+    acc = sum(1 for r in scored if r["p"] == r["label"]) / len(scored)
+    probs_pos = [r["quality_prob"] for r in scored if r["label"] == 1]
+    probs_neg = [r["quality_prob"] for r in scored if r["label"] == 0]
+    print(f"quality classifier holdout accuracy: {acc} "
+          f"(margin {min(probs_pos) - max(probs_neg):.3f})")
+    assert acc == 1.0
+    assert min(probs_pos) > 0.5 > max(probs_neg)
+    assert np.array_equal(w, T.train_quality_classifier(train))
