@@ -1929,33 +1929,32 @@ FROM c
 # Registry
 # =========================================================================
 
+# Ordering contract (VERDICT r3 #2): the driver's per-round
+# correctness sweep covers roughly the FIRST 50 entries, so the dict
+# is ordered least-independently-verified first.  Entries whose
+# semantics are already pinned by a byte-for-byte pytest golden (the
+# extract_* family — kernel goldens + the 2012-span wiki fixture) or
+# by trivial long-green relational pytests sit at the tail; new and
+# sweep-missed queries lead.  When adding a query, insert it near the
+# TOP.
 QUERIES = {
-    # extraction kernel through Spark (oracle-checked span equality)
-    "extract_flagship": q_extract_flagship,
-    "extract_interleaved_media": q_extract_interleaved_media,
-    "extract_tag_histogram": q_extract_tag_histogram,
-    "extract_text_roundtrip": q_extract_text_roundtrip,
-    "extract_span_stats": q_extract_span_stats,
-    "extract_br_conversion": q_extract_br_conversion,
-    "extract_config_comparison": q_extract_config_comparison,
-    "extract_density_prune": q_extract_density_prune,
-    "extract_pdf": q_extract_pdf,
-    "extract_pdf_interleaved": q_extract_pdf_interleaved,
-    # relational (B9–B23)
-    "agg_median_by_lang": q_agg_median_by_lang,
-    "describe_two_level": q_describe_two_level,
-    "explode_tokens_topk": q_explode_tokens_topk,
-    "filter_topk": q_filter_topk,
-    "derived_columns": q_derived_columns,
-    "substring_span_join": q_substring_span_join,
-    "sample_exact_n": q_sample_exact_n,
-    "row_number_enumerate": q_row_number_enumerate,
-    "union_accumulate": q_union_accumulate,
-    "null_fill_coalesce": q_null_fill_coalesce,
-    "cast_rename_project": q_cast_rename_project,
+    # newest operators (round 4)
+    "dedup_substring": q_dedup_substring,
+    "similarity_ivfpq_topk": q_similarity_ivfpq,
+    "quality_classifier": q_quality_classifier,
+    # events / joins (missed by the r3 driver sweep window)
+    "events_window_agg": q_events_window_agg,
+    "events_sessionize": q_events_sessionize,
+    "events_asof_join": q_events_asof_join,
+    "events_json_extract": q_events_json_extract,
+    "events_cube": q_events_cube,
+    "join_broadcast_revenue": q_join_broadcast_revenue,
+    "anti_join_resume": q_anti_join_resume,
+    "multimodal_features": q_multimodal_features,
+    "multimodal_resize": q_multimodal_resize,
+    "multimodal_frames": q_multimodal_frames,
     # training-data operators
     "dedup_exact": q_dedup_exact,
-    "dedup_substring": q_dedup_substring,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_candidates": q_dedup_minhash_candidates,
     "dedup_simhash": q_dedup_simhash,
@@ -1964,11 +1963,9 @@ QUERIES = {
     "similarity_lsh_topk": q_similarity_lsh,
     "similarity_ivf_topk": q_similarity_ivf,
     "similarity_pq_topk": q_similarity_pq,
-    "similarity_ivfpq_topk": q_similarity_ivfpq,
     "embedding_near_dups": q_embedding_near_dups,
     "lang_id_heuristic": q_lang_id,
     "quality_scores": q_quality_scores,
-    "quality_classifier": q_quality_classifier,
     "token_counts": q_token_counts,
     "token_counts_bpe": q_token_counts_bpe,
     "repetition_ratio": q_repetition_ratio,
@@ -1986,17 +1983,31 @@ QUERIES = {
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
     "pipeline_pack_corpus": q_pipeline_pack_corpus,
     "fingerprint": q_fingerprint,
-    "multimodal_features": q_multimodal_features,
-    "multimodal_resize": q_multimodal_resize,
-    "multimodal_frames": q_multimodal_frames,
-    # events / joins
-    "events_window_agg": q_events_window_agg,
-    "events_sessionize": q_events_sessionize,
-    "events_asof_join": q_events_asof_join,
-    "events_json_extract": q_events_json_extract,
-    "events_cube": q_events_cube,
-    "join_broadcast_revenue": q_join_broadcast_revenue,
-    "anti_join_resume": q_anti_join_resume,
+    # relational (B9–B23)
+    "agg_median_by_lang": q_agg_median_by_lang,
+    "describe_two_level": q_describe_two_level,
+    "explode_tokens_topk": q_explode_tokens_topk,
+    "filter_topk": q_filter_topk,
+    "derived_columns": q_derived_columns,
+    "substring_span_join": q_substring_span_join,
+    "sample_exact_n": q_sample_exact_n,
+    "row_number_enumerate": q_row_number_enumerate,
+    # ---- tail: pinned by independent pytest goldens (see above) ----
+    "union_accumulate": q_union_accumulate,
+    "null_fill_coalesce": q_null_fill_coalesce,
+    "cast_rename_project": q_cast_rename_project,
+    # extraction kernel through Spark (oracle-checked span equality;
+    # byte-for-byte kernel + wiki goldens pin these in pytest)
+    "extract_flagship": q_extract_flagship,
+    "extract_interleaved_media": q_extract_interleaved_media,
+    "extract_tag_histogram": q_extract_tag_histogram,
+    "extract_text_roundtrip": q_extract_text_roundtrip,
+    "extract_span_stats": q_extract_span_stats,
+    "extract_br_conversion": q_extract_br_conversion,
+    "extract_config_comparison": q_extract_config_comparison,
+    "extract_density_prune": q_extract_density_prune,
+    "extract_pdf": q_extract_pdf,
+    "extract_pdf_interleaved": q_extract_pdf_interleaved,
 }
 
 ORACLES = {
