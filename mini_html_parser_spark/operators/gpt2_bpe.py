@@ -1,0 +1,260 @@
+"""GPT-2-compatible byte-level BPE (reference parity swap-in point).
+
+The reference's stats job measures token lengths with
+``GPT2TokenizerFast`` (reference statistics/compute_aggregate_stats.py:
+25,62-64).  ``transformers`` and the vocab download are unavailable in
+this offline environment, so this module reimplements the PUBLIC
+byte-level BPE construction from the GPT-2 release (Radford et al.
+2019; the released ``encoder.py`` algorithm, re-derived from its
+published description — no code copied):
+
+1. **bytes→unicode table**: the released bijection mapping every byte
+   to a printable unicode char (printable bytes map to themselves,
+   the rest to U+0100+n), so BPE runs over visible symbols and
+   round-trips arbitrary bytes;
+2. **pretokenizer**: the released pattern
+   ``'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+``
+   — implemented as an explicit scanner (stdlib ``re`` lacks ``\\p``
+   classes; ``unicodedata`` categories give the exact semantics);
+3. **merge application**: lowest-rank-present-pair iteration (the
+   classic/GPT-2 loop — the same algorithm as
+   ``bpe._encode_classic_cached``, over byte-level symbols).
+
+**Parity contract**: point ``load_gpt2_merges`` at the public GPT-2
+``merges.txt`` (50 000 ranks) and :func:`gpt2_encode` /
+:func:`gpt2_token_counts` reproduce GPT-2 tokenization exactly —
+every component is the published construction, and each is pinned by
+unit tests (bijection properties, pretokenizer vs a category-exact
+reference regex, merge loop vs hand-computed cases).  Without the
+file, the embedded ILLUSTRATIVE merge table exercises the identical
+machinery deterministically (it makes no GPT-2-numerical-parity
+claim — that requires the real ranks).
+
+Spark side: token counting is an Arrow-batched pandas UDF with an
+LRU-cached per-pretoken encoder (crawl text repeats words heavily) —
+the same batch shape as the stats job's BPE stage.  Byte-level BPE is
+NOT expressible as chained SQL ``replace`` calls (the min-rank loop
+revisits earlier ranks), so there is deliberately no DuckDB oracle
+for it; the engine's oracle-checked token counter remains
+``operators/bpe.py``.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+from functools import lru_cache
+
+import pandas as pd  # module-level: pandas_udf stringified type hints
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def bytes_to_unicode() -> dict[int, str]:
+    """The GPT-2 byte↔unicode bijection: 188 printable latin-1 bytes
+    map to themselves; the remaining 68 bytes map to U+0100+n in
+    order.  Every byte gets a distinct printable char, so merges.txt
+    can spell byte sequences as visible strings."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("¡"), ord("¬") + 1))
+        + list(range(ord("®"), ord("ÿ") + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, (chr(c) for c in cs)))
+
+
+BYTE_ENCODER = bytes_to_unicode()
+BYTE_DECODER = {v: k for k, v in BYTE_ENCODER.items()}
+
+_CONTRACTIONS = ("'s", "'t", "'re", "'ve", "'m", "'ll", "'d")
+
+
+def _is_letter(c: str) -> bool:
+    return unicodedata.category(c).startswith("L")
+
+
+def _is_number(c: str) -> bool:
+    return unicodedata.category(c).startswith("N")
+
+
+def _is_space(c: str) -> bool:
+    # \s of the release pattern: the release tokenizes with the
+    # ``regex`` module, whose \s is full unicode whitespace — the
+    # same set as str.isspace()
+    return c.isspace()
+
+
+def gpt2_pretokenize(text: str) -> list[str]:
+    """The GPT-2 pretoken split, scanner form.  Alternation order is
+    the released pattern's: contractions, ``' ?'``+letters,
+    ``' ?'``+numbers, ``' ?'``+symbol-run, whitespace-not-before-
+    nonspace (backtracks one char so the last space of a run attaches
+    to the following word), whitespace."""
+    out: list[str] = []
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if c == "'":
+            hit = next(
+                (s for s in _CONTRACTIONS if text.startswith(s, i)), None
+            )
+            # longest-first isn't needed: the release order has no
+            # prefix shadowing ('s before 're etc. never conflict)
+            if hit is not None:
+                out.append(hit)
+                i += len(hit)
+                continue
+        j = i
+        lead_space = c == " " and i + 1 < n
+        k = i + 1 if lead_space else i
+        if k < n and _is_letter(text[k]):
+            j = k
+            while j < n and _is_letter(text[j]):
+                j += 1
+            out.append(text[i:j])
+            i = j
+            continue
+        if k < n and _is_number(text[k]):
+            j = k
+            while j < n and _is_number(text[j]):
+                j += 1
+            out.append(text[i:j])
+            i = j
+            continue
+        if k < n and not _is_space(text[k]) and not _is_letter(text[k]) and not _is_number(text[k]):
+            j = k
+            while (
+                j < n
+                and not _is_space(text[j])
+                and not _is_letter(text[j])
+                and not _is_number(text[j])
+            ):
+                j += 1
+            out.append(text[i:j])
+            i = j
+            continue
+        if _is_space(c):
+            j = i
+            while j < n and _is_space(text[j]):
+                j += 1
+            if j < n and j - i > 1:
+                j -= 1  # \s+(?!\S): leave one space for the next token
+            elif j < n and j - i == 1:
+                pass  # single ws before non-ws: plain \s+ takes it
+            out.append(text[i:j])
+            i = j
+            continue
+        out.append(c)  # lone trailing "'" or unmatched char
+        i += 1
+    return out
+
+
+def load_gpt2_merges(path: str) -> list[tuple[str, str]]:
+    """Parse the standard ``merges.txt`` format (one ``x y`` pair per
+    line, rank = line order, ``#``-prefixed header skipped) — the file
+    shipped with every public byte-level-BPE release."""
+    merges: list[tuple[str, str]] = []
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line or line.startswith("#"):
+                continue
+            x, _, y = line.partition(" ")
+            if y:
+                merges.append((x, y))
+    return merges
+
+
+# illustrative byte-level merges in the merges.txt symbol space
+# ("Ġ" = the mapped space byte).  Same FORMAT and application as the
+# real table; carries no GPT-2 numerical-parity claim (see module
+# docstring) — swap in the public 50k-rank file for that.
+ILLUSTRATIVE_MERGES: list[tuple[str, str]] = [
+    ("h", "e"), ("i", "n"), ("r", "e"), ("o", "n"), ("e", "r"),
+    ("Ġ", "t"), ("Ġ", "a"), ("Ġ", "s"), ("Ġ", "w"), ("Ġ", "o"),
+    ("n", "d"), ("a", "t"), ("o", "r"), ("e", "n"), ("e", "s"),
+    ("Ġt", "he"), ("in", "g"), ("Ġa", "nd"), ("Ġt", "o"), ("o", "u"),
+    ("i", "s"), ("e", "d"), ("a", "l"), ("Ġw", "as"), ("a", "s"),
+    ("Ġo", "f"), ("ll", "o"), ("l", "l"), ("he", "llo"),
+]
+
+
+@lru_cache(maxsize=262144)
+def _bpe_merge(symbols: tuple[str, ...], merges: tuple) -> tuple[str, ...]:
+    """The GPT-2 merge loop: repeatedly merge every occurrence of the
+    lowest-rank pair present until none applies."""
+    ranks = {p: i for i, p in enumerate(merges)}
+    syms = list(symbols)
+    while len(syms) > 1:
+        best, best_rank = None, len(merges)
+        for p in zip(syms, syms[1:]):
+            rk = ranks.get(p, -1)
+            if 0 <= rk < best_rank:
+                best, best_rank = p, rk
+        if best is None:
+            break
+        x, y = best
+        out: list[str] = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == x and syms[i + 1] == y:
+                out.append(x + y)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return tuple(syms)
+
+
+def gpt2_encode(text: str, merges=None) -> list[str]:
+    """Byte-level BPE token strings (in the mapped unicode space) —
+    with the public GPT-2 merges.txt ranks this is exactly GPT-2's
+    tokenization of ``text``."""
+    m_t = tuple(merges) if merges is not None else tuple(ILLUSTRATIVE_MERGES)
+    out: list[str] = []
+    for pre in gpt2_pretokenize(text or ""):
+        mapped = tuple(BYTE_ENCODER[b] for b in pre.encode("utf-8"))
+        out.extend(_bpe_merge(mapped, m_t))
+    return out
+
+
+def gpt2_decode(tokens: list[str]) -> str:
+    """Inverse of :func:`gpt2_encode` (lossless byte round trip)."""
+    data = bytes(BYTE_DECODER[c] for tok in tokens for c in tok)
+    return data.decode("utf-8", errors="replace")
+
+
+def gpt2_count_tokens(text: str, merges=None) -> int:
+    m_t = tuple(merges) if merges is not None else tuple(ILLUSTRATIVE_MERGES)
+    total = 0
+    for pre in gpt2_pretokenize(text or ""):
+        mapped = tuple(BYTE_ENCODER[b] for b in pre.encode("utf-8"))
+        total += len(_bpe_merge(mapped, m_t))
+    return total
+
+
+def gpt2_token_counts(
+    df: DataFrame,
+    merges: list[tuple[str, str]] | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Adds ``gpt2_tokens`` — Arrow-batched, LRU-cached per pretoken
+    (the stats-job BPE batch shape; no per-row Python at the DataFrame
+    level).  Pass ``merges=load_gpt2_merges(path)`` with the public
+    file for exact GPT-2 counts."""
+    from pyspark.sql.functions import pandas_udf
+
+    m_t = tuple(merges) if merges is not None else tuple(ILLUSTRATIVE_MERGES)
+
+    @pandas_udf("long")
+    def count(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: gpt2_count_tokens(t, m_t))
+
+    return df.withColumn("gpt2_tokens", count(F.col(text_col)))

@@ -900,6 +900,24 @@ FROM embeddings WHERE vec_id % 10 = 0
 """
 
 
+def q_token_counts_gpt2(spark, sf_dir):
+    """GPT-2-compatible byte-level BPE token counts (the reference's
+    GPT2TokenizerFast surface, compute_aggregate_stats.py:25,62-64).
+    Runs the published construction (bytes→unicode table, released
+    pretoken pattern, min-rank merge loop) with the embedded
+    illustrative merge table; ``load_gpt2_merges(<public merges.txt>)``
+    swaps in exact GPT-2 ranks.  NO DuckDB oracle by design: the
+    min-rank loop revisits earlier ranks and is not expressible as
+    chained SQL replaces (the driver records the weaker rows-only
+    check; component semantics are pinned by tests/test_gpt2_bpe.py —
+    bijection, pretokenizer-vs-released-pattern, hand-computed
+    merges)."""
+    from .operators.gpt2_bpe import gpt2_token_counts
+
+    out = gpt2_token_counts(_docs(spark, sf_dir))
+    return out.select("doc_id", "gpt2_tokens")
+
+
 def q_quality_classifier(spark, sf_dir):
     """Trainable quality classifier (fasttext-style logistic model
     over hashed token features — VERDICT r3 #7): planted separable
@@ -1942,6 +1960,7 @@ QUERIES = {
     "dedup_substring": q_dedup_substring,
     "similarity_ivfpq_topk": q_similarity_ivfpq,
     "quality_classifier": q_quality_classifier,
+    "token_counts_gpt2": q_token_counts_gpt2,  # rows-only: no SQL oracle
     # events / joins (missed by the r3 driver sweep window)
     "events_window_agg": q_events_window_agg,
     "events_sessionize": q_events_sessionize,

@@ -1,0 +1,112 @@
+"""GPT-2 byte-level BPE parity machinery (operators/gpt2_bpe.py).
+
+The reference measures token lengths with GPT2TokenizerFast
+(statistics/compute_aggregate_stats.py:25,62-64); offline, the module
+reimplements the published construction and these tests pin each
+component so the only un-pinnable piece is the 50k-rank public
+merges.txt itself.
+"""
+
+import random
+import re
+
+import pytest
+
+from mini_html_parser_spark.operators.gpt2_bpe import (
+    BYTE_DECODER,
+    BYTE_ENCODER,
+    ILLUSTRATIVE_MERGES,
+    bytes_to_unicode,
+    gpt2_count_tokens,
+    gpt2_decode,
+    gpt2_encode,
+    gpt2_pretokenize,
+    gpt2_token_counts,
+    load_gpt2_merges,
+)
+
+
+def test_bytes_to_unicode_bijection():
+    table = bytes_to_unicode()
+    assert len(table) == 256 and len(set(table.values())) == 256
+    # every mapped char is printable and non-space (the construction's
+    # whole point: merges.txt can spell any byte visibly)
+    for b, c in table.items():
+        assert not c.isspace() and c.isprintable(), (b, c)
+    # the two well-known anchors of the released table
+    assert table[0x20] == "Ġ" and table[0x0A] == "Ċ"
+    assert all(BYTE_DECODER[v] == k for k, v in BYTE_ENCODER.items())
+
+
+def _reference_pattern(alphabet):
+    """The released GPT-2 pattern compiled with stdlib re, with
+    \\p{L}/\\p{N}/\\s spelled as explicit character classes built from
+    unicodedata over the test alphabet — category-exact on it."""
+    import unicodedata
+
+    L = "".join(c for c in alphabet if unicodedata.category(c).startswith("L"))
+    N = "".join(c for c in alphabet if unicodedata.category(c).startswith("N"))
+    S = "".join(c for c in alphabet if c.isspace())
+    eL, eN, eS = map(re.escape, (L, N, S))
+    return re.compile(
+        r"'s|'t|'re|'ve|'m|'ll|'d"
+        rf"| ?[{eL}]+| ?[{eN}]+| ?[^{eS}{eL}{eN}]+"
+        rf"|[{eS}]+(?![^{eS}])|[{eS}]+"
+    )
+
+
+def test_pretokenizer_matches_released_pattern():
+    alphabet = "abcXYZàé漢字①Ⅻ09.,!?'\"- \t\n 　"
+    cases = [
+        "hello world", "it's we're I'll you've he'd can't I'm",
+        "a  b", "a \n b", "tabs\t\tend", "  leading", "trailing   ",
+        "multi   spaces", "num 42x 3.14", "漢字 mix ①Ⅻ", " nbsp",
+        "don't-stop, \"quoted\"!", "'lone", "", " ", "   ", "a'",
+    ]
+    rng = random.Random(20260817)
+    for _ in range(300):
+        cases.append("".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 40))))
+    for s in cases:
+        # the reference classes are category-exact only over the chars
+        # they were built from — build per case over the union
+        pat = _reference_pattern(alphabet + s)
+        assert gpt2_pretokenize(s) == pat.findall(s), repr(s)
+        assert "".join(gpt2_pretokenize(s)) == s, repr(s)  # partition
+
+
+def test_encode_decode_roundtrip():
+    for s in ["hello, wörld! 漢字 🎉", "", "  spaced \n\t text  ", "'s'sx"]:
+        assert gpt2_decode(gpt2_encode(s)) == s, repr(s)
+
+
+def test_merge_loop_hand_computed():
+    # "hello" = h e l l o → (h,e) → (l,l) → (ll,o) → (he,llo) = 1 tok;
+    # " hello" = Ġ h e l l o → same chain, Ġ never merges = 2 toks
+    assert gpt2_encode("hello") == ["hello"]
+    assert gpt2_encode("hello hello") == ["hello", "Ġ", "hello"]
+    assert gpt2_count_tokens("hello hello") == 3
+
+
+def test_merges_txt_loader(tmp_path):
+    p = tmp_path / "merges.txt"
+    p.write_text("#version: 0.2\nh e\nl l\nhe ll\nhell o\n", encoding="utf-8")
+    merges = load_gpt2_merges(str(p))
+    assert merges == [("h", "e"), ("l", "l"), ("he", "ll"), ("hell", "o")]
+    # rank order drives the loop: he+ll before hell+o
+    assert gpt2_encode("hello", merges) == ["hello"]
+    assert gpt2_encode("helo", merges) == ["he", "l", "o"]
+
+
+def test_spark_token_counts_parity(spark):
+    from pyspark.sql import functions as F
+
+    rows = [(i, t) for i, t in enumerate(
+        ["hello hello", "it's the thing", "", "漢字 and spaces  ", "'ll've"]
+    )]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["gpt2_tokens"]
+        for r in gpt2_token_counts(df).collect()
+    }
+    want = {i: gpt2_count_tokens(t, tuple(ILLUSTRATIVE_MERGES)) for i, t in rows}
+    assert got == want
