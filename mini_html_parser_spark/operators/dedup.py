@@ -623,3 +623,83 @@ def duplicated_passages(
             (F.col("tok_end") - F.col("tok_start")).cast("int").alias("n_tokens"),
         )
     )
+
+
+def remove_duplicated_passages(
+    df: DataFrame,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The removal step of substring-level exact dedup (Lee et al.
+    2022 keep-one-occurrence policy, made deterministic): for every
+    cross-doc duplicated k-gram the occurrence in the MINIMUM doc id
+    survives; all other occurrences are cut from their documents.
+
+    Returns ``(id_col, text_clean, n_removed_tokens)`` — one row per
+    input document, non-duplicated text byte-preserved (tokens
+    re-joined with single spaces), duplicated intervals excised.
+
+    Same three linear shuffles as :func:`duplicated_passages` plus one
+    interval-collect groupBy and a left join back to the token frame;
+    the rebuild is pure JVM (indexed ``filter`` over the token array
+    against the doc's interval list — O(tokens × intervals_per_doc),
+    and interval lists are bounded by tokens/k).  Still no pair
+    emission anywhere.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    toks = _spread(df).select(
+        F.col(id_col), F.split(F.trim(F.col(text_col)), _WS).alias("_toks")
+    )
+    width = F.size("_toks") - (k - 1)
+    gram_hashes = F.transform(
+        F.sequence(F.lit(1), width),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice("_toks", i, k))),
+    )
+    pos = toks.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(width >= 1, gram_hashes).otherwise(
+                F.array().cast("array<bigint>")
+            )
+        ).alias("p", "gh"),
+    )
+    # cross-doc duplicated grams WITH their surviving (min) doc
+    dup = (
+        pos.groupBy("gh")
+        .agg(F.min(id_col).alias("_keep"), F.max(id_col).alias("_mx"))
+        .filter(F.col("_keep") != F.col("_mx"))
+        .select("gh", "_keep")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("p")
+    doomed = (
+        pos.join(dup, "gh")
+        .filter(F.col(id_col) != F.col("_keep"))
+        .withColumn("_isl", F.col("p") - F.row_number().over(w))
+    )
+    intervals = (
+        doomed.groupBy(id_col, "_isl")
+        .agg(
+            F.min("p").alias("s"),
+            (F.max("p") + F.lit(k)).alias("e"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_list(F.struct("s", "e")).alias("_iv"))
+    )
+    joined = toks.join(intervals, id_col, "left")
+    kept = F.when(F.col("_iv").isNull(), F.col("_toks")).otherwise(
+        F.filter(
+            "_toks",
+            lambda t, i: ~F.exists(
+                "_iv", lambda iv: (i >= iv["s"]) & (i < iv["e"])
+            ),
+        )
+    )
+    return joined.select(
+        F.col(id_col),
+        F.concat_ws(" ", kept).alias("text_clean"),
+        (F.size("_toks") - F.size(kept)).cast("int").alias("n_removed_tokens"),
+    )

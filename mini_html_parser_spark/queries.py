@@ -752,6 +752,37 @@ FROM documents WHERE doc_id % 10 = 0
 """
 
 
+def q_dedup_substring_removal(spark, sf_dir):
+    """The removal step (Lee et al. keep-one policy): every planted
+    doc except the global minimum (doc_id 0) loses its shared-passage
+    suffix; doc 0's occurrence survives; all other text is preserved
+    token-exactly.  Closed form because min(gram→doc) is doc 0 for
+    every in-passage gram."""
+    return dedup.remove_duplicated_passages(
+        _passage_corpus(spark, sf_dir), k=8
+    ).select("doc_id", "text_clean", "n_removed_tokens")
+
+
+# salted text = every token prefixed "doc_id:"; planted docs other
+# than doc 0 lose the 24-token suffix, doc 0 keeps it
+ORACLE_DEDUP_SUBSTRING_REMOVAL = r"""
+WITH salted AS (
+  SELECT doc_id,
+         array_to_string(list_transform(
+           string_split_regex(trim(text), '[ \t\n\r\f\x0b]+'),
+           t -> CAST(doc_id AS VARCHAR) || ':' || t), ' ') AS base
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN doc_id = 0 THEN base || ' ' ||
+         'passage00 passage01 passage02 passage03 passage04 passage05 passage06 passage07 passage08 passage09 passage10 passage11 passage12 passage13 passage14 passage15 passage16 passage17 passage18 passage19 passage20 passage21 passage22 passage23'
+       ELSE base END AS text_clean,
+       CAST(CASE WHEN doc_id % 10 = 0 AND doc_id <> 0 THEN 24 ELSE 0 END
+            AS INT) AS n_removed_tokens
+FROM salted
+"""
+
+
 def q_similarity_bruteforce(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
@@ -1958,6 +1989,7 @@ FROM c
 QUERIES = {
     # newest operators (round 4)
     "dedup_substring": q_dedup_substring,
+    "dedup_substring_removal": q_dedup_substring_removal,
     "similarity_ivfpq_topk": q_similarity_ivfpq,
     "quality_classifier": q_quality_classifier,
     "token_counts_gpt2": q_token_counts_gpt2,  # rows-only: no SQL oracle
@@ -2053,6 +2085,7 @@ ORACLES = {
     "cast_rename_project": ORACLE_CAST_RENAME,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_substring": ORACLE_DEDUP_SUBSTRING,
+    "dedup_substring_removal": ORACLE_DEDUP_SUBSTRING_REMOVAL,
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "similarity_bruteforce_topk": ORACLE_SIMILARITY,
     "lang_id_heuristic": ORACLE_LANG_ID,

@@ -1206,3 +1206,27 @@ def test_quality_classifier_holdout_accuracy(spark):
     assert acc == 1.0
     assert min(probs_pos) > 0.5 > max(probs_neg)
     assert np.array_equal(w, T.train_quality_classifier(train))
+
+def test_remove_duplicated_passages_semantics(spark):
+    """Keep-one removal: the min-doc occurrence survives, all others
+    are excised token-exactly; non-duplicated text is preserved;
+    within-doc-only repeats are untouched."""
+    shared = " ".join(f"t{i}" for i in range(30))
+    rows = [
+        (1, "a1 a2 a3 " + shared + " a4 a5"),           # min doc: keeps
+        (2, "b1 " + shared + " b2 b3 b4"),              # loses passage
+        (5, "c1 " + shared),                             # loses passage
+        (3, " ".join(f"c{i}" for i in range(40))),       # untouched
+        (7, "w1 " + " ".join(f"r{i}" for i in range(10)) + " w2 "
+            + " ".join(f"r{i}" for i in range(10))),     # within-doc only
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text_clean"], r["n_removed_tokens"])
+        for r in dedup.remove_duplicated_passages(df, k=8).collect()
+    }
+    assert got[1] == (rows[0][1], 0)
+    assert got[2] == ("b1 b2 b3 b4", 30)
+    assert got[5] == ("c1", 30)
+    assert got[3] == (rows[3][1], 0)
+    assert got[7] == (rows[4][1], 0)
