@@ -440,3 +440,115 @@ def quality_classify(
     return scored.withColumn(
         "quality_pred", (F.col("quality_prob") >= F.lit(threshold))
     )
+
+
+# ---- Gopher quality rules (Rae et al. 2021, §A1.1) ---------------------------
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """The published Gopher document-quality rules as one codegen
+    projection (Rae et al. 2021 §A1.1 — the de-facto standard
+    rule-based pre-filter, reused by MassiveText/RefinedWeb/Dolma):
+    word-count band, mean word length band, '#'/'…' symbol-to-word
+    ratio, bullet-start and ellipsis-end line fractions, fraction of
+    words with an alphabetic character, and the ≥2-of-8 stopword
+    presence rule.  Zero shuffles, every metric a built-in expression
+    (engine-portable: explicit whitespace class, ASCII alpha test) so
+    the DuckDB oracle replicates it term-for-term.
+
+    Adds every metric column plus the ``gopher_ok`` verdict —
+    downstream pipelines filter on the flag but keep the metrics for
+    audit (the no-silent-caps rule applied to filtering)."""
+    text = F.col(text_col)
+    toks = F.split(F.trim(text), _QC_WS)
+    pre = df.withColumn("_toks", toks).withColumn("_lines", F.split(text, "\n"))
+
+    n_words = F.size("_toks")
+    n_chars_in_words = F.aggregate(
+        F.transform("_toks", lambda t: F.length(t)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    mean_word_len = F.when(
+        n_words > 0, F.round(n_chars_in_words / n_words, 4)
+    ).otherwise(F.lit(0.0))
+    # Gopher's symbol set: '#' and ellipsis ('...' counted once per
+    # occurrence, plus the unicode char)
+    n_symbols = (
+        (F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit(""))))
+        + (F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))) / 3
+        + (F.length(text) - F.length(F.replace(text, F.lit("…"), F.lit(""))))
+    ).cast("long")
+    symbol_word_ratio = F.when(
+        n_words > 0, F.round(n_symbols / n_words, 4)
+    ).otherwise(F.lit(0.0))
+
+    n_lines = F.size("_lines")
+    bullet_lines = F.size(
+        F.filter(
+            "_lines",
+            lambda l: F.trim(l).startswith("•") | F.trim(l).startswith("- ")
+            | F.trim(l).startswith("* "),
+        )
+    )
+    ellipsis_lines = F.size(
+        F.filter(
+            "_lines",
+            lambda l: F.trim(l).endswith("...") | F.trim(l).endswith("…"),
+        )
+    )
+    bullet_line_frac = F.when(
+        n_lines > 0, F.round(bullet_lines / n_lines, 4)
+    ).otherwise(F.lit(0.0))
+    ellipsis_line_frac = F.when(
+        n_lines > 0, F.round(ellipsis_lines / n_lines, 4)
+    ).otherwise(F.lit(0.0))
+
+    alpha_words = F.size(F.filter("_toks", lambda t: t.rlike("[a-zA-Z]")))
+    alpha_word_frac = F.when(
+        n_words > 0, F.round(alpha_words / n_words, 4)
+    ).otherwise(F.lit(0.0))
+
+    stop_hits = sum(
+        F.when(
+            F.concat(F.lit(" "), F.lower(text), F.lit(" ")).contains(f" {w} "),
+            1,
+        ).otherwise(0)
+        for w in GOPHER_STOPWORDS
+    )
+
+    out = (
+        pre.withColumn("n_words", n_words.cast("long"))
+        .withColumn("mean_word_len", mean_word_len.cast("double"))
+        .withColumn("symbol_word_ratio", symbol_word_ratio.cast("double"))
+        .withColumn("bullet_line_frac", bullet_line_frac.cast("double"))
+        .withColumn("ellipsis_line_frac", ellipsis_line_frac.cast("double"))
+        .withColumn("alpha_word_frac", alpha_word_frac.cast("double"))
+        .withColumn("stop_hits", stop_hits.cast("int"))
+    )
+    ok = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("symbol_word_ratio") <= max_symbol_word_ratio)
+        & (F.col("bullet_line_frac") <= max_bullet_line_frac)
+        & (F.col("ellipsis_line_frac") <= max_ellipsis_line_frac)
+        & (F.col("alpha_word_frac") >= min_alpha_word_frac)
+        & (F.col("stop_hits") >= min_stop_hits)
+    )
+    return out.withColumn("gopher_ok", ok).drop("_toks", "_lines")

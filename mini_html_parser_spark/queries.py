@@ -931,6 +931,83 @@ FROM embeddings WHERE vec_id % 10 = 0
 """
 
 
+def q_gopher_rules(spark, sf_dir):
+    """The published Gopher document-quality rules (Rae et al. 2021
+    §A1.1) as one zero-shuffle codegen projection; the oracle
+    replicates every metric term-for-term (word/line fractions,
+    symbol ratio, stopword presence).  The operator defaults to the
+    paper's web-document thresholds; this query tunes two of them to
+    the synthetic corpus (shorter docs, sparse English stopwords) so
+    the verdict is a real mix — 334 pass / 166 fail at sf0.01 —
+    instead of a constant column."""
+    out = text_analysis.gopher_quality(
+        _docs(spark, sf_dir), min_words=30, min_stop_hits=1
+    )
+    return out.select(
+        "doc_id", "n_words", "mean_word_len", "symbol_word_ratio",
+        "bullet_line_frac", "ellipsis_line_frac", "alpha_word_frac",
+        "stop_hits", "gopher_ok",
+    )
+
+
+ORACLE_GOPHER_RULES = r"""
+WITH t AS (
+  SELECT doc_id, text,
+         string_split_regex(trim(text), '[ \t\n\r\f\x0b]+') AS toks,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+), m AS (
+  SELECT doc_id,
+    len(toks) AS n_words,
+    CASE WHEN len(toks) > 0 THEN
+      round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+            / len(toks), 4)
+    ELSE 0.0 END AS mean_word_len,
+    CASE WHEN len(toks) > 0 THEN
+      round(CAST(
+        (length(text) - length(replace(text, '#', '')))
+        + (length(text) - length(replace(text, '...', ''))) / 3
+        + (length(text) - length(replace(text, '…', '')))
+        AS BIGINT) / len(toks), 4)
+    ELSE 0.0 END AS symbol_word_ratio,
+    CASE WHEN len(lines) > 0 THEN
+      round(CAST(len(list_filter(lines, l ->
+          starts_with(trim(l), '•') OR starts_with(trim(l), '- ')
+          OR starts_with(trim(l), '* '))) AS DOUBLE) / len(lines), 4)
+    ELSE 0.0 END AS bullet_line_frac,
+    CASE WHEN len(lines) > 0 THEN
+      round(CAST(len(list_filter(lines, l ->
+          ends_with(trim(l), '...') OR ends_with(trim(l), '…')))
+        AS DOUBLE) / len(lines), 4)
+    ELSE 0.0 END AS ellipsis_line_frac,
+    CASE WHEN len(toks) > 0 THEN
+      round(CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))
+        AS DOUBLE) / len(toks), 4)
+    ELSE 0.0 END AS alpha_word_frac,
+    CAST(
+      (CASE WHEN contains(' ' || lower(text) || ' ', ' the ') THEN 1 ELSE 0 END)
+      + (CASE WHEN contains(' ' || lower(text) || ' ', ' be ') THEN 1 ELSE 0 END)
+      + (CASE WHEN contains(' ' || lower(text) || ' ', ' to ') THEN 1 ELSE 0 END)
+      + (CASE WHEN contains(' ' || lower(text) || ' ', ' of ') THEN 1 ELSE 0 END)
+      + (CASE WHEN contains(' ' || lower(text) || ' ', ' and ') THEN 1 ELSE 0 END)
+      + (CASE WHEN contains(' ' || lower(text) || ' ', ' that ') THEN 1 ELSE 0 END)
+      + (CASE WHEN contains(' ' || lower(text) || ' ', ' have ') THEN 1 ELSE 0 END)
+      + (CASE WHEN contains(' ' || lower(text) || ' ', ' with ') THEN 1 ELSE 0 END)
+      AS INT) AS stop_hits
+  FROM t
+)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, mean_word_len,
+       symbol_word_ratio, bullet_line_frac, ellipsis_line_frac,
+       alpha_word_frac, stop_hits,
+       (n_words >= 30 AND n_words <= 100000
+        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        AND symbol_word_ratio <= 0.1
+        AND bullet_line_frac <= 0.9 AND ellipsis_line_frac <= 0.3
+        AND alpha_word_frac >= 0.8 AND stop_hits >= 1) AS gopher_ok
+FROM m
+"""
+
+
 def q_token_counts_gpt2(spark, sf_dir):
     """GPT-2-compatible byte-level BPE token counts (the reference's
     GPT2TokenizerFast surface, compute_aggregate_stats.py:25,62-64).
@@ -1992,6 +2069,7 @@ QUERIES = {
     "dedup_substring_removal": q_dedup_substring_removal,
     "similarity_ivfpq_topk": q_similarity_ivfpq,
     "quality_classifier": q_quality_classifier,
+    "gopher_rules": q_gopher_rules,
     "token_counts_gpt2": q_token_counts_gpt2,  # rows-only: no SQL oracle
     # events / joins (missed by the r3 driver sweep window)
     "events_window_agg": q_events_window_agg,
@@ -2091,6 +2169,7 @@ ORACLES = {
     "lang_id_heuristic": ORACLE_LANG_ID,
     "quality_scores": ORACLE_QUALITY,
     "quality_classifier": ORACLE_QUALITY_CLASSIFIER,
+    "gopher_rules": ORACLE_GOPHER_RULES,
     "token_counts": ORACLE_TOKEN_COUNTS,
     "token_counts_bpe": _oracle_token_counts_bpe(),
     "fingerprint": ORACLE_FINGERPRINT,

@@ -1230,3 +1230,31 @@ def test_remove_duplicated_passages_semantics(spark):
     assert got[5] == ("c1", 30)
     assert got[3] == (rows[3][1], 0)
     assert got[7] == (rows[4][1], 0)
+
+def test_gopher_quality_rules(spark):
+    """Gopher rule metrics on hand-built edge docs: bullet/ellipsis
+    line fractions, symbol-to-word ratio, alpha fraction, stopword
+    presence, and the verdict composition."""
+    from mini_html_parser_spark.operators.text_analysis import gopher_quality
+
+    good = ("the quick brown fox jumps over a lazy dog and then runs "
+            "far away to find some good food with friends nearby today "
+            "because that was what everyone wanted from this fine day "
+            "more words keep coming here until fifty is reached soon "
+            "indeed the total count now passes the gate easily enough")
+    rows = [
+        (1, good),                                     # passes all
+        (2, "- a\n- b\n- c\nreal line"),               # bullet 0.75
+        (3, "one...\ntwo…\nthree"),                    # ellipsis 2/3
+        (4, "### ## # " + "w " * 20),                  # symbol-heavy
+        (5, "12 34 56 78 90"),                         # no alpha words
+        (6, ""),                                       # empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in gopher_quality(df).collect()}
+    assert got[1]["gopher_ok"] and got[1]["stop_hits"] >= 2
+    assert got[2]["bullet_line_frac"] == 0.75 and not got[2]["gopher_ok"]
+    assert abs(got[3]["ellipsis_line_frac"] - 0.6667) < 1e-9
+    assert got[4]["symbol_word_ratio"] > 0.1 and not got[4]["gopher_ok"]
+    assert got[5]["alpha_word_frac"] == 0.0
+    assert got[6]["n_words"] == 1 and not got[6]["gopher_ok"]  # [''] token
