@@ -147,3 +147,45 @@ def sample_mixture(
             F.col(group_col) == group, F.lit(_rate_threshold_hex(rate))
         ).otherwise(thr)
     return df.filter(key < thr)
+
+
+def temperature_rates(
+    df: DataFrame,
+    group_col: str = "lang",
+    alpha: float = 0.5,
+) -> dict[str, float]:
+    """Per-group keep rates that reshape group masses from p_g to
+    ∝ p_g^alpha (the multilingual temperature-sampling rule of
+    XLM-R/mBERT, alpha = 1/T) using DOWN-sampling only: kept mass
+    rate_g·p_g ∝ p_g^alpha ⇒ rate_g ∝ p_g^(alpha-1), normalized so
+    the smallest group keeps everything (a filter cannot upsample).
+    One tiny groupBy().count() collect — the corpus-sized work stays
+    in Spark; the arithmetic is deterministic driver-side floats that
+    a DuckDB oracle reproduces bit-for-bit (same libm)."""
+    counts = {
+        r[group_col]: int(r["count"])
+        for r in df.groupBy(group_col).count().collect()
+    }
+    total = sum(counts.values())
+    raw = {g: (c / total) ** (alpha - 1.0) for g, c in counts.items()}
+    mx = max(raw.values())
+    return {g: raw[g] / mx for g in sorted(raw)}
+
+
+def temperature_resample(
+    df: DataFrame,
+    group_col: str = "lang",
+    alpha: float = 0.5,
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-driven mixture resampling: derive the keep rates from
+    the observed group distribution (:func:`temperature_rates`), then
+    apply the deterministic zero-shuffle md5-threshold filter of
+    :func:`sample_mixture`.  alpha=1 keeps everything; alpha→0
+    equalizes group masses."""
+    rates = temperature_rates(df, group_col, alpha)
+    return sample_mixture(
+        df, rates, group_col=group_col, seed=seed, id_col=id_col,
+        default_rate=1.0,
+    )

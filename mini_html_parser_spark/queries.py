@@ -1987,6 +1987,35 @@ WHERE substr(md5(CAST(doc_id AS VARCHAR) || '%mix7'), 1, 8) <
 """
 
 
+def q_temperature_resample(spark, sf_dir):
+    """Temperature resampling with CORPUS-DERIVED rates (XLM-R-style
+    p^alpha balancing, alpha=0.5): one tiny count collect derives the
+    per-language keep rates, then the zero-shuffle md5-threshold
+    filter applies them.  The oracle recomputes the same rate
+    arithmetic in SQL — identical IEEE doubles via the same libm —
+    and the identical threshold-hex construction."""
+    out = sampling.temperature_resample(_docs(spark, sf_dir), alpha=0.5)
+    return out.select("doc_id", "lang")
+
+
+# rate_g = (p_g)^(alpha-1) / max_h (p_h)^(alpha-1); the smallest group
+# gets exactly 1.0 (x/x) → the 'g' keep-all threshold, matching
+# _rate_threshold_hex
+ORACLE_TEMPERATURE_RESAMPLE = """
+WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM c),
+r AS (SELECT lang, pow(CAST(n AS DOUBLE) / (SELECT total FROM tot), -0.5) AS raw
+      FROM c),
+rt AS (SELECT lang, raw / (SELECT max(raw) FROM r) AS rate FROM r)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN rt ON d.lang = rt.lang
+WHERE substr(md5(CAST(d.doc_id AS VARCHAR) || '%mix42'), 1, 8) <
+  CASE WHEN rate >= 1.0 THEN 'g'
+       ELSE lpad(lower(to_hex(CAST(floor(rate * 4294967296.0) AS BIGINT))), 8, '0')
+  END
+"""
+
+
 def q_pipeline_pack_corpus(spark, sf_dir):
     """The data-PREP side of a pre-training pipeline as ONE Catalyst
     plan: normalize → exact-dedup survivors (on normalized text) →
@@ -2070,6 +2099,7 @@ QUERIES = {
     "similarity_ivfpq_topk": q_similarity_ivfpq,
     "quality_classifier": q_quality_classifier,
     "gopher_rules": q_gopher_rules,
+    "temperature_resample": q_temperature_resample,
     "token_counts_gpt2": q_token_counts_gpt2,  # rows-only: no SQL oracle
     # events / joins (missed by the r3 driver sweep window)
     "events_window_agg": q_events_window_agg,
@@ -2170,6 +2200,7 @@ ORACLES = {
     "quality_scores": ORACLE_QUALITY,
     "quality_classifier": ORACLE_QUALITY_CLASSIFIER,
     "gopher_rules": ORACLE_GOPHER_RULES,
+    "temperature_resample": ORACLE_TEMPERATURE_RESAMPLE,
     "token_counts": ORACLE_TOKEN_COUNTS,
     "token_counts_bpe": _oracle_token_counts_bpe(),
     "fingerprint": ORACLE_FINGERPRINT,

@@ -1258,3 +1258,32 @@ def test_gopher_quality_rules(spark):
     assert got[4]["symbol_word_ratio"] > 0.1 and not got[4]["gopher_ok"]
     assert got[5]["alpha_word_frac"] == 0.0
     assert got[6]["n_words"] == 1 and not got[6]["gopher_ok"]  # [''] token
+
+def test_temperature_resample_balances_groups(spark):
+    """alpha=1 keeps everything; alpha<1 narrows the kept-mass ratio
+    between the largest and smallest language toward p^alpha; the
+    smallest group keeps (statistically) everything."""
+    from mini_html_parser_spark.operators.sampling import (
+        temperature_rates, temperature_resample,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    before = {r["lang"]: r["count"] for r in docs.groupBy("lang").count().collect()}
+    rates1 = temperature_rates(docs, alpha=1.0)
+    assert all(abs(r - 1.0) < 1e-12 for r in rates1.values())
+    assert temperature_resample(docs, alpha=1.0).count() == docs.count()
+
+    rates = temperature_rates(docs, alpha=0.5)
+    smallest = min(before, key=before.get)
+    assert rates[smallest] == 1.0 and all(0 < r <= 1.0 for r in rates.values())
+    after = {
+        r["lang"]: r["count"]
+        for r in temperature_resample(docs, alpha=0.5).groupBy("lang").count().collect()
+    }
+    big = max(before, key=before.get)
+    ratio_before = before[big] / before[smallest]
+    ratio_after = after[big] / after[smallest]
+    assert ratio_after < ratio_before  # flattened toward p^0.5
+    # expected kept mass per group = rate * n (Bernoulli; loose bound)
+    for g, r in rates.items():
+        assert abs(after.get(g, 0) - r * before[g]) <= 4 * (r * before[g]) ** 0.5 + 4
