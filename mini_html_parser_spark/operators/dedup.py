@@ -703,3 +703,33 @@ def remove_duplicated_passages(
         F.concat_ws(" ", kept).alias("text_clean"),
         (F.size("_toks") - F.size(kept)).cast("int").alias("n_removed_tokens"),
     )
+
+
+def dedup_against(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    within_batch: bool = True,
+) -> DataFrame:
+    """Incremental ingestion dedup: survivors of a NEW batch against
+    an EXISTING corpus (the daily-crawl case — ingest only documents
+    whose exact content is not already in the training set).
+
+    ``within_batch=True`` first keeps the min-id representative of
+    each content hash inside the batch, then a ``left_anti`` join on
+    ``md5(text)`` drops anything the corpus already has.
+
+    100-TB shape: the corpus side reduces to its DISTINCT 16-byte
+    hash set — in production that set is maintained incrementally as
+    its own table (append the new survivors' hashes per ingest, the
+    icelite pattern) rather than recomputed, making the daily cost
+    O(batch) + one hash-key shuffle join (AQE-handled); nothing here
+    is O(corpus × batch)."""
+    h = F.md5(F.col(text_col))
+    corpus_hashes = corpus_df.select(h.alias("content_hash")).distinct()
+    w = new_df.withColumn("content_hash", h)
+    if within_batch:
+        keep = w.groupBy("content_hash").agg(F.min(id_col).alias(id_col))
+        w = w.join(keep, [id_col, "content_hash"], "left_semi")
+    return w.join(corpus_hashes, "content_hash", "left_anti").drop("content_hash")

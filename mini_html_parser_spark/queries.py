@@ -783,6 +783,42 @@ FROM salted
 """
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental ingestion dedup: a synthetic 'new crawl batch'
+    (exact copies of every doc_id%3==0 doc + genuinely-new variants
+    of every doc_id%3==1 doc) deduped against the corpus — copies
+    dropped, fresh content kept.  Full-semantics oracle (within-batch
+    keep-min window + md5 anti-join), robust to sf0.1's organic
+    duplicate texts."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+    )
+    fresh = docs.filter(F.col("doc_id") % 3 == 1).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"),
+        F.concat("text", F.lit(" fresh")).alias("text"),
+    )
+    batch = copies.unionByName(fresh)
+    return dedup.dedup_against(batch, docs).select("doc_id", "text")
+
+
+ORACLE_DEDUP_INCREMENTAL = """
+WITH newb AS (
+  SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 3000000 AS doc_id, text || ' fresh' AS text
+  FROM documents WHERE doc_id % 3 = 1
+), within AS (
+  SELECT doc_id, text,
+         min(doc_id) OVER (PARTITION BY md5(text)) AS keep
+  FROM newb
+)
+SELECT doc_id, text FROM within
+WHERE doc_id = keep
+  AND md5(text) NOT IN (SELECT md5(text) FROM documents)
+"""
+
+
 def q_similarity_bruteforce(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
@@ -2096,6 +2132,7 @@ QUERIES = {
     # newest operators (round 4)
     "dedup_substring": q_dedup_substring,
     "dedup_substring_removal": q_dedup_substring_removal,
+    "dedup_incremental": q_dedup_incremental,
     "similarity_ivfpq_topk": q_similarity_ivfpq,
     "quality_classifier": q_quality_classifier,
     "gopher_rules": q_gopher_rules,
@@ -2194,6 +2231,7 @@ ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_substring": ORACLE_DEDUP_SUBSTRING,
     "dedup_substring_removal": ORACLE_DEDUP_SUBSTRING_REMOVAL,
+    "dedup_incremental": ORACLE_DEDUP_INCREMENTAL,
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "similarity_bruteforce_topk": ORACLE_SIMILARITY,
     "lang_id_heuristic": ORACLE_LANG_ID,

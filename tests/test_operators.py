@@ -1287,3 +1287,29 @@ def test_temperature_resample_balances_groups(spark):
     # expected kept mass per group = rate * n (Bernoulli; loose bound)
     for g, r in rates.items():
         assert abs(after.get(g, 0) - r * before[g]) <= 4 * (r * before[g]) ** 0.5 + 4
+
+def test_dedup_against_semantics(spark):
+    """Incremental ingest: corpus copies dropped, fresh kept,
+    within-batch duplicates reduced to the min id first."""
+    corpus = spark.createDataFrame(
+        [(1, "old doc one"), (2, "old doc two")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "old doc one"),       # exact corpus dup -> dropped
+            (11, "brand new"),         # kept
+            (12, "brand new"),         # within-batch dup of 11 -> dropped
+            (13, "also new"),          # kept
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        r["doc_id"] for r in dedup.dedup_against(batch, corpus).collect()
+    )
+    assert got == [11, 13]
+    # within_batch=False keeps both batch twins (only corpus filtering)
+    got2 = sorted(
+        r["doc_id"]
+        for r in dedup.dedup_against(batch, corpus, within_batch=False).collect()
+    )
+    assert got2 == [11, 12, 13]
