@@ -552,3 +552,75 @@ def gopher_quality(
         & (F.col("stop_hits") >= min_stop_hits)
     )
     return out.withColumn("gopher_ok", ok).drop("_toks", "_lines")
+
+
+# ---- perplexity filtering (CCNet-style LM scoring) ---------------------------
+
+def perplexity_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style language-model filtering, self-contained: score
+    every document under a Laplace-smoothed BIGRAM model trained on
+    the corpus itself (CCNet trains KenLM on Wikipedia and buckets
+    documents by perplexity — the model here is corpus-trained since
+    no external LM can ship offline, but the scoring surface and the
+    head/middle/tail bucketing use is identical).
+
+    Fully relational — ZERO Python anywhere:
+
+    * unigram + bigram count tables are two groupBys (map-side
+      partial aggregation; at 100 TB the model tables are themselves
+      distributed — never collected);
+    * scoring is the doc-bigram frame left-joined against both count
+      tables (8-byte-ish string keys, AQE-handled), then one
+      groupBy(doc) for the mean log-prob;
+    * ``log((c(w1,w2) + 1) / (c(w1) + V))`` per bigram;
+      ``perplexity = exp(-mean)``; docs with < 2 tokens score
+      perplexity 1 (empty product convention).
+
+    Returns ``(id_col, n_bigrams, avg_logprob, perplexity)``.
+    """
+    toks = F.split(F.trim(F.col(text_col)), _QC_WS)
+    base = df.select(F.col(id_col), toks.alias("_toks"))
+
+    uni = (
+        base.select(F.explode("_toks").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("_cu"))
+    )
+    vocab_size = uni.count()  # one scalar driver action, like centroids
+
+    n = F.size("_toks")
+    pairs = F.arrays_zip(
+        F.slice("_toks", 1, n - 1).alias("w1"),
+        F.slice("_toks", 2, n - 1).alias("w2"),
+    )
+    doc_bi = base.select(
+        F.col(id_col), F.explode(pairs).alias("_b")
+    ).select(id_col, F.col("_b.w1").alias("w1"), F.col("_b.w2").alias("w2"))
+
+    bi = doc_bi.groupBy("w1", "w2").agg(F.count("*").alias("_cb"))
+
+    logp = F.log(
+        (F.coalesce(F.col("_cb"), F.lit(0)) + 1)
+        / (F.coalesce(F.col("_cu"), F.lit(0)) + F.lit(vocab_size))
+    )
+    scored = (
+        doc_bi.join(bi, ["w1", "w2"], "left")
+        .join(uni, ["w1"], "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.avg(logp).alias("_avg"),
+        )
+    )
+    out = base.select(id_col).join(scored, id_col, "left")
+    avg = F.coalesce(F.col("_avg"), F.lit(0.0))
+    return out.select(
+        F.col(id_col),
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+        F.round(avg, 6).cast("double").alias("avg_logprob"),
+        F.round(F.exp(-avg), 6).cast("double").alias("perplexity"),
+    )

@@ -2023,6 +2023,47 @@ WHERE substr(md5(CAST(doc_id AS VARCHAR) || '%mix7'), 1, 8) <
 """
 
 
+def q_perplexity_scores(spark, sf_dir):
+    """CCNet-style perplexity filtering: Laplace-smoothed bigram LM
+    trained on the corpus itself, scored fully relationally (two
+    count groupBys + two left joins + one per-doc mean — zero
+    Python).  The oracle replicates the whole model build and scoring
+    in CTEs."""
+    out = text_analysis.perplexity_scores(_docs(spark, sf_dir))
+    return out.select("doc_id", "n_bigrams", "avg_logprob", "perplexity")
+
+
+ORACLE_PERPLEXITY = r"""
+WITH base AS (
+  SELECT doc_id,
+         string_split_regex(trim(text), '[ \t\n\r\f\x0b]+') AS toks
+  FROM documents
+), uni AS (
+  SELECT w1, count(*) AS cu
+  FROM (SELECT unnest(toks) AS w1 FROM base) GROUP BY 1
+), v AS (SELECT count(*) AS vs FROM uni),
+docbi AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM base, LATERAL unnest(range(1, len(toks))) AS t(i)
+), bi AS (
+  SELECT w1, w2, count(*) AS cb FROM docbi GROUP BY 1, 2
+), sc AS (
+  SELECT d.doc_id, count(*) AS n_bigrams,
+         avg(ln((coalesce(b.cb, 0) + 1.0)
+                / (coalesce(u.cu, 0) + (SELECT vs FROM v)))) AS a
+  FROM docbi d
+  LEFT JOIN bi b ON d.w1 = b.w1 AND d.w2 = b.w2
+  LEFT JOIN uni u ON d.w1 = u.w1
+  GROUP BY 1
+)
+SELECT base.doc_id,
+       CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       round(coalesce(sc.a, 0.0), 6) AS avg_logprob,
+       round(exp(-coalesce(sc.a, 0.0)), 6) AS perplexity
+FROM base LEFT JOIN sc ON base.doc_id = sc.doc_id
+"""
+
+
 def q_temperature_resample(spark, sf_dir):
     """Temperature resampling with CORPUS-DERIVED rates (XLM-R-style
     p^alpha balancing, alpha=0.5): one tiny count collect derives the
@@ -2137,6 +2178,7 @@ QUERIES = {
     "quality_classifier": q_quality_classifier,
     "gopher_rules": q_gopher_rules,
     "temperature_resample": q_temperature_resample,
+    "perplexity_scores": q_perplexity_scores,
     "token_counts_gpt2": q_token_counts_gpt2,  # rows-only: no SQL oracle
     # events / joins (missed by the r3 driver sweep window)
     "events_window_agg": q_events_window_agg,
@@ -2239,6 +2281,7 @@ ORACLES = {
     "quality_classifier": ORACLE_QUALITY_CLASSIFIER,
     "gopher_rules": ORACLE_GOPHER_RULES,
     "temperature_resample": ORACLE_TEMPERATURE_RESAMPLE,
+    "perplexity_scores": ORACLE_PERPLEXITY,
     "token_counts": ORACLE_TOKEN_COUNTS,
     "token_counts_bpe": _oracle_token_counts_bpe(),
     "fingerprint": ORACLE_FINGERPRINT,

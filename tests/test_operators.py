@@ -1313,3 +1313,30 @@ def test_dedup_against_semantics(spark):
         for r in dedup.dedup_against(batch, corpus, within_batch=False).collect()
     )
     assert got2 == [11, 12, 13]
+
+def test_perplexity_scores_semantics(spark):
+    """Hand-checkable bigram LM: a doc made of corpus-frequent
+    bigrams scores lower perplexity than one of unique bigrams;
+    values match a closed-form recomputation; <2-token docs get
+    perplexity 1."""
+    import math
+
+    from mini_html_parser_spark.operators.text_analysis import perplexity_scores
+
+    rows = [
+        (1, "a b a b a b"),     # bigrams (a,b)x3, (b,a)x2
+        (2, "a b"),             # frequent bigram
+        (3, "x y"),             # unique bigram
+        (4, "solo"),            # no bigrams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in perplexity_scores(df).collect()}
+    # model: cu: a=4,b=4,x=1,y=1,solo=1 (V=5); cb: (a,b)=4,(b,a)=2,(x,y)=1
+    V = 5
+    lp = lambda cb, cu: math.log((cb + 1) / (cu + V))
+    exp1 = (3 * lp(4, 4) + 2 * lp(2, 4)) / 5
+    assert abs(got[1]["avg_logprob"] - round(exp1, 6)) < 1e-9
+    assert got[2]["perplexity"] < got[3]["perplexity"]  # freq < unique
+    assert abs(got[2]["avg_logprob"] - round(lp(4, 4), 6)) < 1e-9
+    assert abs(got[3]["avg_logprob"] - round(lp(1, 1), 6)) < 1e-9
+    assert got[4]["n_bigrams"] == 0 and got[4]["perplexity"] == 1.0
