@@ -156,3 +156,55 @@ def extract_media_features(media: DataFrame) -> DataFrame:
             })
 
     return media.mapInPandas(run, schema=MEDIA_FEATURES_SCHEMA)
+
+
+def media_text_pairs(
+    df: DataFrame,
+    spans_col: str = "spans",
+    id_col: str = "doc_id",
+    text_kinds: tuple[str, ...] = ("text", "html"),
+    media_kind: str = "media",
+) -> DataFrame:
+    """Image-text pair mining from interleaved documents — the
+    OBELICS / MMC4 construction: for every media span, the nearest
+    PRECEDING and FOLLOWING text spans in document order, i.e. the
+    caption candidates a multimodal pretraining pipeline pairs each
+    image with.
+
+    Input is the engine's interleaved contract
+    ``spans array<struct<kind,text,media_ref,offset>>``; output is
+    one row per media span:
+    ``(id_col, media_ref, offset, prev_text, next_text)`` with nulls
+    at document edges.
+
+    Shape: one posexplode (no shuffle) + ONE window exchange per doc;
+    both context columns come from the same (partition, order) spec —
+    ``last(…, ignorenulls)`` over the preceding frame and
+    ``first(…, ignorenulls)`` over the following frame — so Catalyst
+    plans a single sort+window stage.  At 100 TB this is
+    embarrassingly parallel per document.
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(id_col), F.posexplode(spans_col).alias("pos", "_s")
+    ).select(
+        id_col,
+        "pos",
+        F.col("_s.kind").alias("kind"),
+        F.col("_s.text").alias("text"),
+        F.col("_s.media_ref").alias("media_ref"),
+        F.col("_s.offset").alias("offset"),
+    )
+    text_val = F.when(F.col("kind").isin(*text_kinds), F.col("text"))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_w = w.rowsBetween(Window.unboundedPreceding, -1)
+    next_w = w.rowsBetween(1, Window.unboundedFollowing)
+    out = base.withColumn(
+        "prev_text", F.last(text_val, ignorenulls=True).over(prev_w)
+    ).withColumn(
+        "next_text", F.first(text_val, ignorenulls=True).over(next_w)
+    )
+    return out.filter(F.col("kind") == media_kind).select(
+        id_col, "media_ref", "offset", "prev_text", "next_text"
+    )

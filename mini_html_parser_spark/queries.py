@@ -157,6 +157,65 @@ SELECT doc_id, 'img', 'media', 'media://img/' || CAST(doc_id AS VARCHAR),
 """
 
 
+def q_media_text_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-text pair mining (OBELICS/MMC4): each media span paired
+    with its nearest preceding/following text spans.  The interleaved
+    input is built relationally — [text₁, media_a, text₂, media_b]
+    per doc with text halves from substring — so the expected pairs
+    are closed-form."""
+    docs = _docs(spark, sf_dir)
+    h = F.floor(F.length("text") / 2).cast("int")
+    inter = docs.select(
+        F.col("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.substring(F.col("text"), 1, h).alias("text"),
+                F.lit("").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            ),
+            F.struct(
+                F.lit("media").alias("kind"),
+                F.lit("").alias("text"),
+                F.concat(F.lit("media://a/"), F.col("doc_id").cast("string")).alias("media_ref"),
+                F.lit(1).alias("offset"),
+            ),
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.expr("substring(text, cast(floor(length(text) / 2) as int) + 1)").alias("text"),
+                F.lit("").alias("media_ref"),
+                F.lit(2).alias("offset"),
+            ),
+            F.struct(
+                F.lit("media").alias("kind"),
+                F.lit("").alias("text"),
+                F.concat(F.lit("media://b/"), F.col("doc_id").cast("string")).alias("media_ref"),
+                F.lit(3).alias("offset"),
+            ),
+        ).alias("spans"),
+    )
+    return multimodal.media_text_pairs(inter).select(
+        "doc_id", "media_ref", "offset", "prev_text", "next_text"
+    )
+
+
+ORACLE_MEDIA_TEXT_PAIRS = """
+WITH b AS (
+  SELECT doc_id, text, CAST(floor(length(text) / 2) AS INT) AS h
+  FROM documents
+)
+SELECT doc_id, 'media://a/' || CAST(doc_id AS VARCHAR) AS media_ref,
+       CAST(1 AS INT) AS offset,
+       substr(text, 1, h) AS prev_text,
+       substr(text, h + 1) AS next_text
+FROM b
+UNION ALL
+SELECT doc_id, 'media://b/' || CAST(doc_id AS VARCHAR), CAST(3 AS INT),
+       substr(text, h + 1), NULL
+FROM b
+"""
+
+
 def q_extract_tag_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ext = extract_documents(_flagship_documents(_docs(spark, sf_dir)), "boilerplate_strip")
     return (
@@ -2179,6 +2238,7 @@ QUERIES = {
     "gopher_rules": q_gopher_rules,
     "temperature_resample": q_temperature_resample,
     "perplexity_scores": q_perplexity_scores,
+    "media_text_pairs": q_media_text_pairs,
     "token_counts_gpt2": q_token_counts_gpt2,  # rows-only: no SQL oracle
     # events / joins (missed by the r3 driver sweep window)
     "events_window_agg": q_events_window_agg,
@@ -2282,6 +2342,7 @@ ORACLES = {
     "gopher_rules": ORACLE_GOPHER_RULES,
     "temperature_resample": ORACLE_TEMPERATURE_RESAMPLE,
     "perplexity_scores": ORACLE_PERPLEXITY,
+    "media_text_pairs": ORACLE_MEDIA_TEXT_PAIRS,
     "token_counts": ORACLE_TOKEN_COUNTS,
     "token_counts_bpe": _oracle_token_counts_bpe(),
     "fingerprint": ORACLE_FINGERPRINT,

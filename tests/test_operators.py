@@ -1340,3 +1340,40 @@ def test_perplexity_scores_semantics(spark):
     assert abs(got[2]["avg_logprob"] - round(lp(4, 4), 6)) < 1e-9
     assert abs(got[3]["avg_logprob"] - round(lp(1, 1), 6)) < 1e-9
     assert got[4]["n_bigrams"] == 0 and got[4]["perplexity"] == 1.0
+
+def test_media_text_pairs_contexts(spark):
+    """OBELICS-style pair mining: nearest preceding/following TEXT
+    spans (html kinds count as text, media never does), nulls at
+    document edges, consecutive media share contexts."""
+    from mini_html_parser_spark.operators.multimodal import media_text_pairs
+
+    def spans(*items):
+        return [
+            {"kind": k, "text": t, "media_ref": m, "offset": i}
+            for i, (k, t, m) in enumerate(items)
+        ]
+
+    rows = [
+        # media first (no prev), media last (no next), doubled media
+        (1, spans(("media", "", "m0"), ("text", "alpha", ""),
+                  ("media", "", "m1"), ("media", "", "m2"),
+                  ("text", "beta", ""), ("media", "", "m3"))),
+        (2, spans(("html", "h", ""), ("media", "", "m4"))),  # html counts
+        (3, spans(("text", "lonely", ""))),                   # no media
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    got = {
+        r["media_ref"]: (r["prev_text"], r["next_text"])
+        for r in media_text_pairs(df).collect()
+    }
+    assert got == {
+        "m0": (None, "alpha"),
+        "m1": ("alpha", "beta"),
+        "m2": ("alpha", "beta"),
+        "m3": ("beta", None),
+        "m4": ("h", None),
+    }
