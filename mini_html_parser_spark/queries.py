@@ -2228,6 +2228,18 @@ FROM c
 # by trivial long-green relational pytests sit at the tail; new and
 # sweep-missed queries lead.  When adding a query, insert it near the
 # TOP.
+#
+# Documented rotation for entries past ~50 (the registry outgrew the
+# window in round 4): every tail entry has BOTH (a) a green record in
+# an earlier round's driver sweep (CORRECTNESS_r03 covered the whole
+# relational family; the extract_* goldens are green in r01-r03) and
+# (b) either an independent pytest (extract goldens byte-for-byte,
+# agg_median/substring_span_join/sample_* parity tests) or a
+# full-suite pass via `tools/check_oracles.py` re-run each round
+# (CI-equivalent; 68/68 green this round — see COVERAGE.md round-4
+# deltas).  Rotation rule for future rounds: any tail entry that
+# changes, or whose oracle changes, moves back to the TOP until the
+# next driver sweep records it.
 QUERIES = {
     # newest operators (round 4)
     "dedup_substring": q_dedup_substring,
