@@ -1,0 +1,241 @@
+"""WARC source (ISO 28500 — the Common Crawl container format).
+
+A web-scale extraction engine ingests crawls, and crawls ship as WARC:
+a sequence of records, each a header block (``WARC/1.0`` version line
++ ``Name: value`` headers, CRLF-terminated, blank-line-ended) followed
+by exactly ``Content-Length`` payload bytes and a ``\\r\\n\\r\\n``
+trailer.  ``response`` records carry an HTTP response as payload
+(status line + headers + blank line + body).
+
+From-scratch implementation of the PUBLIC spec (no code copied, no
+external library):
+
+* :func:`parse_warc_records` — length-driven record walk: the payload
+  is sliced by ``Content-Length``, NEVER scanned for delimiters, so
+  bodies containing ``WARC/1.0`` cannot desynchronize the stream (the
+  same honesty rule as the PDF reader's /Length slicing).  Records
+  with malformed headers or truncated payloads are surfaced through a
+  ``malformed`` count, not silently skipped.  Handles plain bytes and
+  gzip (both whole-file and the per-record-member concatenation
+  Common Crawl uses — ``zlib`` multi-member loop).
+* :func:`warc_bytes` — a deterministic minimal writer (datagen/tests):
+  emits warcinfo + response records in the exact subset the reader
+  handles, giving a byte-exact round-trip contract.
+* :func:`read_warc` — the Spark operator: ``binaryFile`` scan →
+  Arrow-batched ``mapInPandas`` record split →
+  ``(warc_file, url, content_type, html, malformed)`` rows.  One
+  narrow stage; at corpus scale parallelism comes from the file count
+  (crawls ship as many ~1 GB segments), the same unit real WARC
+  pipelines parallelize on.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import zlib
+
+import pandas as pd  # module-level: pandas_udf/mapInPandas type hints
+
+from pyspark.sql import DataFrame, SparkSession
+
+_CRLF = b"\r\n"
+
+
+def _decompress_if_gzip(data: bytes) -> bytes:
+    """Whole-file or concatenated-member gzip → plain bytes."""
+    if not data.startswith(b"\x1f\x8b"):
+        return data
+    out = []
+    pos = 0
+    while pos < len(data) and data.startswith(b"\x1f\x8b", pos):
+        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        out.append(d.decompress(data[pos:]))
+        consumed = len(data) - pos - len(d.unused_data)
+        if consumed <= 0:
+            break
+        pos += consumed
+    return b"".join(out)
+
+
+def parse_warc_records(data: bytes):
+    """Yield ``(headers: dict, payload: bytes)`` per well-formed
+    record, then return the malformed count via StopIteration value —
+    use :func:`parse_warc` for the tuple-friendly wrapper."""
+    data = _decompress_if_gzip(data)
+    pos, n = 0, len(data)
+    malformed = 0
+    records = []
+    while pos < n:
+        # skip inter-record blank lines
+        while data.startswith(_CRLF, pos):
+            pos += 2
+        if pos >= n:
+            break
+        if not data.startswith(b"WARC/", pos):
+            malformed += 1
+            nxt = data.find(_CRLF + _CRLF + b"WARC/", pos)
+            if nxt == -1:
+                break
+            pos = nxt + 4
+            continue
+        hdr_end = data.find(_CRLF + _CRLF, pos)
+        if hdr_end == -1:
+            malformed += 1
+            break
+        headers: dict[str, str] = {}
+        lines = data[pos:hdr_end].split(_CRLF)
+        for line in lines[1:]:  # lines[0] = version
+            name, _, value = line.partition(b":")
+            if value:
+                headers[name.strip().decode("latin-1").lower()] = (
+                    value.strip().decode("latin-1")
+                )
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            malformed += 1
+            nxt = data.find(_CRLF + _CRLF + b"WARC/", hdr_end + 4)
+            if nxt == -1:
+                break
+            pos = nxt + 4
+            continue
+        body_start = hdr_end + 4
+        body_end = body_start + length
+        if body_end > n:
+            malformed += 1
+            break
+        records.append((headers, data[body_start:body_end]))
+        pos = body_end
+    return records, malformed
+
+
+def _split_http_payload(payload: bytes) -> tuple[str, bytes]:
+    """(content_type, body) from an HTTP response payload; a payload
+    without an HTTP header block is treated as a bare body."""
+    if not payload.startswith(b"HTTP/"):
+        return "", payload
+    sep = payload.find(_CRLF + _CRLF)
+    if sep == -1:
+        return "", payload
+    ctype = ""
+    for line in payload[:sep].split(_CRLF)[1:]:
+        name, _, value = line.partition(b":")
+        if name.strip().lower() == b"content-type" and value:
+            ctype = value.strip().decode("latin-1")
+    return ctype, payload[sep + 4 :]
+
+
+def parse_warc(data: bytes):
+    """``(rows, malformed)`` where rows are
+    ``(url, content_type, body_text)`` for each ``response`` record
+    (non-response records — warcinfo, request, metadata — are
+    skipped by design, as every public WARC consumer does)."""
+    records, malformed = parse_warc_records(data)
+    rows = []
+    for headers, payload in records:
+        if headers.get("warc-type") != "response":
+            continue
+        url = headers.get("warc-target-uri", "")
+        ctype, body = _split_http_payload(payload)
+        rows.append((url, ctype, body.decode("utf-8", errors="replace")))
+    return rows, malformed
+
+
+def warc_bytes(
+    pages: list[tuple[str, str]],
+    compress: bool = False,
+    per_record_gzip: bool = False,
+) -> bytes:
+    """Deterministic minimal WARC: one warcinfo record + one
+    ``response`` record per ``(url, html)`` page.  ``per_record_gzip``
+    emits each record as its own gzip member (the Common Crawl
+    layout); ``compress`` gzips the whole file."""
+
+    def record(rtype: str, extra: list[tuple[str, str]], payload: bytes) -> bytes:
+        head = [b"WARC/1.0"]
+        head.append(b"WARC-Type: " + rtype.encode())
+        for k, v in extra:
+            head.append(f"{k}: {v}".encode())
+        head.append(b"Content-Length: %d" % len(payload))
+        return _CRLF.join(head) + _CRLF + _CRLF + payload + _CRLF + _CRLF
+
+    def gz(b: bytes) -> bytes:
+        buf = io.BytesIO()
+        with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as f:
+            f.write(b)
+        return buf.getvalue()
+
+    out = []
+    info = b"software: mini-html-parser-spark\r\n"
+    out.append(record("warcinfo", [("WARC-Record-ID", "<urn:rec:0>")], info))
+    for i, (url, html) in enumerate(pages, start=1):
+        body = html.encode("utf-8")
+        http = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+            b"Content-Length: %d\r\n\r\n" % len(body)
+        ) + body
+        out.append(
+            record(
+                "response",
+                [
+                    ("WARC-Record-ID", f"<urn:rec:{i}>"),
+                    ("WARC-Target-URI", url),
+                ],
+                http,
+            )
+        )
+    if per_record_gzip:
+        return b"".join(gz(r) for r in out)
+    blob = b"".join(out)
+    return gz(blob) if compress else blob
+
+
+WARC_ROW_SCHEMA = (
+    "warc_file string, url string, content_type string, "
+    "html string, malformed int"
+)
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """WARC segments → ``(warc_file, url, content_type, html,
+    malformed)`` rows.  ``binaryFile`` scan (one row per segment —
+    crawls ship as many ~1 GB files, the natural parallel unit) then
+    one Arrow-batched record split; ``malformed`` carries the
+    per-file bad-record count on every row of that file (0-row files
+    with damage still surface as a single null-url row)."""
+
+    def split(batches):
+        for pdf in batches:
+            rows = []
+            for fname, blob in zip(pdf["path"], pdf["content"]):
+                pages, malformed = parse_warc(bytes(blob))
+                for url, ctype, html in pages:
+                    rows.append(
+                        {
+                            "warc_file": fname,
+                            "url": url,
+                            "content_type": ctype,
+                            "html": html,
+                            "malformed": malformed,
+                        }
+                    )
+                if not pages and malformed:
+                    rows.append(
+                        {
+                            "warc_file": fname,
+                            "url": None,
+                            "content_type": "",
+                            "html": "",
+                            "malformed": malformed,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "warc_file", "url", "content_type", "html", "malformed",
+                ],
+            )
+
+    files = spark.read.format("binaryFile").load(path)
+    return files.select("path", "content").mapInPandas(split, WARC_ROW_SCHEMA)

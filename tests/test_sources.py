@@ -74,3 +74,86 @@ def test_extract_job_cli(spark, tmp_path):
     assert cfg["spark.sql.catalog.lake.warehouse"] == "s3a://bkt/wh"
     assert cfg["spark.sql.catalog.lake.type"] == "hadoop"
     assert "IcebergSparkSessionExtensions" in cfg["spark.sql.extensions"]
+
+
+def test_warc_roundtrip_plain_gzip_and_per_record(spark, tmp_path):
+    """WARC writer/reader round trip in all three layouts (plain,
+    whole-file gzip, per-record gzip members a la Common Crawl);
+    bodies containing 'WARC/1.0' cannot desynchronize the
+    length-driven walk."""
+    from mini_html_parser_spark.sources.warc import (
+        parse_warc, read_warc, warc_bytes,
+    )
+
+    pages = [
+        ("http://a.example/1", "<html><body><p>hello wörld</p></body></html>"),
+        # adversarial body: contains a fake record header + CRLFs
+        ("http://a.example/2", "<p>WARC/1.0\r\nContent-Length: 3\r\n\r\nxyz</p>"),
+        ("http://a.example/3", "<p>漢字</p>"),
+    ]
+    for kwargs in [{}, {"compress": True}, {"per_record_gzip": True}]:
+        rows, malformed = parse_warc(warc_bytes(pages, **kwargs))
+        assert malformed == 0
+        assert [(u, h) for u, _c, h in rows] == pages, kwargs
+
+    # Spark operator over a directory of segments
+    d = tmp_path / "warc"
+    d.mkdir()
+    (d / "seg-0.warc").write_bytes(warc_bytes(pages[:2]))
+    (d / "seg-1.warc.gz").write_bytes(warc_bytes(pages[2:], per_record_gzip=True))
+    got = read_warc(spark, str(d)).collect()
+    assert {(r["url"], r["html"]) for r in got} == set(pages)
+    assert all(r["malformed"] == 0 for r in got)
+    assert all(r["content_type"].startswith("text/html") for r in got)
+
+
+def test_warc_malformed_honesty(spark):
+    """Truncated payloads and garbage headers are COUNTED, and valid
+    records after damage are still recovered."""
+    from mini_html_parser_spark.sources.warc import parse_warc, warc_bytes
+
+    good = warc_bytes([("http://x/1", "<p>ok</p>")])
+    # truncate the last record's payload
+    rows, malformed = parse_warc(good[:-20])
+    assert malformed >= 1
+    # garbage between records: resync finds the next record
+    damaged = good + b"garbage bytes not a record" + warc_bytes(
+        [("http://x/2", "<p>two</p>")]
+    )
+    rows, malformed = parse_warc(damaged)
+    urls = [u for u, _c, _h in rows]
+    assert "http://x/1" in urls and "http://x/2" in urls
+    assert malformed >= 1
+
+
+def test_warc_feeds_extraction_kernel(spark, tmp_path):
+    """End-to-end crawl ingestion: WARC segments → read_warc → the
+    interleaved contract → the extraction kernel."""
+    from pyspark.sql import functions as F
+
+    from mini_html_parser_spark.operators.extract import extract_documents
+    from mini_html_parser_spark.sources.warc import read_warc, warc_bytes
+
+    pages = [
+        (f"http://site/{i}", f"<html><body><p>doc {i} body text</p></body></html>")
+        for i in range(5)
+    ]
+    d = tmp_path / "crawl"
+    d.mkdir()
+    (d / "seg.warc.gz").write_bytes(warc_bytes(pages, compress=True))
+    docs = read_warc(spark, str(d)).select(
+        F.col("url").alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("html").alias("kind"),
+                F.col("html").alias("text"),
+                F.lit("").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    ext = extract_documents(docs, "boilerplate_strip")
+    out = {r["doc_id"]: r for r in ext.collect()}
+    assert len(out) == 5
+    assert all(r["n_spans"] > 0 and not r["malformed"] for r in out.values())
+    assert "doc 3 body text" in out["http://site/3"]["text"]
