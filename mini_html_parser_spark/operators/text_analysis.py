@@ -624,3 +624,62 @@ def perplexity_scores(
         F.round(avg, 6).cast("double").alias("avg_logprob"),
         F.round(F.exp(-avg), 6).cast("double").alias("perplexity"),
     )
+
+
+# ---- URL curation (crawl-level filtering) ------------------------------------
+
+# engine-portable URL pieces: one regex, identical in Java and RE2
+_URL_DOMAIN_RE = r"^[a-z][a-z0-9+.-]*://([^/?#]+)"
+
+
+def url_features(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Crawl-curation URL features as a zero-shuffle codegen
+    projection: registered domain (host without port/userinfo,
+    lowercased), top-level domain, path depth, and query-string
+    presence — the columns URL-level blocklists, TLD allowlists and
+    per-domain caps key on (the C4/RefinedWeb URL-filter stage)."""
+    url = F.col(url_col)
+    host = F.lower(
+        F.regexp_extract(
+            F.regexp_extract(F.lower(url), _URL_DOMAIN_RE, 1),
+            r"^(?:[^@]*@)?([^:]+)",
+            1,
+        )
+    )
+    tld = F.regexp_extract(host, r"\.([a-z0-9-]+)$", 1)
+    path = F.regexp_extract(url, r"^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)", 1)
+    depth = F.when(
+        path == "", F.lit(0)
+    ).otherwise(
+        F.size(F.filter(F.split(path, "/"), lambda s: s != ""))
+    )
+    return (
+        df.withColumn("domain", host)
+        .withColumn("tld", tld)
+        .withColumn("path_depth", depth.cast("int"))
+        .withColumn("has_query", url.contains("?"))
+    )
+
+
+def filter_url_blocklist(
+    df: DataFrame,
+    blocked_domains: list[str],
+    url_col: str = "url",
+    keep_metrics: bool = True,
+) -> DataFrame:
+    """Drop documents whose registered domain is on the blocklist
+    (exact domain OR any subdomain of a blocked entry).  The list is
+    inlined as codegen predicates for the usual few-thousand-entry
+    lists; past ~10⁴ entries switch to a broadcast anti-join on the
+    ``domain`` column from :func:`url_features`."""
+    feats = url_features(df, url_col)
+    blocked = F.lit(False)
+    for d in sorted(set(blocked_domains)):
+        d = d.lower()
+        blocked = blocked | (F.col("domain") == d) | F.col("domain").endswith("." + d)
+    out = feats.withColumn("url_blocked", blocked)
+    if keep_metrics:
+        return out.filter(~F.col("url_blocked"))
+    return out.filter(~blocked).drop(
+        "domain", "tld", "path_depth", "has_query", "url_blocked"
+    )

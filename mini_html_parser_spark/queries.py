@@ -1103,6 +1103,54 @@ FROM m
 """
 
 
+def q_url_filter(spark, sf_dir):
+    """URL-level crawl curation (C4/RefinedWeb URL-filter stage):
+    URLs synthesized relationally from (source, lang, doc_id) —
+    subdomained hosts, varying path depth, query strings — then
+    domain/tld/depth features + a blocklist dropping one source
+    domain and every subdomain of another."""
+    docs = _docs(spark, sf_dir)
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.when(F.col("doc_id") % 4 == 0, F.concat(F.col("lang"), F.lit(".")))
+            .otherwise(F.lit("")),
+            F.col("source"), F.lit(".example.com/"),
+            F.col("lang"), F.lit("/doc-"), F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("?ref=1")).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    out = text_analysis.filter_url_blocklist(
+        urls, ["src1.example.com", "src2.example.com"]
+    )
+    return out.select(
+        "doc_id", "url", "domain", "tld", "path_depth", "has_query"
+    )
+
+
+ORACLE_URL_FILTER = """
+WITH u AS (
+  SELECT doc_id,
+         'https://'
+         || CASE WHEN doc_id % 4 = 0 THEN lang || '.' ELSE '' END
+         || source || '.example.com/' || lang || '/doc-'
+         || CAST(doc_id AS VARCHAR)
+         || CASE WHEN doc_id % 3 = 0 THEN '?ref=1' ELSE '' END AS url,
+         CASE WHEN doc_id % 4 = 0 THEN lang || '.' ELSE '' END
+         || source || '.example.com' AS domain
+  FROM documents
+)
+SELECT doc_id, url, domain,
+       'com' AS tld,
+       CAST(2 AS INT) AS path_depth,
+       (doc_id % 3 = 0) AS has_query
+FROM u
+WHERE NOT (domain = 'src1.example.com' OR domain LIKE '%.src1.example.com'
+        OR domain = 'src2.example.com' OR domain LIKE '%.src2.example.com')
+"""
+
+
 def q_token_counts_gpt2(spark, sf_dir):
     """GPT-2-compatible byte-level BPE token counts (the reference's
     GPT2TokenizerFast surface, compute_aggregate_stats.py:25,62-64).
@@ -2251,6 +2299,7 @@ QUERIES = {
     "temperature_resample": q_temperature_resample,
     "perplexity_scores": q_perplexity_scores,
     "media_text_pairs": q_media_text_pairs,
+    "url_filter": q_url_filter,
     "token_counts_gpt2": q_token_counts_gpt2,  # rows-only: no SQL oracle
     # events / joins (missed by the r3 driver sweep window)
     "events_window_agg": q_events_window_agg,
@@ -2355,6 +2404,7 @@ ORACLES = {
     "temperature_resample": ORACLE_TEMPERATURE_RESAMPLE,
     "perplexity_scores": ORACLE_PERPLEXITY,
     "media_text_pairs": ORACLE_MEDIA_TEXT_PAIRS,
+    "url_filter": ORACLE_URL_FILTER,
     "token_counts": ORACLE_TOKEN_COUNTS,
     "token_counts_bpe": _oracle_token_counts_bpe(),
     "fingerprint": ORACLE_FINGERPRINT,

@@ -1377,3 +1377,33 @@ def test_media_text_pairs_contexts(spark):
         "m3": ("beta", None),
         "m4": ("h", None),
     }
+
+def test_url_features_and_blocklist(spark):
+    """Domain extraction handles ports/userinfo/subdomains; the
+    blocklist drops exact domains and subdomains but not
+    lookalike suffixes (evilsrc1.com ≠ .src1.com)."""
+    from mini_html_parser_spark.operators.text_analysis import (
+        filter_url_blocklist, url_features,
+    )
+
+    rows = [
+        (1, "https://www.example.com/a/b/c?q=1"),
+        (2, "http://user:pw@Sub.Bad.org:8080/x"),
+        (3, "https://bad.org/"),
+        (4, "https://notbad.org/keep"),
+        (5, "https://example.com"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    feats = {r["doc_id"]: r for r in url_features(df).collect()}
+    assert feats[1]["domain"] == "www.example.com"
+    assert feats[1]["path_depth"] == 3 and feats[1]["has_query"]
+    assert feats[2]["domain"] == "sub.bad.org"  # userinfo+port stripped
+    assert feats[4]["domain"] == "notbad.org"
+    assert feats[5]["path_depth"] == 0 and not feats[5]["has_query"]
+    assert feats[1]["tld"] == "com" and feats[2]["tld"] == "org"
+
+    kept = sorted(
+        r["doc_id"]
+        for r in filter_url_blocklist(df, ["bad.org"]).collect()
+    )
+    assert kept == [1, 4, 5]  # 2 (subdomain) and 3 (exact) dropped
