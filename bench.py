@@ -80,6 +80,8 @@ def main() -> None:
         q_extract_pdf,
         q_extract_density_prune,
         q_pipeline_pack_corpus,
+        q_dedup_substring,
+        q_perplexity_scores,
     )
 
     # one local-mode JVM runs the whole workload back-to-back: size the
@@ -242,6 +244,9 @@ def main() -> None:
     timed_ext("extract_pdf", lambda: q_extract_pdf(spark, SF_DIR).count())
     timed_ext("extract_density_prune", lambda: q_extract_density_prune(spark, SF_DIR).count())
     timed_ext("pipeline_pack_corpus", lambda: q_pipeline_pack_corpus(spark, SF_DIR).count())
+    # round-4 operators
+    timed_ext("dedup_substring", lambda: q_dedup_substring(spark, SF_DIR).count())
+    timed_ext("perplexity_scores", lambda: q_perplexity_scores(spark, SF_DIR).count())
     extras["extended_queries"] = extended
 
     load_end = os.getloadavg()
