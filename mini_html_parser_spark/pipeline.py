@@ -297,3 +297,47 @@ def _run_job(
     )
     metrics = snapshot["metrics"] if snapshot is not None else {}
     return {"snapshot": snapshot, "metrics": metrics}
+
+
+def warc_documents(spark: SparkSession, warc_path: str) -> DataFrame:
+    """WARC crawl segments → the engine's interleaved document
+    contract ``(doc_id, spans)`` (doc_id = target URI, one html span
+    per response record) — the adapter between
+    :func:`sources.warc.read_warc` and :func:`run_extraction_job`,
+    so a raw crawl runs through the same salted/resumable pipeline
+    as any other corpus."""
+    from .sources.warc import read_warc
+
+    rows = read_warc(spark, warc_path).filter(F.col("url").isNotNull())
+    return rows.select(
+        F.col("url").alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("html").alias("kind"),
+                F.col("html").alias("text"),
+                F.lit("").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+
+
+def run_warc_extraction_job(
+    spark: SparkSession,
+    warc_path: str,
+    output_path: str,
+    config: str = "boilerplate_strip",
+    parallelism: int | None = None,
+    **kwargs,
+) -> dict:
+    """Crawl-in, spans-out: WARC segments through the full salted +
+    icelite-resumable extraction job.  Same metrics/lineage contract
+    as :func:`run_extraction_job`."""
+    return run_extraction_job(
+        spark,
+        warc_documents(spark, warc_path),
+        output_path,
+        config=config,
+        parallelism=parallelism,
+        **kwargs,
+    )

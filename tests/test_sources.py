@@ -157,3 +157,35 @@ def test_warc_feeds_extraction_kernel(spark, tmp_path):
     assert len(out) == 5
     assert all(r["n_spans"] > 0 and not r["malformed"] for r in out.values())
     assert "doc 3 body text" in out["http://site/3"]["text"]
+
+
+def test_warc_extraction_job_end_to_end_with_resume(spark, tmp_path):
+    """run_warc_extraction_job: crawl segments through the salted +
+    icelite-resumable pipeline; a re-run is a resume no-op."""
+    from mini_html_parser_spark.pipeline import run_warc_extraction_job
+    from mini_html_parser_spark.plans.icelite import IceliteTable
+    from mini_html_parser_spark.sources.warc import warc_bytes
+
+    pages = [
+        (f"http://crawl/{i}",
+         f"<html><body><p>page {i} content here</p>"
+         f"<footer>boilerplate footer</footer></body></html>")
+        for i in range(8)
+    ]
+    d = tmp_path / "crawl"
+    d.mkdir()
+    (d / "a.warc").write_bytes(warc_bytes(pages[:5]))
+    (d / "b.warc.gz").write_bytes(warc_bytes(pages[5:], per_record_gzip=True))
+    out = str(tmp_path / "out")
+    m1 = run_warc_extraction_job(spark, str(d), out, parallelism=4)
+    assert m1["metrics"]["docs_parsed"] == 8
+    assert m1["metrics"]["malformed_fallbacks"] == 0
+    rows = IceliteTable(out).read(spark).collect()
+    assert len(rows) == 8
+    by_id = {r["doc_id"]: r["text"] for r in rows}
+    assert "page 3 content here" in by_id["http://crawl/3"]
+    assert "boilerplate footer" not in by_id["http://crawl/3"]
+    # resume: nothing pending
+    m2 = run_warc_extraction_job(spark, str(d), out, parallelism=4)
+    assert m2["snapshot"] is None
+    assert len(IceliteTable(out).read(spark).collect()) == 8
