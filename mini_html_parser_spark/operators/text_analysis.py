@@ -647,7 +647,9 @@ def url_features(df: DataFrame, url_col: str = "url") -> DataFrame:
         )
     )
     tld = F.regexp_extract(host, r"\.([a-z0-9-]+)$", 1)
-    path = F.regexp_extract(url, r"^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)", 1)
+    # lower() here too: an uppercase scheme ("HTTP://…") must not make
+    # the path regex miss while the domain regex (on lower) matches
+    path = F.regexp_extract(F.lower(url), r"^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)", 1)
     depth = F.when(
         path == "", F.lit(0)
     ).otherwise(

@@ -59,9 +59,9 @@ def _decompress_if_gzip(data: bytes) -> bytes:
 
 
 def parse_warc_records(data: bytes):
-    """Yield ``(headers: dict, payload: bytes)`` per well-formed
-    record, then return the malformed count via StopIteration value —
-    use :func:`parse_warc` for the tuple-friendly wrapper."""
+    """``(records, malformed)`` — records as ``(headers: dict,
+    payload: bytes)`` per well-formed record; use :func:`parse_warc`
+    for the response-rows wrapper."""
     data = _decompress_if_gzip(data)
     pos, n = 0, len(data)
     malformed = 0
