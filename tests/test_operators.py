@@ -1407,3 +1407,84 @@ def test_url_features_and_blocklist(spark):
         for r in filter_url_blocklist(df, ["bad.org"]).collect()
     )
     assert kept == [1, 4, 5]  # 2 (subdomain) and 3 (exact) dropped
+
+def test_duplicated_passages_randomized_vs_bruteforce(spark):
+    """Randomized corpora over a tiny alphabet (dense natural
+    cross-doc overlaps) against a brute-force Python reference:
+    gram-set membership per position, consecutive-run merge."""
+    import random
+
+    rng = random.Random(20260818)
+    k = 3
+    for trial in range(4):
+        docs = []
+        for d in range(12):
+            n = rng.randrange(0, 15)
+            docs.append((d, " ".join(rng.choice("abc") for _ in range(n))))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = sorted(
+            tuple(r)
+            for r in dedup.duplicated_passages(df, k=k).collect()
+        )
+        # brute force
+        gram_docs = {}
+        toks_by_doc = {}
+        for d, t in docs:
+            toks = t.split() if t.strip() else [""]
+            toks_by_doc[d] = toks
+            for p in range(len(toks) - k + 1):
+                gram_docs.setdefault(tuple(toks[p : p + k]), set()).add(d)
+        want = []
+        for d, toks in toks_by_doc.items():
+            dup_ps = [
+                p
+                for p in range(len(toks) - k + 1)
+                if len(gram_docs[tuple(toks[p : p + k])] - {d}) > 0
+            ]
+            run_start = None
+            prev = None
+            for p in dup_ps + [None]:
+                if p is not None and prev is not None and p == prev + 1:
+                    prev = p
+                    continue
+                if run_start is not None:
+                    want.append((d, run_start, prev + k, prev + k - run_start))
+                run_start, prev = p, p
+        assert got == sorted(want), (trial, got, sorted(want))
+
+def test_remove_duplicated_passages_randomized_vs_bruteforce(spark):
+    """Randomized keep-one removal vs a brute-force reference: a
+    position is cut iff its gram is cross-doc duplicated AND this doc
+    is not the gram's min doc; islands merge; text rebuilt from kept
+    tokens."""
+    import random
+
+    rng = random.Random(20260819)
+    k = 3
+    for trial in range(3):
+        docs = []
+        for d in range(10):
+            n = rng.randrange(0, 14)
+            docs.append((d, " ".join(rng.choice("ab") for _ in range(n))))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["text_clean"], r["n_removed_tokens"])
+            for r in dedup.remove_duplicated_passages(df, k=k).collect()
+        }
+        gram_docs = {}
+        toks_by_doc = {}
+        for d, t in docs:
+            toks = t.split() if t.strip() else [""]
+            toks_by_doc[d] = toks
+            for p in range(len(toks) - k + 1):
+                gram_docs.setdefault(tuple(toks[p : p + k]), set()).add(d)
+        for d, toks in toks_by_doc.items():
+            removed = set()
+            for p in range(len(toks) - k + 1):
+                g = gram_docs[tuple(toks[p : p + k])]
+                if len(g - {d}) > 0 and d != min(g):
+                    removed.update(range(p, p + k))
+            # merge is implicit: removed positions form the union of
+            # intervals; kept = tokens outside
+            kept = [t for i, t in enumerate(toks) if i not in removed]
+            assert got[d] == (" ".join(kept), len(removed)), (trial, d)
