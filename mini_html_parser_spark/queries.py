@@ -1103,6 +1103,60 @@ FROM m
 """
 
 
+def q_dataset_card(spark, sf_dir):
+    """Dataset-card statistics per source (the reporting table a
+    curation pipeline publishes): docs, languages, token totals/means,
+    exact-duplicate counts and rate — one Catalyst plan, dup counting
+    via groupBy+join (never a window over the content hash, which
+    would shuffle every copy of a hot text to one reducer)."""
+    docs = _docs(spark, sf_dir)
+    base = docs.select(
+        "source", "lang", "doc_id",
+        F.md5("text").alias("h"),
+        F.size(F.split(F.trim("text"), r"[ \t\n\r\f\x0b]+")).alias("ntok"),
+    )
+    dup_counts = base.groupBy("h").agg(F.count("*").alias("copies"))
+    joined = base.join(dup_counts, "h")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum("ntok").cast("bigint").alias("total_tokens"),
+            F.round(F.avg("ntok"), 4).cast("double").alias("avg_doc_tokens"),
+            F.sum((F.col("copies") > 1).cast("int")).cast("bigint").alias("n_dup_docs"),
+        )
+        .withColumn(
+            "dup_rate",
+            F.round(F.col("n_dup_docs") / F.col("n_docs"), 6).cast("double"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_DATASET_CARD = r"""
+WITH base AS (
+  SELECT source, lang, doc_id, md5(text) AS h,
+         len(string_split_regex(trim(text), '[ \t\n\r\f\x0b]+')) AS ntok
+  FROM documents
+), dc AS (
+  SELECT h, count(*) AS copies FROM base GROUP BY 1
+)
+SELECT b.source,
+       count(*) AS n_docs,
+       count(DISTINCT b.lang) AS n_langs,
+       CAST(sum(b.ntok) AS BIGINT) AS total_tokens,
+       round(avg(b.ntok), 4) AS avg_doc_tokens,
+       CAST(sum(CASE WHEN dc.copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_docs,
+       round(CAST(sum(CASE WHEN dc.copies > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS dup_rate
+FROM base b JOIN dc ON b.h = dc.h
+GROUP BY b.source
+ORDER BY b.source
+"""
+
+
 def q_url_filter(spark, sf_dir):
     """URL-level crawl curation (C4/RefinedWeb URL-filter stage):
     URLs synthesized relationally from (source, lang, doc_id) —
@@ -2300,6 +2354,7 @@ QUERIES = {
     "perplexity_scores": q_perplexity_scores,
     "media_text_pairs": q_media_text_pairs,
     "url_filter": q_url_filter,
+    "dataset_card": q_dataset_card,
     "token_counts_gpt2": q_token_counts_gpt2,  # rows-only: no SQL oracle
     # events / joins (missed by the r3 driver sweep window)
     "events_window_agg": q_events_window_agg,
@@ -2405,6 +2460,7 @@ ORACLES = {
     "perplexity_scores": ORACLE_PERPLEXITY,
     "media_text_pairs": ORACLE_MEDIA_TEXT_PAIRS,
     "url_filter": ORACLE_URL_FILTER,
+    "dataset_card": ORACLE_DATASET_CARD,
     "token_counts": ORACLE_TOKEN_COUNTS,
     "token_counts_bpe": _oracle_token_counts_bpe(),
     "fingerprint": ORACLE_FINGERPRINT,
