@@ -28,10 +28,13 @@ def main(argv=None) -> int:
     p.add_argument("--config", default="boilerplate_strip",
                    choices=["keep_everything", "boilerplate_strip",
                             "boilerplate_strip_br", "density_prune"])
-    p.add_argument("--input-format", default="html", choices=["html", "pdf"],
+    p.add_argument("--input-format", default="html",
+                   choices=["html", "pdf", "warc"],
                    help="html: interleaved documents table through the "
                         "extraction kernel; pdf: (doc_id, content binary) "
-                        "table through the PDF span parser")
+                        "table through the PDF span parser; warc: a "
+                        "directory of WARC crawl segments (ISO 28500, "
+                        "plain or gzip)")
     p.add_argument("--parallelism", type=int, default=None)
     p.add_argument("--auto-compact-every", type=int, default=None,
                    help="fold the output table to one snapshot whenever "
@@ -45,7 +48,7 @@ def main(argv=None) -> int:
                         "be a table identifier like <catalog>.db.documents")
     p.add_argument("--iceberg-warehouse", default=None)
     args = p.parse_args(argv)
-    if args.streaming and args.input_format == "pdf":
+    if args.streaming and args.input_format != "html":
         p.error("--streaming currently supports --input-format html only")
 
     from pyspark.sql import SparkSession
@@ -77,7 +80,24 @@ def main(argv=None) -> int:
     from mini_html_parser_spark.pipeline import (
         run_extraction_job,
         run_pdf_extraction_job,
+        run_warc_extraction_job,
     )
+
+    if args.input_format == "warc":
+        result = run_warc_extraction_job(
+            spark, args.input, args.output, config=args.config,
+            parallelism=args.parallelism,
+            auto_compact_every=args.auto_compact_every,
+        )
+        snap = result["snapshot"]
+        print(json.dumps({
+            "mode": "batch-warc",
+            "snapshot_id": snap["snapshot_id"] if snap else None,
+            "committed_rows": snap["total_rows"] if snap else 0,
+            "metrics": {k: int(v) for k, v in (result["metrics"] or {}).items()},
+            "output": args.output,
+        }))
+        return 0
 
     if args.iceberg_catalog and args.input.startswith(args.iceberg_catalog + "."):
         documents = spark.table(args.input)  # catalog table swap-in

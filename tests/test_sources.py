@@ -189,3 +189,44 @@ def test_warc_extraction_job_end_to_end_with_resume(spark, tmp_path):
     m2 = run_warc_extraction_job(spark, str(d), out, parallelism=4)
     assert m2["snapshot"] is None
     assert len(IceliteTable(out).read(spark).collect()) == 8
+
+
+def test_stats_job_cli_and_warc_cli(spark, tmp_path):
+    """jobs/stats_job.py end-to-end on an extract_job output (the
+    reference's two-phase stats workflow through one CLI), and
+    extract_job's --input-format warc path."""
+    import glob as _glob
+    import sys
+
+    sys.path.insert(0, "jobs")
+    import extract_job
+    import stats_job
+
+    from mini_html_parser_spark.datagen import generate_documents
+    from mini_html_parser_spark.sources.warc import warc_bytes
+
+    src = str(tmp_path / "docs")
+    table = str(tmp_path / "table")
+    stats_out = str(tmp_path / "stats")
+    generate_documents(spark, 10, partitions=2).write.parquet(src)
+    assert extract_job.main(["--input", src, "--output", table,
+                             "--parallelism", "2"]) == 0
+    assert stats_job.main(["--input", table, "--output", stats_out,
+                           "--tokenizer", "bytes"]) == 0
+    assert _glob.glob(stats_out + "/stats_per_webpage/*.csv.gz")
+    assert _glob.glob(stats_out + "/corpus_describe/*.csv.gz")
+
+    # WARC input straight through the CLI
+    crawl = tmp_path / "crawl"
+    crawl.mkdir()
+    (crawl / "seg.warc").write_bytes(warc_bytes(
+        [(f"http://w/{i}", f"<html><body><p>warc {i}</p></body></html>")
+         for i in range(4)]
+    ))
+    wout = str(tmp_path / "wtable")
+    assert extract_job.main(["--input", str(crawl), "--output", wout,
+                             "--input-format", "warc",
+                             "--parallelism", "2"]) == 0
+    from mini_html_parser_spark.plans.icelite import IceliteTable
+
+    assert IceliteTable(wout).read(spark).count() == 4
