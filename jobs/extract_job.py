@@ -95,6 +95,7 @@ def main(argv=None) -> int:
             "snapshot_id": snap["snapshot_id"] if snap else None,
             "committed_rows": snap["total_rows"] if snap else 0,
             "metrics": {k: int(v) for k, v in (result["metrics"] or {}).items()},
+            "warc_malformed_records": result.get("warc_malformed_records", 0),
             "output": args.output,
         }))
         return 0

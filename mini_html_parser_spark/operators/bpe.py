@@ -53,6 +53,11 @@ from pyspark.sql import Column, functions as F
 # control-char text (ADVICE r2).  This exact set is what Java \s
 # matches, spelled portably.
 WHITESPACE_CLASS = " \\t\\n\\r\\f\\x0b"
+# THE engine-portable whitespace-split regex: its exact membership is
+# a Spark↔DuckDB oracle-parity contract, so every operator module
+# imports THIS constant instead of respelling it (ADVICE r4 — four
+# drifting copies existed)
+WS_RE = rf"[{WHITESPACE_CLASS}]+"
 PRETOKEN_RE = rf"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9{WHITESPACE_CLASS}]"
 _PRETOKEN_C = re.compile(PRETOKEN_RE)
 

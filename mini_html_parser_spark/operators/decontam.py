@@ -33,7 +33,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 # explicit whitespace class, not \s: Java \s includes \x0b, RE2
 # (DuckDB) \s does not — the explicit class is identical in both
 # engines for every byte (rationale: operators/bpe.py, ADVICE r2)
-_WS = r"[ \t\n\r\f\x0b]+"
+from .bpe import WS_RE as _WS  # shared oracle-parity regex
 
 
 def ngrams_of_tokens(toks: Column, n: int = 3) -> Column:

@@ -530,8 +530,8 @@ def neardup_survivors(
 # ---- substring-level exact dedup (Lee et al. 2022) --------------------------
 
 # explicit whitespace class, not \s: Java \s includes \x0b, RE2
-# (DuckDB) \s does not (rationale: operators/bpe.py, ADVICE r2)
-_WS = r"[ \t\n\r\f\x0b]+"
+# (DuckDB) \s does not — single shared definition (operators/bpe.py)
+from .bpe import WS_RE as _WS  # noqa: E402
 
 
 def duplicated_passages(

@@ -185,43 +185,84 @@ ILLUSTRATIVE_MERGES: list[tuple[str, str]] = [
 ]
 
 
-@lru_cache(maxsize=262144)
+class Gpt2Encoder:
+    """Per-merge-table encoder: the ranks dict is built ONCE and the
+    pretoken cache keys on the symbol tuple alone.  (A module-level
+    ``lru_cache(symbols, merges_tuple)`` would re-hash the full 50k-
+    pair tuple of a real merges.txt on EVERY lookup — tuples do not
+    cache their hash — making per-pretoken cost O(vocab).)"""
+
+    def __init__(self, merges) -> None:
+        self.merges = tuple(merges)
+        self._ranks = {p: i for i, p in enumerate(self.merges)}
+        self._n = len(self.merges)
+        self._merge = lru_cache(maxsize=262144)(self._merge_uncached)
+
+    def _merge_uncached(self, symbols: tuple[str, ...]) -> tuple[str, ...]:
+        """The GPT-2 merge loop: repeatedly merge every occurrence of
+        the lowest-rank pair present until none applies."""
+        ranks = self._ranks
+        syms = list(symbols)
+        while len(syms) > 1:
+            best, best_rank = None, self._n
+            for p in zip(syms, syms[1:]):
+                rk = ranks.get(p, -1)
+                if 0 <= rk < best_rank:
+                    best, best_rank = p, rk
+            if best is None:
+                break
+            x, y = best
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == x and syms[i + 1] == y:
+                    out.append(x + y)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return tuple(syms)
+
+    def encode_pretoken(self, pretoken: str) -> tuple[str, ...]:
+        mapped = tuple(BYTE_ENCODER[b] for b in pretoken.encode("utf-8"))
+        return self._merge(mapped)
+
+
+# encoder registry keyed on the merges OBJECT (the stored reference
+# keeps the object alive, so the id cannot be recycled); bounded by
+# the handful of merge tables a process ever loads
+_ENCODERS: dict[int, tuple[object, Gpt2Encoder]] = {}
+
+
+def _encoder_for(merges) -> Gpt2Encoder:
+    if merges is None:
+        merges = ILLUSTRATIVE_MERGES
+    key = id(merges)
+    hit = _ENCODERS.get(key)
+    if hit is not None and hit[0] is merges:
+        return hit[1]
+    enc = Gpt2Encoder(merges)
+    if len(_ENCODERS) >= 64:
+        _ENCODERS.clear()  # long-lived executor workers re-deserialize
+        # UDF closures per stage; don't let stale entries accumulate
+    _ENCODERS[key] = (merges, enc)
+    return enc
+
+
 def _bpe_merge(symbols: tuple[str, ...], merges: tuple) -> tuple[str, ...]:
-    """The GPT-2 merge loop: repeatedly merge every occurrence of the
-    lowest-rank pair present until none applies."""
-    ranks = {p: i for i, p in enumerate(merges)}
-    syms = list(symbols)
-    while len(syms) > 1:
-        best, best_rank = None, len(merges)
-        for p in zip(syms, syms[1:]):
-            rk = ranks.get(p, -1)
-            if 0 <= rk < best_rank:
-                best, best_rank = p, rk
-        if best is None:
-            break
-        x, y = best
-        out: list[str] = []
-        i = 0
-        while i < len(syms):
-            if i + 1 < len(syms) and syms[i] == x and syms[i + 1] == y:
-                out.append(x + y)
-                i += 2
-            else:
-                out.append(syms[i])
-                i += 1
-        syms = out
-    return tuple(syms)
+    """Back-compat functional form (tests); cached via the registry."""
+    return _encoder_for(merges)._merge(symbols)
 
 
 def gpt2_encode(text: str, merges=None) -> list[str]:
     """Byte-level BPE token strings (in the mapped unicode space) —
     with the public GPT-2 merges.txt ranks this is exactly GPT-2's
     tokenization of ``text``."""
-    m_t = tuple(merges) if merges is not None else tuple(ILLUSTRATIVE_MERGES)
+    enc = _encoder_for(merges)
     out: list[str] = []
     for pre in gpt2_pretokenize(text or ""):
-        mapped = tuple(BYTE_ENCODER[b] for b in pre.encode("utf-8"))
-        out.extend(_bpe_merge(mapped, m_t))
+        out.extend(enc.encode_pretoken(pre))
     return out
 
 
@@ -232,12 +273,10 @@ def gpt2_decode(tokens: list[str]) -> str:
 
 
 def gpt2_count_tokens(text: str, merges=None) -> int:
-    m_t = tuple(merges) if merges is not None else tuple(ILLUSTRATIVE_MERGES)
-    total = 0
-    for pre in gpt2_pretokenize(text or ""):
-        mapped = tuple(BYTE_ENCODER[b] for b in pre.encode("utf-8"))
-        total += len(_bpe_merge(mapped, m_t))
-    return total
+    enc = _encoder_for(merges)
+    return sum(
+        len(enc.encode_pretoken(pre)) for pre in gpt2_pretokenize(text or "")
+    )
 
 
 def gpt2_token_counts(
@@ -251,10 +290,22 @@ def gpt2_token_counts(
     file for exact GPT-2 counts."""
     from pyspark.sql.functions import pandas_udf
 
+    from .dedup import _spread
+
     m_t = tuple(merges) if merges is not None else tuple(ILLUSTRATIVE_MERGES)
 
     @pandas_udf("long")
     def count(texts: pd.Series) -> pd.Series:
-        return texts.map(lambda t: gpt2_count_tokens(t, m_t))
+        # resolve the encoder ONCE per batch (prebuilt ranks dict +
+        # per-pretoken cache keyed on symbols alone)
+        enc = _encoder_for(m_t)
+        return texts.map(
+            lambda t: sum(
+                len(enc.encode_pretoken(p)) for p in gpt2_pretokenize(t or "")
+            )
+        )
 
-    return df.withColumn("gpt2_tokens", count(F.col(text_col)))
+    # CPU-heavy per-row Python runs in the scan's stage: a small
+    # parquet input scans as 1-2 partitions and would serialize the
+    # merge loop on 2 cores (CLAUDE.md invariant; dedup._spread)
+    return _spread(df).withColumn("gpt2_tokens", count(F.col(text_col)))

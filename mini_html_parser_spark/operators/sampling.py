@@ -165,7 +165,13 @@ def temperature_rates(
     counts = {
         r[group_col]: int(r["count"])
         for r in df.groupBy(group_col).count().collect()
+        # NULL groups can't key a rates dict (and sample_mixture's
+        # equality predicate never matches null anyway — null rows get
+        # default_rate); empty frames yield an empty rates dict
+        if r[group_col] is not None
     }
+    if not counts:
+        return {}
     total = sum(counts.values())
     raw = {g: (c / total) ** (alpha - 1.0) for g, c in counts.items()}
     mx = max(raw.values())

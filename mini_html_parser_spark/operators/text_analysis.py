@@ -324,7 +324,7 @@ def chunk_documents(
 # pipelines (CCNet, GPT-3 §A, Llama) gate web documents: a small
 # classifier scored over the full 100-TB corpus.
 
-_QC_WS = r"[ \t\n\r\f\x0b]+"
+from .bpe import WS_RE as _QC_WS  # shared oracle-parity regex
 
 
 def hashed_token_buckets(text: Column, n_features: int = 2048) -> Column:
@@ -420,9 +420,16 @@ def quality_classify(
         if buckets.empty:
             return pd.Series([], dtype=np.float64)
         arrs = buckets.to_numpy()
-        lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=len(arrs))
-        flat = np.concatenate([np.asarray(a, dtype=np.int64) for a in arrs]) \
-            if lens.sum() else np.empty(0, dtype=np.int64)
+        # NULL text → NULL bucket array: score it as an empty doc
+        # (bias only) instead of crashing on len(None)
+        lens = np.fromiter(
+            (0 if a is None else len(a) for a in arrs),
+            dtype=np.int64,
+            count=len(arrs),
+        )
+        flat = np.concatenate(
+            [np.asarray(a, dtype=np.int64) for a in arrs if a is not None]
+        ) if lens.sum() else np.empty(0, dtype=np.int64)
         sums = np.zeros(len(arrs), dtype=np.float64)
         nz = lens > 0
         if nz.any():
@@ -585,11 +592,17 @@ def perplexity_scores(
     toks = F.split(F.trim(F.col(text_col)), _QC_WS)
     base = df.select(F.col(id_col), toks.alias("_toks"))
 
+    # persisted: vocab_size (an eager scalar action) and the scoring
+    # join both read this table — without the persist the corpus-wide
+    # unigram aggregation would run twice.  doc_bi below is NOT
+    # persisted by choice: it is corpus-sized, and recomputing one
+    # explode is the scale-correct trade (same rationale as
+    # dedup.duplicated_passages' two scans).
     uni = (
         base.select(F.explode("_toks").alias("w1"))
         .groupBy("w1")
         .agg(F.count("*").alias("_cu"))
-    )
+    ).persist()
     vocab_size = uni.count()  # one scalar driver action, like centroids
 
     n = F.size("_toks")

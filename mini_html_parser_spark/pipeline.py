@@ -299,7 +299,9 @@ def _run_job(
     return {"snapshot": snapshot, "metrics": metrics}
 
 
-def warc_documents(spark: SparkSession, warc_path: str) -> DataFrame:
+def warc_documents(
+    spark: SparkSession, warc_path: str, warc_rows: DataFrame | None = None
+) -> DataFrame:
     """WARC crawl segments → the engine's interleaved document
     contract ``(doc_id, spans)`` (doc_id = target URI, one html span
     per response record) — the adapter between
@@ -308,7 +310,9 @@ def warc_documents(spark: SparkSession, warc_path: str) -> DataFrame:
     as any other corpus."""
     from .sources.warc import read_warc
 
-    rows = read_warc(spark, warc_path).filter(F.col("url").isNotNull())
+    if warc_rows is None:
+        warc_rows = read_warc(spark, warc_path)
+    rows = warc_rows.filter(F.col("url").isNotNull())
     return rows.select(
         F.col("url").alias("doc_id"),
         F.array(
@@ -332,12 +336,30 @@ def run_warc_extraction_job(
 ) -> dict:
     """Crawl-in, spans-out: WARC segments through the full salted +
     icelite-resumable extraction job.  Same metrics/lineage contract
-    as :func:`run_extraction_job`."""
-    return run_extraction_job(
+    as :func:`run_extraction_job`, PLUS ``warc_malformed_records`` —
+    the source-level damage count (bad gzip members, truncated or
+    garbage records) that would otherwise vanish in the adapter.
+    Honesty costs one extra pass over the segments (the count is a
+    separate aggregation of the parsed rows); the segment scan is the
+    job's cheap stage relative to the extraction kernel."""
+    from .sources.warc import read_warc
+
+    warc_rows = read_warc(spark, warc_path)
+    # per-file damage count rides on every row of its file (and on a
+    # null-url marker row for files with zero parsed pages)
+    warc_malformed = (
+        warc_rows.groupBy("warc_file")
+        .agg(F.max("malformed").alias("m"))
+        .agg(F.sum("m").alias("s"))
+        .first()["s"]
+    ) or 0
+    result = run_extraction_job(
         spark,
-        warc_documents(spark, warc_path),
+        warc_documents(spark, warc_path, warc_rows=warc_rows),
         output_path,
         config=config,
         parallelism=parallelism,
         **kwargs,
     )
+    result["warc_malformed_records"] = int(warc_malformed)
+    return result

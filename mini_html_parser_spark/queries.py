@@ -1109,11 +1109,13 @@ def q_dataset_card(spark, sf_dir):
     exact-duplicate counts and rate — one Catalyst plan, dup counting
     via groupBy+join (never a window over the content hash, which
     would shuffle every copy of a hot text to one reducer)."""
+    from .operators import bpe
+
     docs = _docs(spark, sf_dir)
     base = docs.select(
         "source", "lang", "doc_id",
         F.md5("text").alias("h"),
-        F.size(F.split(F.trim("text"), r"[ \t\n\r\f\x0b]+")).alias("ntok"),
+        F.size(F.split(F.trim("text"), bpe.WS_RE)).alias("ntok"),
     )
     dup_counts = base.groupBy("h").agg(F.count("*").alias("copies"))
     joined = base.join(dup_counts, "h")

@@ -42,29 +42,41 @@ from pyspark.sql import DataFrame, SparkSession
 _CRLF = b"\r\n"
 
 
-def _decompress_if_gzip(data: bytes) -> bytes:
-    """Whole-file or concatenated-member gzip → plain bytes."""
+def _decompress_if_gzip(data: bytes) -> tuple[bytes, int]:
+    """Whole-file or concatenated-member gzip → ``(plain bytes,
+    bad_members)``.  A corrupt/truncated member is COUNTED and the
+    members already decoded are kept — damage must surface through
+    the malformed count, never kill the Spark task.  The rolling
+    slice is a memoryview: per-member ``data[pos:]`` copies would be
+    quadratic over a Common Crawl segment's ~10⁵ members."""
     if not data.startswith(b"\x1f\x8b"):
-        return data
+        return data, 0
     out = []
+    bad = 0
+    view = memoryview(data)
     pos = 0
     while pos < len(data) and data.startswith(b"\x1f\x8b", pos):
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
-        out.append(d.decompress(data[pos:]))
+        try:
+            out.append(d.decompress(view[pos:]))
+        except zlib.error:
+            bad += 1
+            break
         consumed = len(data) - pos - len(d.unused_data)
         if consumed <= 0:
             break
         pos += consumed
-    return b"".join(out)
+    if 0 < pos < len(data) and not data.startswith(b"\x1f\x8b", pos):
+        bad += 1  # trailing non-gzip garbage after the last member
+    return b"".join(out), bad
 
 
 def parse_warc_records(data: bytes):
     """``(records, malformed)`` — records as ``(headers: dict,
     payload: bytes)`` per well-formed record; use :func:`parse_warc`
     for the response-rows wrapper."""
-    data = _decompress_if_gzip(data)
+    data, malformed = _decompress_if_gzip(data)
     pos, n = 0, len(data)
-    malformed = 0
     records = []
     while pos < n:
         # skip inter-record blank lines
@@ -93,6 +105,8 @@ def parse_warc_records(data: bytes):
                 )
         try:
             length = int(headers.get("content-length", ""))
+            if length < 0:
+                raise ValueError("negative Content-Length")
         except ValueError:
             malformed += 1
             nxt = data.find(_CRLF + _CRLF + b"WARC/", hdr_end + 4)

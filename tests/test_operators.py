@@ -1488,3 +1488,35 @@ def test_remove_duplicated_passages_randomized_vs_bruteforce(spark):
             # intervals; kept = tokens outside
             kept = [t for i, t in enumerate(toks) if i not in removed]
             assert got[d] == (" ".join(kept), len(removed)), (trial, d)
+
+def test_quality_classifier_and_temperature_null_robustness(spark):
+    """NULL text scores as an empty doc (bias only) instead of
+    crashing the Arrow stage; NULL group values and empty frames
+    yield sane temperature rates."""
+    from mini_html_parser_spark.operators.sampling import (
+        temperature_rates, temperature_resample,
+    )
+    from mini_html_parser_spark.operators.text_analysis import (
+        quality_classify, train_quality_classifier,
+    )
+
+    labeled = spark.createDataFrame(
+        [(1, "good stuff qgood", 1), (2, "bad stuff qbad", 0),
+         (3, "more qgood text", 1), (4, "more qbad text", 0)],
+        "doc_id long, text string, label int",
+    )
+    w = train_quality_classifier(labeled, sample_n=10)
+    with_null = spark.createDataFrame(
+        [(9, None), (10, "qgood things")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["quality_prob"] for r in quality_classify(with_null, w).collect()}
+    assert 0.0 <= got[9] <= 1.0  # bias-only, no crash
+
+    mixed = spark.createDataFrame(
+        [(1, "en"), (2, "en"), (3, None)], "doc_id long, lang string"
+    )
+    rates = temperature_rates(mixed, alpha=0.5)
+    assert rates == {"en": 1.0}  # null group excluded
+    assert temperature_resample(mixed, alpha=0.5).count() == 3  # nulls kept
+    empty = spark.createDataFrame([], "doc_id long, lang string")
+    assert temperature_rates(empty) == {}

@@ -230,3 +230,25 @@ def test_stats_job_cli_and_warc_cli(spark, tmp_path):
     from mini_html_parser_spark.plans.icelite import IceliteTable
 
     assert IceliteTable(wout).read(spark).count() == 4
+
+
+def test_warc_corrupt_gzip_member_and_negative_length(spark):
+    """A damaged gzip member or a negative Content-Length is COUNTED
+    as malformed — never an exception, and later members/records are
+    still recovered."""
+    from mini_html_parser_spark.sources.warc import parse_warc, warc_bytes
+
+    good = warc_bytes([("http://g/1", "<p>one</p>")], per_record_gzip=True)
+    # corrupt the second member's deflate stream
+    second = good.index(b"\x1f\x8b", 1)
+    damaged = bytearray(good)
+    damaged[second + 20] ^= 0xFF
+    rows, malformed = parse_warc(bytes(damaged))
+    assert malformed >= 1  # no exception
+
+    neg = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"WARC-Target-URI: http://n/1\r\nContent-Length: -5\r\n\r\n")
+    tail = warc_bytes([("http://n/2", "<p>after</p>")])
+    rows, malformed = parse_warc(neg + tail)
+    assert malformed >= 1
+    assert "http://n/2" in [u for u, _c, _h in rows]
