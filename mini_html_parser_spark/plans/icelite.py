@@ -97,8 +97,19 @@ class IceliteTable:
             )
         return files
 
-    def read(self, spark, buckets: set[int] | None = None) -> DataFrame:
+    def read(
+        self,
+        spark,
+        buckets: set[int] | None = None,
+        as_of_snapshot: str | int | None = None,
+    ) -> DataFrame:
         """All committed rows as ONE scan.
+
+        ``as_of_snapshot`` is Iceberg's ``VERSION AS OF`` time travel:
+        only data files committed at or before that snapshot enter the
+        scan.  A snapshot superseded by a later ``compact()`` is
+        expired — time travel below the compaction floor raises (the
+        same contract as Iceberg snapshot expiration).
 
         ``buckets`` prunes at the MANIFEST level: only files under the
         requested ``bucket=<k>`` dirs enter the scan's file index —
@@ -120,6 +131,16 @@ class IceliteTable:
         snaps = self.snapshots()
         if not snaps:
             raise FileNotFoundError(f"icelite table {self.path} has no snapshots")
+        if as_of_snapshot is not None:
+            target = [s for s in snaps if s["snapshot_id"] == as_of_snapshot]
+            if not target:
+                raise KeyError(
+                    f"icelite table {self.path}: snapshot {as_of_snapshot!r} "
+                    "not found among active snapshots (it never existed, or "
+                    "was expired by a later compact())"
+                )
+            seq = target[0]["sequence"]
+            snaps = [s for s in snaps if s["sequence"] <= seq]
         files = [f for s in snaps for f in self._snapshot_files(s)]
         if buckets is not None:
             keep = {f"bucket={b}" for b in buckets}

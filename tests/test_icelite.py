@@ -257,3 +257,26 @@ def test_auto_compact_preserves_commit_metrics(spark, tmp_path):
     assert snaps[0]["metrics"]["docs_parsed"] == 40
     assert snaps[0]["metrics"]["malformed"] == 0 + 1 + 2 + 3
     assert t.read(spark).count() == 40
+
+
+def test_time_travel_read(spark, tmp_path):
+    """VERSION AS OF: as_of_snapshot reads only data committed at or
+    before that snapshot; compaction expires older snapshots (reading
+    below the floor raises, like Iceberg snapshot expiration)."""
+    import pytest
+
+    t = IceliteTable(str(tmp_path / "tt"))
+    s0 = t.commit_append(_df(spark, 0, 40))
+    s1 = t.commit_append(_df(spark, 1000, 1030))
+    s2 = t.commit_append(_df(spark, 2000, 2020))
+    assert t.read(spark).count() == 90
+    assert t.read(spark, as_of_snapshot=s0["snapshot_id"]).count() == 40
+    assert t.read(spark, as_of_snapshot=s1["snapshot_id"]).count() == 70
+    assert t.read(spark, as_of_snapshot=s2["snapshot_id"]).count() == 90
+    with pytest.raises(KeyError):
+        t.read(spark, as_of_snapshot="no-such-snapshot")
+    # compaction folds history: time travel below the floor is expired
+    t.compact(spark)
+    assert t.read(spark).count() == 90
+    with pytest.raises(KeyError):
+        t.read(spark, as_of_snapshot=s0["snapshot_id"])
