@@ -158,6 +158,48 @@ class IceliteTable:
             F.regexp_extract(F.input_file_name(), r"bucket=(\d+)", 1).cast("int"),
         )
 
+    def read_incremental(
+        self, spark, after_snapshot: str, until_snapshot: str | None = None
+    ) -> DataFrame:
+        """Rows appended STRICTLY AFTER ``after_snapshot`` (optionally
+        up to ``until_snapshot``) — Iceberg's incremental append scan,
+        the consumption pattern of a daily-ingest downstream job
+        (e.g. ``dedup_against`` the new rows only).  Append-only
+        tables make this exact: every snapshot's files are disjoint.
+        Raises KeyError when either endpoint was expired by
+        ``compact()`` (history below the floor is gone)."""
+        snaps = self.snapshots()
+        by_id = {s["snapshot_id"]: s for s in snaps}
+        if after_snapshot not in by_id:
+            raise KeyError(
+                f"icelite table {self.path}: snapshot {after_snapshot!r} "
+                "not found among active snapshots (never existed or expired "
+                "by compact())"
+            )
+        lo = by_id[after_snapshot]["sequence"]
+        hi = None
+        if until_snapshot is not None:
+            if until_snapshot not in by_id:
+                raise KeyError(
+                    f"icelite table {self.path}: snapshot "
+                    f"{until_snapshot!r} not found among active snapshots"
+                )
+            hi = by_id[until_snapshot]["sequence"]
+        picked = [
+            s for s in snaps
+            if s["sequence"] > lo and (hi is None or s["sequence"] <= hi)
+        ]
+        files = [f for s in picked for f in self._snapshot_files(s)]
+        if not files:
+            return (
+                self.read(spark).limit(0)  # empty frame, right schema
+            )
+        df = spark.read.parquet(*files)
+        return df.withColumn(
+            "bucket",
+            F.regexp_extract(F.input_file_name(), r"bucket=(\d+)", 1).cast("int"),
+        )
+
     def filter_pending(self, df: DataFrame, bucket_col: str = "bucket") -> DataFrame:
         """Drop rows whose bucket is already committed (resume).
 

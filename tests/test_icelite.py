@@ -280,3 +280,28 @@ def test_time_travel_read(spark, tmp_path):
     assert t.read(spark).count() == 90
     with pytest.raises(KeyError):
         t.read(spark, as_of_snapshot=s0["snapshot_id"])
+
+
+def test_incremental_read(spark, tmp_path):
+    """Incremental append scan: rows strictly after a snapshot,
+    optional until bound, empty when nothing newer, expired history
+    raises."""
+    import pytest
+
+    t = IceliteTable(str(tmp_path / "inc"))
+    s0 = t.commit_append(_df(spark, 0, 40))
+    s1 = t.commit_append(_df(spark, 1000, 1030))
+    s2 = t.commit_append(_df(spark, 2000, 2020))
+    inc = t.read_incremental(spark, s0["snapshot_id"])
+    assert inc.count() == 50
+    ids = {r["doc_id"] for r in inc.select("doc_id").collect()}
+    assert min(ids) >= 1000  # only the two later commits
+    assert t.read_incremental(
+        spark, s0["snapshot_id"], until_snapshot=s1["snapshot_id"]
+    ).count() == 30
+    assert t.read_incremental(spark, s2["snapshot_id"]).count() == 0
+    with pytest.raises(KeyError):
+        t.read_incremental(spark, "nope")
+    t.compact(spark)
+    with pytest.raises(KeyError):
+        t.read_incremental(spark, s0["snapshot_id"])
