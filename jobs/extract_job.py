@@ -36,6 +36,11 @@ def main(argv=None) -> int:
                         "directory of WARC crawl segments (ISO 28500, "
                         "plain or gzip)")
     p.add_argument("--parallelism", type=int, default=None)
+    p.add_argument("--mode", default="resume", choices=["resume", "append"],
+                   help="resume (default): re-running the SAME corpus "
+                        "skips committed buckets; append: ingest a NEW "
+                        "corpus (e.g. the next day's crawl) into an "
+                        "existing table without bucket pruning")
     p.add_argument("--auto-compact-every", type=int, default=None,
                    help="fold the output table to one snapshot whenever "
                         "the active snapshot count reaches N")
@@ -88,6 +93,7 @@ def main(argv=None) -> int:
             spark, args.input, args.output, config=args.config,
             parallelism=args.parallelism,
             auto_compact_every=args.auto_compact_every,
+            mode=args.mode,
         )
         snap = result["snapshot"]
         print(json.dumps({
@@ -109,12 +115,14 @@ def main(argv=None) -> int:
             spark, documents, args.output,
             parallelism=args.parallelism,
             auto_compact_every=args.auto_compact_every,
+            mode=args.mode,
         )
     else:
         result = run_extraction_job(
             spark, documents, args.output, config=args.config,
             parallelism=args.parallelism,
             auto_compact_every=args.auto_compact_every,
+            mode=args.mode,
         )
     snap = result["snapshot"]
     print(json.dumps({

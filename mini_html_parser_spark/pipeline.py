@@ -206,6 +206,7 @@ def run_pdf_extraction_job(
     parallelism: int | None = None,
     buckets_per_core: int = 2,
     auto_compact_every: int | None = None,
+    mode: str = "resume",
 ) -> dict:
     """PDF-corpus variant of :func:`run_extraction_job`: input is
     ``(doc_id, content binary)``, the extractor is
@@ -224,6 +225,7 @@ def run_pdf_extraction_job(
         ).withColumn("n_spans", F.size("spans")),
         parallelism, buckets_per_core, auto_compact_every,
         weight=F.length("content"),
+        mode=mode,
     )
 
 
@@ -235,6 +237,7 @@ def run_extraction_job(
     parallelism: int | None = None,
     buckets_per_core: int = 2,
     auto_compact_every: int | None = None,
+    mode: str = "resume",
 ) -> dict:
     """End-to-end corpus parse (reference §3.2) with icelite commit +
     resume: read → salt/repartition → extract UDF → write committed
@@ -260,6 +263,7 @@ def run_extraction_job(
             pending, config, passthrough_cols=["bucket"]
         ),
         parallelism, buckets_per_core, auto_compact_every,
+        mode=mode,
     )
 
 
@@ -272,11 +276,22 @@ def _run_job(
     buckets_per_core: int,
     auto_compact_every: int | None,
     weight: Column | None = None,
+    mode: str = "resume",
 ) -> dict:
     """Shared job tail: layout resolve → salt → committed-bucket prune
     → extract_stage → observed metrics → icelite commit.  Both the
     HTML and PDF jobs are thin wrappers, so commit/resume/metrics
-    semantics cannot drift between the two paths."""
+    semantics cannot drift between the two paths.
+
+    ``mode``: ``"resume"`` (default) prunes already-committed buckets
+    — re-running the SAME corpus is a no-op (skip-if-done).
+    ``"append"`` commits everything — for ingesting a NEW corpus
+    (e.g. the next day's crawl) into an existing table, where the new
+    docs legitimately land in committed bucket ids and bucket-level
+    pruning would silently drop them (exposed by the daily-ingest
+    integration test)."""
+    if mode not in ("resume", "append"):
+        raise ValueError(f"mode must be 'resume' or 'append', got {mode!r}")
     from .plans.icelite import IceliteTable
 
     table = IceliteTable(output_path)
@@ -286,7 +301,8 @@ def _run_job(
     salted = repartition_for_extraction(
         df, parallelism, n_buckets=n_buckets, weight=weight
     )
-    pending = table.filter_pending(salted)  # prune committed buckets
+    # prune committed buckets (resume) or take everything (append)
+    pending = table.filter_pending(salted) if mode == "resume" else salted
     observed, obs = observed_extraction(extract_stage(pending))
     snapshot = table.commit_append(
         observed,

@@ -305,3 +305,51 @@ def test_incremental_read(spark, tmp_path):
     t.compact(spark)
     with pytest.raises(KeyError):
         t.read_incremental(spark, s0["snapshot_id"])
+
+
+def test_daily_ingest_pipeline_integration(spark, tmp_path):
+    """The daily-crawl composition: day-1 WARC extract job; day-2 job
+    appends a new snapshot; read_incremental picks exactly day-2's
+    rows; dedup_against drops the pages day 2 re-crawled verbatim."""
+    from mini_html_parser_spark.operators.dedup import dedup_against
+    from mini_html_parser_spark.pipeline import run_warc_extraction_job
+    from mini_html_parser_spark.sources.warc import warc_bytes
+
+    day1_pages = [
+        (f"http://d1/{i}", f"<html><body><p>stable page {i}</p></body></html>")
+        for i in range(6)
+    ]
+    # day 2: three unchanged re-crawls (same content, new URLs) and
+    # two genuinely new pages
+    day2_pages = [
+        (f"http://d2/re{i}", f"<html><body><p>stable page {i}</p></body></html>")
+        for i in range(3)
+    ] + [
+        (f"http://d2/new{i}", f"<html><body><p>fresh content {i}</p></body></html>")
+        for i in range(2)
+    ]
+    out = str(tmp_path / "corpus")
+    d1 = tmp_path / "w1"; d1.mkdir()
+    (d1 / "a.warc").write_bytes(warc_bytes(day1_pages))
+    r1 = run_warc_extraction_job(spark, str(d1), out, parallelism=2)
+    snap1 = r1["snapshot"]["snapshot_id"]
+
+    d2 = tmp_path / "w2"; d2.mkdir()
+    (d2 / "b.warc").write_bytes(warc_bytes(day2_pages))
+    # mode="append": day 2 is a NEW corpus into the same table — its
+    # docs legitimately land in day-1's committed bucket ids, so the
+    # default bucket-level resume pruning would silently drop them
+    # (this test CAUGHT that with the default mode)
+    r2 = run_warc_extraction_job(
+        spark, str(d2), out, parallelism=2, mode="append"
+    )
+    assert r2["snapshot"] is not None
+
+    t = IceliteTable(out)
+    new_rows = t.read_incremental(spark, snap1).select("doc_id", "text")
+    assert new_rows.count() == 5  # exactly day 2
+    corpus = t.read(spark, as_of_snapshot=snap1).select("doc_id", "text")
+    survivors = {
+        r["doc_id"] for r in dedup_against(new_rows, corpus).collect()
+    }
+    assert survivors == {"http://d2/new0", "http://d2/new1"}
