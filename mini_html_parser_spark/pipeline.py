@@ -289,7 +289,14 @@ def _run_job(
     (e.g. the next day's crawl) into an existing table, where the new
     docs legitimately land in committed bucket ids and bucket-level
     pruning would silently drop them (exposed by the daily-ingest
-    integration test)."""
+    integration test).
+
+    Append idempotence contract: the manifest IS the commit point, so
+    a FAILED append leaves nothing behind and re-running is clean;
+    re-running a SUCCEEDED append appends the batch a second time —
+    crash-safety is per-run, and cross-run idempotence for appends
+    belongs to the caller (check the returned snapshot, or
+    ``dedup_against`` the increment downstream)."""
     if mode not in ("resume", "append"):
         raise ValueError(f"mode must be 'resume' or 'append', got {mode!r}")
     from .plans.icelite import IceliteTable
