@@ -55,6 +55,9 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
     if args.streaming and args.input_format != "html":
         p.error("--streaming currently supports --input-format html only")
+    if args.streaming and args.mode != "resume":
+        p.error("--mode applies to batch jobs only (the streaming sink's "
+                "checkpoint provides its own exactly-once semantics)")
 
     from pyspark.sql import SparkSession
 

@@ -250,9 +250,6 @@ def _encoder_for(merges) -> Gpt2Encoder:
     return enc
 
 
-def _bpe_merge(symbols: tuple[str, ...], merges: tuple) -> tuple[str, ...]:
-    """Back-compat functional form (tests); cached via the registry."""
-    return _encoder_for(merges)._merge(symbols)
 
 
 def gpt2_encode(text: str, merges=None) -> list[str]:

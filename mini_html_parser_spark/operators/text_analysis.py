@@ -672,7 +672,9 @@ def url_features(df: DataFrame, url_col: str = "url") -> DataFrame:
         df.withColumn("domain", host)
         .withColumn("tld", tld)
         .withColumn("path_depth", depth.cast("int"))
-        .withColumn("has_query", url.contains("?"))
+        # '?' only counts BEFORE any '#': a question mark inside the
+        # fragment is not a query component (RFC 3986)
+        .withColumn("has_query", url.rlike(r"^[^#]*\?"))
     )
 
 
@@ -680,21 +682,29 @@ def filter_url_blocklist(
     df: DataFrame,
     blocked_domains: list[str],
     url_col: str = "url",
-    keep_metrics: bool = True,
+    keep_features: bool = True,
+    filter_blocked: bool = True,
 ) -> DataFrame:
     """Drop documents whose registered domain is on the blocklist
     (exact domain OR any subdomain of a blocked entry).  The list is
     inlined as codegen predicates for the usual few-thousand-entry
     lists; past ~10⁴ entries switch to a broadcast anti-join on the
-    ``domain`` column from :func:`url_features`."""
+    ``domain`` column from :func:`url_features`.
+
+    ``filter_blocked=False`` is the METRICS mode: every row comes
+    back with a real ``url_blocked`` flag (count it to report what
+    the blocklist would remove).  With filtering on, the flag would
+    be constant False, so it is dropped rather than carried as dead
+    data.  ``keep_features`` controls the domain/tld/depth/query
+    columns."""
     feats = url_features(df, url_col)
     blocked = F.lit(False)
     for d in sorted(set(blocked_domains)):
         d = d.lower()
         blocked = blocked | (F.col("domain") == d) | F.col("domain").endswith("." + d)
     out = feats.withColumn("url_blocked", blocked)
-    if keep_metrics:
-        return out.filter(~F.col("url_blocked"))
-    return out.filter(~blocked).drop(
-        "domain", "tld", "path_depth", "has_query", "url_blocked"
-    )
+    if filter_blocked:
+        out = out.filter(~F.col("url_blocked")).drop("url_blocked")
+    if not keep_features:
+        out = out.drop("domain", "tld", "path_depth", "has_query")
+    return out

@@ -101,7 +101,7 @@ class IceliteTable:
         self,
         spark,
         buckets: set[int] | None = None,
-        as_of_snapshot: str | int | None = None,
+        as_of_snapshot: str | None = None,
     ) -> DataFrame:
         """All committed rows as ONE scan.
 

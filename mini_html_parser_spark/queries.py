@@ -1106,27 +1106,36 @@ FROM m
 def q_dataset_card(spark, sf_dir):
     """Dataset-card statistics per source (the reporting table a
     curation pipeline publishes): docs, languages, token totals/means,
-    exact-duplicate counts and rate — one Catalyst plan, dup counting
-    via groupBy+join (never a window over the content hash, which
-    would shuffle every copy of a hot text to one reducer)."""
+    exact-duplicate counts and rate.  ONE corpus scan: the first
+    groupBy reduces to (source, lang, content-hash) partials, and
+    every further step (global copy counts, the per-source rollup)
+    operates on those small aggregated frames — a base-vs-dup_counts
+    self-join would re-scan the table and recompute the full-text md5
+    per branch (the CLAUDE.md computed-key self-join trap); a window
+    over the hash would shuffle every copy of a hot text to one
+    reducer."""
     from .operators import bpe
 
     docs = _docs(spark, sf_dir)
     base = docs.select(
-        "source", "lang", "doc_id",
+        "source", "lang",
         F.md5("text").alias("h"),
         F.size(F.split(F.trim("text"), bpe.WS_RE)).alias("ntok"),
     )
-    dup_counts = base.groupBy("h").agg(F.count("*").alias("copies"))
-    joined = base.join(dup_counts, "h")
+    partial = base.groupBy("source", "lang", "h").agg(
+        F.count("*").alias("n"), F.sum("ntok").alias("toks")
+    )
+    copies = partial.groupBy("h").agg(F.sum("n").alias("copies"))
+    joined = partial.join(copies, "h")
     return (
         joined.groupBy("source")
         .agg(
-            F.count("*").alias("n_docs"),
+            F.sum("n").cast("bigint").alias("n_docs"),
             F.countDistinct("lang").alias("n_langs"),
-            F.sum("ntok").cast("bigint").alias("total_tokens"),
-            F.round(F.avg("ntok"), 4).cast("double").alias("avg_doc_tokens"),
-            F.sum((F.col("copies") > 1).cast("int")).cast("bigint").alias("n_dup_docs"),
+            F.sum("toks").cast("bigint").alias("total_tokens"),
+            F.round(F.sum("toks") / F.sum("n"), 4).cast("double").alias("avg_doc_tokens"),
+            F.sum(F.when(F.col("copies") > 1, F.col("n")).otherwise(0))
+            .cast("bigint").alias("n_dup_docs"),
         )
         .withColumn(
             "dup_rate",

@@ -42,31 +42,43 @@ from pyspark.sql import DataFrame, SparkSession
 _CRLF = b"\r\n"
 
 
+_GZ_CHUNK = 1 << 20
+
+
 def _decompress_if_gzip(data: bytes) -> tuple[bytes, int]:
     """Whole-file or concatenated-member gzip → ``(plain bytes,
-    bad_members)``.  A corrupt/truncated member is COUNTED and the
+    bad_members)``.  A corrupt OR truncated member is COUNTED and the
     members already decoded are kept — damage must surface through
-    the malformed count, never kill the Spark task.  The rolling
-    slice is a memoryview: per-member ``data[pos:]`` copies would be
-    quadratic over a Common Crawl segment's ~10⁵ members."""
+    the malformed count, never kill the Spark task.  Truncation does
+    NOT raise from zlib (it just stops short), so member completeness
+    is checked via ``d.eof``.  Each member is fed bounded chunks of a
+    memoryview: a whole-tail feed leaves ``unused_data`` as a copy of
+    the entire remainder per member — quadratic over a Common Crawl
+    segment's ~10⁵ members — whereas chunked feeding bounds every
+    copy at the chunk size (linear)."""
     if not data.startswith(b"\x1f\x8b"):
         return data, 0
     out = []
     bad = 0
     view = memoryview(data)
+    n = len(data)
     pos = 0
-    while pos < len(data) and data.startswith(b"\x1f\x8b", pos):
+    while pos < n and data.startswith(b"\x1f\x8b", pos):
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        mpos = pos
         try:
-            out.append(d.decompress(view[pos:]))
+            while not d.eof and mpos < n:
+                chunk = view[mpos : mpos + _GZ_CHUNK]
+                out.append(d.decompress(chunk))
+                mpos += len(chunk)
         except zlib.error:
             bad += 1
-            break
-        consumed = len(data) - pos - len(d.unused_data)
-        if consumed <= 0:
-            break
-        pos += consumed
-    if 0 < pos < len(data) and not data.startswith(b"\x1f\x8b", pos):
+            return b"".join(out), bad
+        if not d.eof:
+            bad += 1  # truncated member: ran out of bytes mid-stream
+            return b"".join(out), bad
+        pos = mpos - len(d.unused_data)
+    if 0 < pos < n and not data.startswith(b"\x1f\x8b", pos):
         bad += 1  # trailing non-gzip garbage after the last member
     return b"".join(out), bad
 

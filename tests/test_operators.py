@@ -1408,6 +1408,24 @@ def test_url_features_and_blocklist(spark):
     )
     assert kept == [1, 4, 5]  # 2 (subdomain) and 3 (exact) dropped
 
+    # metrics mode: every row back, with a REAL url_blocked flag
+    flags = {
+        r["doc_id"]: r["url_blocked"]
+        for r in filter_url_blocklist(
+            df, ["bad.org"], filter_blocked=False
+        ).collect()
+    }
+    assert flags == {1: False, 2: True, 3: True, 4: False, 5: False}
+
+    # '?' inside the fragment is NOT a query component (RFC 3986)
+    frag = spark.createDataFrame(
+        [(6, "https://example.com/page#sec?x"),
+         (7, "https://example.com/p?q=1#frag")],
+        "doc_id long, url string",
+    )
+    fq = {r["doc_id"]: r["has_query"] for r in url_features(frag).collect()}
+    assert fq == {6: False, 7: True}
+
 def test_duplicated_passages_randomized_vs_bruteforce(spark):
     """Randomized corpora over a tiny alphabet (dense natural
     cross-doc overlaps) against a brute-force Python reference:

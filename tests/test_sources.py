@@ -252,3 +252,27 @@ def test_warc_corrupt_gzip_member_and_negative_length(spark):
     rows, malformed = parse_warc(neg + tail)
     assert malformed >= 1
     assert "http://n/2" in [u for u, _c, _h in rows]
+
+
+def test_warc_truncated_gzip_member_counted(spark):
+    """Truncation does NOT raise from zlib — member completeness is
+    checked via d.eof; a cut-off final member is counted and earlier
+    members are recovered.  The chunked feed path (forced tiny chunk)
+    produces identical output."""
+    import mini_html_parser_spark.sources.warc as W
+    from mini_html_parser_spark.sources.warc import parse_warc, warc_bytes
+
+    pages = [("http://t/1", "<p>one</p>"), ("http://t/2", "<p>two</p>")]
+    blob = warc_bytes(pages, per_record_gzip=True)
+    m2 = blob.index(b"\x1f\x8b", 1)
+    m3 = blob.index(b"\x1f\x8b", m2 + 1)
+    rows, malformed = parse_warc(blob[: m3 + 8])
+    assert [u for u, _c, _h in rows] == ["http://t/1"] and malformed >= 1
+    old = W._GZ_CHUNK
+    W._GZ_CHUNK = 7
+    try:
+        rows, malformed = parse_warc(blob)
+        assert [u for u, _c, _h in rows] == ["http://t/1", "http://t/2"]
+        assert malformed == 0
+    finally:
+        W._GZ_CHUNK = old
