@@ -1409,6 +1409,71 @@ FROM m
 """
 
 
+def q_pipeline_media_features(spark, sf_dir):
+    """Extraction × multimodal integration: the media spans the
+    KERNEL emits for an interleaved corpus, joined by ``media_ref`` to
+    the decoded media-feature table — the image side of a multimodal
+    pretraining prep (every span knows its document position AND its
+    pixel metadata).  Join key is the media ref string; both sides
+    are one row per doc here, and at scale this is the hash join the
+    media lakehouse serves."""
+    docs = _docs(spark, sf_dir)
+    inter = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("html").alias("kind"),
+                F.concat(F.lit("<html><body><p>"), F.col("text"), F.lit(" ")).alias("text"),
+                F.lit("").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            ),
+            F.struct(
+                F.lit("media").alias("kind"),
+                F.lit("").alias("text"),
+                F.concat(F.lit("media://blob/"), F.col("doc_id").cast("string")).alias("media_ref"),
+                F.lit(1).alias("offset"),
+            ),
+            F.struct(
+                F.lit("html").alias("kind"),
+                F.lit("</p></body></html>").alias("text"),
+                F.lit("").alias("media_ref"),
+                F.lit(2).alias("offset"),
+            ),
+        ).alias("spans"),
+    )
+    ext = extract_documents(inter, "keep_everything")
+    media_spans = (
+        explode_spans(ext)
+        .filter(F.col("kind") == "media")
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            "media_ref",
+            "char_start_idx",
+        )
+    )
+    feats = multimodal.extract_media_features(
+        multimodal.attach_media_payload(docs)
+    ).select("media_ref", "width", "height", "format")
+    return media_spans.join(feats, "media_ref").select(
+        "doc_id", "media_ref", "char_start_idx", "width", "height", "format"
+    )
+
+
+ORACLE_PIPELINE_MEDIA = """
+WITH m AS (
+  SELECT doc_id, CAST(length(text) AS INTEGER) AS t,
+         octet_length(encode(text)) AS bl
+  FROM documents
+)
+SELECT doc_id, 'media://blob/' || CAST(doc_id AS VARCHAR) AS media_ref,
+       CAST(t + 1 AS INTEGER) AS char_start_idx,
+       CAST(64 + (bl % 97) * 4 AS INTEGER) AS width,
+       CAST(64 + (bl * 7 % 89) * 4 AS INTEGER) AS height,
+       CASE bl % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format
+FROM m
+"""
+
+
 def q_pipeline_clean_corpus(spark, sf_dir):
     """The end-to-end crawl-cleaning pipeline as ONE Catalyst plan:
     exact-dedup survivors → language-ID → quality gates → repetition
@@ -2366,6 +2431,7 @@ QUERIES = {
     "media_text_pairs": q_media_text_pairs,
     "url_filter": q_url_filter,
     "dataset_card": q_dataset_card,
+    "pipeline_media_features": q_pipeline_media_features,
     "token_counts_gpt2": q_token_counts_gpt2,  # rows-only: no SQL oracle
     # events / joins (missed by the r3 driver sweep window)
     "events_window_agg": q_events_window_agg,
@@ -2472,6 +2538,7 @@ ORACLES = {
     "media_text_pairs": ORACLE_MEDIA_TEXT_PAIRS,
     "url_filter": ORACLE_URL_FILTER,
     "dataset_card": ORACLE_DATASET_CARD,
+    "pipeline_media_features": ORACLE_PIPELINE_MEDIA,
     "token_counts": ORACLE_TOKEN_COUNTS,
     "token_counts_bpe": _oracle_token_counts_bpe(),
     "fingerprint": ORACLE_FINGERPRINT,
