@@ -1538,3 +1538,44 @@ def test_quality_classifier_and_temperature_null_robustness(spark):
     assert temperature_resample(mixed, alpha=0.5).count() == 3  # nulls kept
     empty = spark.createDataFrame([], "doc_id long, lang string")
     assert temperature_rates(empty) == {}
+
+def test_media_text_pairs_randomized_vs_bruteforce(spark):
+    """Random interleaved span sequences vs a linear-scan reference
+    for nearest preceding/following text spans."""
+    import random
+
+    from mini_html_parser_spark.operators.multimodal import media_text_pairs
+
+    rng = random.Random(20260820)
+    docs = []
+    for d in range(20):
+        spans = []
+        for i in range(rng.randrange(0, 12)):
+            kind = rng.choice(["text", "html", "media", "media"])
+            spans.append({
+                "kind": kind,
+                "text": f"t{d}_{i}" if kind in ("text", "html") else "",
+                "media_ref": f"m{d}_{i}" if kind == "media" else "",
+                "offset": i,
+            })
+        docs.append((d, spans))
+    df = spark.createDataFrame(
+        docs,
+        "doc_id long, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    got = {
+        (r["doc_id"], r["media_ref"]): (r["prev_text"], r["next_text"])
+        for r in media_text_pairs(df).collect()
+    }
+    want = {}
+    for d, spans in docs:
+        for i, s in enumerate(spans):
+            if s["kind"] != "media":
+                continue
+            prev = next((p["text"] for p in reversed(spans[:i])
+                         if p["kind"] in ("text", "html")), None)
+            nxt = next((p["text"] for p in spans[i + 1:]
+                        if p["kind"] in ("text", "html")), None)
+            want[(d, s["media_ref"])] = (prev, nxt)
+    assert got == want
