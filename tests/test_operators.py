@@ -1579,3 +1579,84 @@ def test_media_text_pairs_randomized_vs_bruteforce(spark):
                         if p["kind"] in ("text", "html")), None)
             want[(d, s["media_ref"])] = (prev, nxt)
     assert got == want
+
+def test_perplexity_scores_randomized_vs_bruteforce(spark):
+    """Random tiny corpora vs a pure-Python bigram-LM reference."""
+    import math
+    import random
+    import re as _re
+    from collections import Counter
+
+    from mini_html_parser_spark.operators.text_analysis import perplexity_scores
+
+    rng = random.Random(20260821)
+    ws_split = _re.compile(r"[ \t\n\r\f\x0b]+")
+    for trial in range(3):
+        docs = [
+            (d, " ".join(rng.choice("abcd") for _ in range(rng.randrange(0, 10))))
+            for d in range(12)
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in perplexity_scores(df).collect()}
+
+        toks = {d: (ws_split.split(t.strip()) if t.strip() else [""])
+                for d, t in docs}
+        uni = Counter(w for ws in toks.values() for w in ws)
+        bi = Counter(p for ws in toks.values() for p in zip(ws, ws[1:]))
+        V = len(uni)
+        for d, ws in toks.items():
+            pairs = list(zip(ws, ws[1:]))
+            if not pairs:
+                assert got[d]["n_bigrams"] == 0 and got[d]["perplexity"] == 1.0
+                continue
+            a = sum(math.log((bi[p] + 1) / (uni[p[0]] + V)) for p in pairs) / len(pairs)
+            assert got[d]["n_bigrams"] == len(pairs), (trial, d)
+            assert abs(got[d]["avg_logprob"] - round(a, 6)) < 1e-9, (trial, d)
+            assert abs(got[d]["perplexity"] - round(math.exp(-a), 6)) < 1e-9
+
+
+def test_gopher_quality_randomized_vs_bruteforce(spark):
+    """Random text vs a pure-Python replica of every Gopher metric
+    (same explicit whitespace class, same symbol counting, same line
+    rules) — catches Spark-expression drift."""
+    import random
+    import re as _re
+
+    from mini_html_parser_spark.operators.text_analysis import (
+        GOPHER_STOPWORDS, gopher_quality,
+    )
+
+    rng = random.Random(20260822)
+    pieces = ["the", "and", "word", "#", "...", "…", "•", "- x", "* y",
+              "a", "bb4", "漢字", "12", "\n", " ", "  ", "\t"]
+    docs = []
+    for d in range(30):
+        docs.append((d, "".join(
+            rng.choice(pieces) + rng.choice([" ", ""])
+            for _ in range(rng.randrange(0, 25))
+        )))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in gopher_quality(df).collect()}
+    ws_split = _re.compile(r"[ \t\n\r\f\x0b]+")
+    for d, t in docs:
+        # Spark/DuckDB trim() strips SPACES only (not \t etc.) — the
+        # Python reference must replicate that, not str.strip()
+        toks = ws_split.split(t.strip(" "))
+        n_words = len(toks)
+        mwl = round(sum(len(x) for x in toks) / n_words, 4) if n_words else 0.0
+        n_sym = t.count("#") + t.count("...") + t.count("…")
+        swr = round(n_sym / n_words, 4) if n_words else 0.0
+        lines = t.split("\n")
+        bl = sum(1 for l in lines if l.strip(" ").startswith(("•", "- ", "* ")))
+        el = sum(1 for l in lines if l.strip(" ").endswith(("...", "…")))
+        blf = round(bl / len(lines), 4) if lines else 0.0
+        elf = round(el / len(lines), 4) if lines else 0.0
+        alpha = sum(1 for x in toks if _re.search("[a-zA-Z]", x))
+        awf = round(alpha / n_words, 4) if n_words else 0.0
+        padded = " " + t.lower() + " "
+        sh = sum(1 for w in GOPHER_STOPWORDS if f" {w} " in padded)
+        g = got[d]
+        assert (g["n_words"], g["mean_word_len"], g["symbol_word_ratio"],
+                g["bullet_line_frac"], g["ellipsis_line_frac"],
+                g["alpha_word_frac"], g["stop_hits"]) == (
+            n_words, mwl, swr, blf, elf, awf, sh), (d, repr(t))
