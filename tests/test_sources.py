@@ -276,3 +276,24 @@ def test_warc_truncated_gzip_member_counted(spark):
         assert malformed == 0
     finally:
         W._GZ_CHUNK = old
+
+
+def test_warc_job_surfaces_source_damage(spark, tmp_path):
+    """run_warc_extraction_job reports warc_malformed_records when a
+    segment carries damaged records (the adapter must not silently
+    swallow source-level corruption)."""
+    from mini_html_parser_spark.pipeline import run_warc_extraction_job
+    from mini_html_parser_spark.sources.warc import warc_bytes
+
+    good = warc_bytes(
+        [(f"http://ok/{i}", f"<html><body><p>fine {i}</p></body></html>")
+         for i in range(3)]
+    )
+    damaged = good + b"\r\n\r\ngarbage-not-a-record"
+    d = tmp_path / "crawl"
+    d.mkdir()
+    (d / "seg.warc").write_bytes(damaged)
+    out = str(tmp_path / "tbl")
+    r = run_warc_extraction_job(spark, str(d), out, parallelism=2)
+    assert r["metrics"]["docs_parsed"] == 3
+    assert r["warc_malformed_records"] >= 1
