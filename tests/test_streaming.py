@@ -144,3 +144,55 @@ def test_windowed_event_agg_drops_late_data(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert got == {"10:00": (2, 3.0), "10:45": (1, 4.0), "11:00": (1, 8.0)}
+
+
+def test_streaming_quality_filters_compose(spark, tmp_path):
+    """The codegen curation filters (gopher metrics, heuristic
+    quality, lang-id, repetition) compose onto the extraction STREAM
+    unchanged — stateless projections are streaming-safe, and the
+    flags land in the sink with exactly-once semantics."""
+    from mini_html_parser_spark.operators.text_analysis import (
+        gopher_quality, language_id, quality_score,
+    )
+    from mini_html_parser_spark.streaming.extract_stream import (
+        extract_stream, read_document_stream,
+    )
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write_input(spark, inp, 0, 12)
+
+    stream = extract_stream(read_document_stream(spark, inp))
+    flagged = language_id(
+        quality_score(gopher_quality(stream, min_words=1, min_stop_hits=0))
+    )
+    assert flagged.isStreaming
+    q = (
+        flagged.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    result = spark.read.parquet(out)
+    assert result.count() == 12
+    cols = set(result.columns)
+    assert {"gopher_ok", "quality_ok", "detected_lang", "n_words"} <= cols
+    # flags match the BATCH computation on the same rows
+    batch = language_id(
+        quality_score(
+            gopher_quality(
+                spark.read.parquet(out).select(
+                    "doc_id", "text", "spans", "n_spans", "malformed", "n_chars"
+                ),
+                min_words=1, min_stop_hits=0,
+            )
+        )
+    )
+    want = {r["doc_id"]: (r["gopher_ok"], r["quality_ok"], r["detected_lang"])
+            for r in batch.collect()}
+    got = {r["doc_id"]: (r["gopher_ok"], r["quality_ok"], r["detected_lang"])
+           for r in result.collect()}
+    assert got == want
