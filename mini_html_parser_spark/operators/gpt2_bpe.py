@@ -229,24 +229,25 @@ class Gpt2Encoder:
         return self._merge(mapped)
 
 
-# encoder registry keyed on the merges OBJECT (the stored reference
-# keeps the object alive, so the id cannot be recycled); bounded by
-# the handful of merge tables a process ever loads
-_ENCODERS: dict[int, tuple[object, Gpt2Encoder]] = {}
+# encoder registry keyed on the merges tuple VALUE: re-deserialized
+# UDF closures in reused python workers produce equal-but-not-
+# identical tuples, and value equality lets them SHARE one encoder
+# (an id()-keyed registry rebuilt the ranks dict and started a cold
+# pretoken cache per task, and strong-ref'd dead encoders).  The one
+# O(vocab) tuple hash happens per _encoder_for call — once per Arrow
+# batch in the UDF, not per pretoken.  Value-deduped entries mean the
+# dict holds one encoder per distinct table actually in use.
+_ENCODERS: dict[tuple, Gpt2Encoder] = {}
 
 
 def _encoder_for(merges) -> Gpt2Encoder:
-    if merges is None:
-        merges = ILLUSTRATIVE_MERGES
-    key = id(merges)
-    hit = _ENCODERS.get(key)
-    if hit is not None and hit[0] is merges:
-        return hit[1]
-    enc = Gpt2Encoder(merges)
-    if len(_ENCODERS) >= 64:
-        _ENCODERS.clear()  # long-lived executor workers re-deserialize
-        # UDF closures per stage; don't let stale entries accumulate
-    _ENCODERS[key] = (merges, enc)
+    key = tuple(merges) if merges is not None else tuple(ILLUSTRATIVE_MERGES)
+    enc = _ENCODERS.get(key)
+    if enc is None:
+        if len(_ENCODERS) >= 8:
+            _ENCODERS.clear()  # bound memory if many tables churn
+        enc = Gpt2Encoder(key)
+        _ENCODERS[key] = enc
     return enc
 
 

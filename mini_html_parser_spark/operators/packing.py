@@ -19,6 +19,7 @@ per-partition form is the scalable one.
 
 from __future__ import annotations
 
+from .bpe import WS_RE
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
@@ -45,7 +46,7 @@ def pack_sequences(
     tok = (
         token_count
         if token_count is not None
-        else F.size(F.split(F.trim(F.col(text_col)), r"[ \t\n\r\f\x0b]+"))
+        else F.size(F.split(F.trim(F.col(text_col)), WS_RE))
     ).cast("long")
     # explicit ROWS frame: the default frame for an ordered window is
     # RANGE, which sums ALL rows tied on order_col into every tied

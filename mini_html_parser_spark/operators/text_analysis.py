@@ -257,7 +257,7 @@ def normalize_text(df: DataFrame, text_col: str = "text") -> DataFrame:
     # C0 (minus the whitespace chars collapsed below) + DEL + C1 —
     # C1 (U+0080–U+009F) is the classic cp1252/latin-1 mojibake range
     t = F.regexp_replace(t, r"[\x00-\x08\x0e-\x1f\x7f-\x9f]", "")
-    t = F.regexp_replace(t, r"[ \t\n\r\f\x0b]+", " ")
+    t = F.regexp_replace(t, _QC_WS, " ")
     return df.withColumn("text_norm", F.trim(t))
 
 
@@ -297,7 +297,7 @@ def chunk_documents(
     )
     return (
         # explicit ws class: Java/RE2 \s diverge on \x0b (oracle parity)
-        df.withColumn("_toks", F.split(F.trim(F.col(text_col)), r"[ \t\n\r\f\x0b]+"))
+        df.withColumn("_toks", F.split(F.trim(F.col(text_col)), _QC_WS))
         .select(
             F.col(id_col),
             "_toks",
@@ -592,18 +592,21 @@ def perplexity_scores(
     toks = F.split(F.trim(F.col(text_col)), _QC_WS)
     base = df.select(F.col(id_col), toks.alias("_toks"))
 
-    # persisted: vocab_size (an eager scalar action) and the scoring
-    # join both read this table — without the persist the corpus-wide
-    # unigram aggregation would run twice.  doc_bi below is NOT
-    # persisted by choice: it is corpus-sized, and recomputing one
-    # explode is the scale-correct trade (same rationale as
-    # dedup.duplicated_passages' two scans).
+    # vocab size enters the plan LAZILY as a broadcast 1-row
+    # cross join rather than a driver .count() action: no eager job,
+    # and no .persist() the function could never unpersist (a
+    # long-lived session would leak one cached table per call).  The
+    # uni subplan appears twice (vocab agg + scoring join) with an
+    # identical shape, which Spark's ReusedExchange can serve from
+    # one execution.  doc_bi below is NOT persisted by choice: it is
+    # corpus-sized, and recomputing one explode is the scale-correct
+    # trade (same rationale as dedup.duplicated_passages' two scans).
     uni = (
         base.select(F.explode("_toks").alias("w1"))
         .groupBy("w1")
         .agg(F.count("*").alias("_cu"))
-    ).persist()
-    vocab_size = uni.count()  # one scalar driver action, like centroids
+    )
+    vocab = uni.agg(F.count("*").alias("_V"))
 
     n = F.size("_toks")
     pairs = F.arrays_zip(
@@ -618,11 +621,12 @@ def perplexity_scores(
 
     logp = F.log(
         (F.coalesce(F.col("_cb"), F.lit(0)) + 1)
-        / (F.coalesce(F.col("_cu"), F.lit(0)) + F.lit(vocab_size))
+        / (F.coalesce(F.col("_cu"), F.lit(0)) + F.col("_V"))
     )
     scored = (
         doc_bi.join(bi, ["w1", "w2"], "left")
         .join(uni, ["w1"], "left")
+        .crossJoin(F.broadcast(vocab))
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_bigrams"),

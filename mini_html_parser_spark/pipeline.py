@@ -362,27 +362,36 @@ def run_warc_extraction_job(
     as :func:`run_extraction_job`, PLUS ``warc_malformed_records`` —
     the source-level damage count (bad gzip members, truncated or
     garbage records) that would otherwise vanish in the adapter.
-    Honesty costs one extra pass over the segments (the count is a
-    separate aggregation of the parsed rows); the segment scan is the
-    job's cheap stage relative to the extraction kernel."""
+    The parsed rows are persisted across the damage-count action and
+    the extraction job (then unpersisted — the job's commit action
+    has completed by the time it returns), so the segments are
+    decompressed and parsed ONCE and both numbers describe the same
+    file listing."""
+    from pyspark import StorageLevel
+
     from .sources.warc import read_warc
 
-    warc_rows = read_warc(spark, warc_path)
-    # per-file damage count rides on every row of its file (and on a
-    # null-url marker row for files with zero parsed pages)
-    warc_malformed = (
-        warc_rows.groupBy("warc_file")
-        .agg(F.max("malformed").alias("m"))
-        .agg(F.sum("m").alias("s"))
-        .first()["s"]
-    ) or 0
-    result = run_extraction_job(
-        spark,
-        warc_documents(spark, warc_path, warc_rows=warc_rows),
-        output_path,
-        config=config,
-        parallelism=parallelism,
-        **kwargs,
+    warc_rows = read_warc(spark, warc_path).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
+    try:
+        # per-file damage count rides on every row of its file (and on
+        # a null-url marker row for files with zero parsed pages)
+        warc_malformed = (
+            warc_rows.groupBy("warc_file")
+            .agg(F.max("malformed").alias("m"))
+            .agg(F.sum("m").alias("s"))
+            .first()["s"]
+        ) or 0
+        result = run_extraction_job(
+            spark,
+            warc_documents(spark, warc_path, warc_rows=warc_rows),
+            output_path,
+            config=config,
+            parallelism=parallelism,
+            **kwargs,
+        )
+    finally:
+        warc_rows.unpersist()
     result["warc_malformed_records"] = int(warc_malformed)
     return result

@@ -66,17 +66,28 @@ def _decompress_if_gzip(data: bytes) -> tuple[bytes, int]:
     while pos < n and data.startswith(b"\x1f\x8b", pos):
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
         mpos = pos
+        ok = True
         try:
             while not d.eof and mpos < n:
                 chunk = view[mpos : mpos + _GZ_CHUNK]
                 out.append(d.decompress(chunk))
                 mpos += len(chunk)
         except zlib.error:
+            ok = False
+        if ok and not d.eof:
+            ok = False  # truncated member: ran out of bytes mid-stream
+        if not ok:
             bad += 1
-            return b"".join(out), bad
-        if not d.eof:
-            bad += 1  # truncated member: ran out of bytes mid-stream
-            return b"".join(out), bad
+            # RESYNC: one corrupt member must not drop the rest of a
+            # 10⁵-member segment — scan for the next gzip magic and
+            # continue (a false magic inside corrupt data just fails
+            # its own decompress, counts, and resyncs again; pos
+            # strictly advances, so the walk terminates)
+            nxt = data.find(b"\x1f\x8b", pos + 2)
+            if nxt == -1:
+                return b"".join(out), bad
+            pos = nxt
+            continue
         pos = mpos - len(d.unused_data)
     if 0 < pos < n and not data.startswith(b"\x1f\x8b", pos):
         bad += 1  # trailing non-gzip garbage after the last member

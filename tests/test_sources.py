@@ -297,3 +297,20 @@ def test_warc_job_surfaces_source_damage(spark, tmp_path):
     r = run_warc_extraction_job(spark, str(d), out, parallelism=2)
     assert r["metrics"]["docs_parsed"] == 3
     assert r["warc_malformed_records"] >= 1
+
+
+def test_warc_midfile_corrupt_member_resyncs(spark):
+    """One corrupt gzip member mid-segment must not drop the rest of
+    the file: the walk resyncs on the next gzip magic, counts the
+    damage, and recovers every later record."""
+    from mini_html_parser_spark.sources.warc import parse_warc, warc_bytes
+
+    pages = [(f"http://r/{i}", f"<p>rec {i}</p>") for i in range(4)]
+    blob = warc_bytes(pages, per_record_gzip=True)
+    m2 = blob.index(b"\x1f\x8b", 1)  # first response member
+    dmg = bytearray(blob)
+    dmg[m2 + 20] ^= 0xFF
+    rows, malformed = parse_warc(bytes(dmg))
+    urls = [u for u, _c, _h in rows]
+    assert malformed >= 1
+    assert {"http://r/1", "http://r/2", "http://r/3"} <= set(urls)
