@@ -28,6 +28,10 @@ def main(argv=None) -> int:
     p.add_argument("--output", required=True)
     p.add_argument("--tokenizer", default="bpe",
                    choices=["bpe", "bytes", "whitespace", "bpe_fixpoint"])
+    p.add_argument("--report", action="store_true",
+                   help="also render the reference's five per-tag barh "
+                        "panels (create_stats.py:95-168) as "
+                        "dependency-free SVG under <output>/report")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -48,6 +52,11 @@ def main(argv=None) -> int:
     write_csv_gz(per_doc, args.output + "/stats_per_webpage", header=False)
     described = tag_stats(per_doc)
     write_csv_gz(described, args.output + "/corpus_describe", header=True)
+    report_files: list = []
+    if args.report:
+        from mini_html_parser_spark.operators.report import write_stats_report
+
+        report_files = write_stats_report(described, args.output + "/report")
     n_rows = per_doc.count()
     n_tags = described.select("tag").distinct().count()
     per_doc.unpersist()
@@ -55,6 +64,7 @@ def main(argv=None) -> int:
         "per_doc_rows": n_rows,
         "tags": n_tags,
         "tokenizer": args.tokenizer,
+        "report_files": len(report_files),
         "output": args.output,
     }))
     return 0

@@ -212,9 +212,11 @@ def test_stats_job_cli_and_warc_cli(spark, tmp_path):
     assert extract_job.main(["--input", src, "--output", table,
                              "--parallelism", "2"]) == 0
     assert stats_job.main(["--input", table, "--output", stats_out,
-                           "--tokenizer", "bytes"]) == 0
+                           "--tokenizer", "bytes", "--report"]) == 0
     assert _glob.glob(stats_out + "/stats_per_webpage/*.csv.gz")
     assert _glob.glob(stats_out + "/corpus_describe/*.csv.gz")
+    assert _glob.glob(stats_out + "/report/*.svg")
+    assert _glob.glob(stats_out + "/report/index.html")
 
     # WARC input straight through the CLI
     crawl = tmp_path / "crawl"

@@ -172,3 +172,50 @@ def test_span_rows_whitespace_and_bpe_vectorized_parity(spark):
                 e = a if b is None else max(b, a)
                 want[(d, v)] = float(counter(t[a:e]))
         assert got == want, tokenizer
+
+
+def test_stats_report_svg_panels(spark, tmp_path):
+    """B25 figures: the five reference panels render as well-formed
+    SVG with bars proportional to the describe means; body is the
+    percentage denominator and excluded from the bars."""
+    import xml.etree.ElementTree as ET
+
+    from mini_html_parser_spark.operators.report import (
+        PANEL_STATS, stats_report_panels, write_stats_report,
+    )
+
+    docs = generate_documents(spark, 30)
+    extracted = extract_documents(docs, "boilerplate_strip")
+    described = tag_stats(stats_per_doc_table(extracted, tokenizer="bytes"))
+    panels = stats_report_panels(described)
+    assert set(PANEL_STATS) <= set(panels)
+    assert {"length_mean_pct_of_body", "diff_text_token_pct"} <= set(panels)
+
+    # well-formed XML; bars present; body excluded from labels
+    ns = {"s": "http://www.w3.org/2000/svg"}
+    means = {
+        (r["tag"], r["stat_col"]): r["mean"]
+        for r in described.select("tag", "stat_col", "mean").collect()
+    }
+    tags = sorted({t for t, _ in means} - {"body"})
+    for name, svg in panels.items():
+        root = ET.fromstring(svg)
+        texts = [t.text for t in root.findall(".//s:text", ns)]
+        rects = root.findall(".//s:rect", ns)
+        assert rects, name
+        for t in tags:
+            assert t in texts, (name, t)
+        assert "body" not in texts[1:]  # only ever in the title line
+
+    # bar widths proportional to values within a panel
+    root = ET.fromstring(panels["count_per_doc"])
+    rects = root.findall(".//s:rect", ns)
+    widths = [float(r.get("width")) for r in rects]
+    vals = [means[(t, "count_per_doc")] for t in
+            sorted(tags, key=lambda t: means[(t, "count_per_doc")])]
+    top = max(range(len(vals)), key=lambda i: vals[i])
+    assert widths[top] == max(widths)
+
+    files = write_stats_report(described, str(tmp_path / "report"))
+    assert any(f.endswith("index.html") for f in files)
+    assert sum(f.endswith(".svg") for f in files) == 5
