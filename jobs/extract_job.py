@@ -45,7 +45,13 @@ def main(argv=None) -> int:
                    help="fold the output table to one snapshot whenever "
                         "the active snapshot count reaches N")
     p.add_argument("--streaming", action="store_true",
-                   help="treat --input as a stream source (availableNow batch)")
+                   help="treat --input as a stream source; by default an "
+                        "availableNow catch-up batch that terminates when "
+                        "current files are processed (checkpointed — "
+                        "re-running picks up only new files)")
+    p.add_argument("--continuous", action="store_true",
+                   help="with --streaming: keep running and process files "
+                        "as they arrive instead of the availableNow batch")
     p.add_argument("--iceberg-catalog", default=None,
                    help="Iceberg catalog name to wire into the session "
                         "(needs the runtime jar via --packages; see "
@@ -80,9 +86,14 @@ def main(argv=None) -> int:
             extract_stream(read_document_stream(spark, args.input), args.config),
             output_dir=args.output + "/data/stream",
             checkpoint_dir=args.output + "/_checkpoint",
+            available_now=not args.continuous,
         )
         q.awaitTermination()
-        print(json.dumps({"mode": "streaming", "output": args.output}))
+        print(json.dumps({
+            "mode": "streaming",
+            "trigger": "continuous" if args.continuous else "availableNow",
+            "output": args.output,
+        }))
         return 0
 
     from mini_html_parser_spark.pipeline import (

@@ -316,3 +316,36 @@ def test_warc_midfile_corrupt_member_resyncs(spark):
     urls = [u for u, _c, _h in rows]
     assert malformed >= 1
     assert {"http://r/1", "http://r/2", "http://r/3"} <= set(urls)
+
+
+def test_extract_job_cli_streaming(spark, tmp_path):
+    """extract_job --streaming end-to-end: availableNow catch-up batch
+    processes current files and terminates; a re-run after new files
+    arrive picks up ONLY the delta (checkpoint resume)."""
+    import sys
+
+    sys.path.insert(0, "jobs")
+    import extract_job
+
+    from mini_html_parser_spark.datagen import generate_pandas
+    from mini_html_parser_spark.operators.extract import DOCUMENTS_SCHEMA
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+
+    def write(lo, hi):
+        pdf = generate_pandas(hi - lo, seed=42, start=lo)
+        spark.createDataFrame(pdf, schema=DOCUMENTS_SCHEMA).coalesce(
+            1
+        ).write.mode("append").parquet(inp)
+
+    write(0, 8)
+    assert extract_job.main(["--input", inp, "--output", out,
+                             "--streaming"]) == 0
+    assert spark.read.parquet(out + "/data/stream").count() == 8
+    write(8, 12)
+    assert extract_job.main(["--input", inp, "--output", out,
+                             "--streaming"]) == 0
+    result = spark.read.parquet(out + "/data/stream")
+    assert result.count() == 12
+    assert result.select("doc_id").distinct().count() == 12
