@@ -64,6 +64,8 @@ def main(argv=None) -> int:
     if args.streaming and args.mode != "resume":
         p.error("--mode applies to batch jobs only (the streaming sink's "
                 "checkpoint provides its own exactly-once semantics)")
+    if args.continuous and not args.streaming:
+        p.error("--continuous requires --streaming")
 
     from pyspark.sql import SparkSession
 

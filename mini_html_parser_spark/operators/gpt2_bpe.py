@@ -241,7 +241,11 @@ _ENCODERS: dict[tuple, Gpt2Encoder] = {}
 
 
 def _encoder_for(merges) -> Gpt2Encoder:
-    key = tuple(merges) if merges is not None else tuple(ILLUSTRATIVE_MERGES)
+    if merges is None:
+        merges = ILLUSTRATIVE_MERGES
+    # deep-tuple: JSON-deserialized tables carry pairs as LISTS, which
+    # are unhashable — normalize instead of raising
+    key = tuple(tuple(p) for p in merges)
     enc = _ENCODERS.get(key)
     if enc is None:
         if len(_ENCODERS) >= 8:

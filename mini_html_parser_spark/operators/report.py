@@ -44,8 +44,10 @@ def svg_barh(
     min, for negative diffs) to the max."""
     colors = ["#4878cf", "#ee854a"]
     all_vals = [v for _, vs in series for v in vs]
+    # clamp BOTH ends to include 0 — an all-negative panel (possible
+    # for the diff series) would otherwise scale x(0) past the canvas
     lo = min(0.0, min(all_vals, default=0.0))
-    hi = max(all_vals, default=1.0)
+    hi = max(0.0, max(all_vals, default=1.0))
     span = (hi - lo) or 1.0
     n = len(labels)
     height = _PAD + n * (_BAR_H + _GAP) + _PAD
@@ -110,43 +112,64 @@ def stats_report_panels(described: DataFrame) -> dict[str, str]:
         stat: svg_barh([(stat, col(stat))], tags, stat)
         for stat in PANEL_STATS
     }
-    tl_body = body.get("token_length_mean") or 1.0
-    xl_body = body.get("text_length_mean") or 1.0
-    tok_pct = [v / tl_body for v in col("token_length_mean")]
-    txt_pct = [v / xl_body for v in col("text_length_mean")]
-    panels["length_mean_pct_of_body"] = svg_barh(
-        [("token_pct", tok_pct), ("text_pct", txt_pct)],
-        tags,
-        "token/text length mean as fraction of body",
-    )
-    panels["diff_text_token_pct"] = svg_barh(
-        [("diff", [a - b for a, b in zip(tok_pct, txt_pct)])],
-        tags,
-        "token_pct − text_pct",
-    )
+    # the pct panels need a real body denominator — with no body row
+    # (or a zero mean) they would mislabel RAW means as fractions, so
+    # they are SKIPPED rather than rendered wrong
+    tl_body = body.get("token_length_mean") or 0.0
+    xl_body = body.get("text_length_mean") or 0.0
+    if tl_body > 0 and xl_body > 0:
+        tok_pct = [v / tl_body for v in col("token_length_mean")]
+        txt_pct = [v / xl_body for v in col("text_length_mean")]
+        panels["length_mean_pct_of_body"] = svg_barh(
+            [("token_pct", tok_pct), ("text_pct", txt_pct)],
+            tags,
+            "token/text length mean as fraction of body",
+        )
+        panels["diff_text_token_pct"] = svg_barh(
+            [("diff", [a - b for a, b in zip(tok_pct, txt_pct)])],
+            tags,
+            "token_pct − text_pct",
+        )
     return panels
+
+
+def _write_text(spark, path: str, content: str) -> None:
+    """Write a small text file through the HADOOP filesystem API, so
+    the report lands next to the job's other outputs on ANY scheme
+    the cluster has connectors for (s3a://, hdfs://, …) — a plain
+    ``open()`` would silently write to the driver's local disk when
+    ``--output`` is a remote URI."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.create(jpath, True)  # also creates parent dirs
+    try:
+        stream.write(bytearray(content.encode("utf-8")))
+    finally:
+        stream.close()
 
 
 def write_stats_report(described: DataFrame, out_dir: str) -> list[str]:
     """Write one ``.svg`` per panel plus an ``index.html`` embedding
     them — the deliverable the reference's matplotlib layer produced,
-    dependency-free."""
+    dependency-free.  Files go through the Hadoop FS (see
+    :func:`_write_text`), so remote ``--output`` URIs work."""
     panels = stats_report_panels(described)
-    os.makedirs(out_dir, exist_ok=True)
+    spark = described.sparkSession
     written = []
     for name, svg in panels.items():
-        path = os.path.join(out_dir, f"{name}.svg")
-        with open(path, "w", encoding="utf-8") as f:
-            f.write(svg)
+        path = out_dir.rstrip("/") + f"/{name}.svg"
+        _write_text(spark, path, svg)
         written.append(path)
-    index = os.path.join(out_dir, "index.html")
-    with open(index, "w", encoding="utf-8") as f:
-        f.write(
-            "<!doctype html><title>corpus tag statistics</title>\n"
-            + "\n".join(
-                f'<img src="{os.path.basename(p)}" alt="{os.path.basename(p)}">'
-                for p in written
-            )
-        )
+    index = out_dir.rstrip("/") + "/index.html"
+    _write_text(
+        spark,
+        index,
+        "<!doctype html><title>corpus tag statistics</title>\n"
+        + "\n".join(
+            f'<img src="{os.path.basename(p)}" alt="{os.path.basename(p)}">'
+            for p in written
+        ),
+    )
     written.append(index)
     return written

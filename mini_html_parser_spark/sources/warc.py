@@ -63,9 +63,11 @@ def _decompress_if_gzip(data: bytes) -> tuple[bytes, int]:
     view = memoryview(data)
     n = len(data)
     pos = 0
+    in_failure = False  # one damage REGION counts once, not per resync try
     while pos < n and data.startswith(b"\x1f\x8b", pos):
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
         mpos = pos
+        out_mark = len(out)
         ok = True
         try:
             while not d.eof and mpos < n:
@@ -77,17 +79,23 @@ def _decompress_if_gzip(data: bytes) -> tuple[bytes, int]:
         if ok and not d.eof:
             ok = False  # truncated member: ran out of bytes mid-stream
         if not ok:
-            bad += 1
+            # DROP the failed member's partial output: bytes decoded
+            # before the corruption point can contain a plausible
+            # record header whose Content-Length would swallow the
+            # next good member's records in the length-driven walk
+            del out[out_mark:]
+            if not in_failure:
+                bad += 1  # count the damage event; false gzip magics
+                in_failure = True  # inside it must not inflate the metric
             # RESYNC: one corrupt member must not drop the rest of a
             # 10⁵-member segment — scan for the next gzip magic and
-            # continue (a false magic inside corrupt data just fails
-            # its own decompress, counts, and resyncs again; pos
-            # strictly advances, so the walk terminates)
+            # continue (pos strictly advances, so the walk terminates)
             nxt = data.find(b"\x1f\x8b", pos + 2)
             if nxt == -1:
                 return b"".join(out), bad
             pos = nxt
             continue
+        in_failure = False
         pos = mpos - len(d.unused_data)
     if 0 < pos < n and not data.startswith(b"\x1f\x8b", pos):
         bad += 1  # trailing non-gzip garbage after the last member

@@ -349,3 +349,32 @@ def test_extract_job_cli_streaming(spark, tmp_path):
     result = spark.read.parquet(out + "/data/stream")
     assert result.count() == 12
     assert result.select("doc_id").distinct().count() == 12
+
+
+def test_warc_late_member_corruption_does_not_swallow_next(spark):
+    """A byte flipped near the END of a member decodes most of that
+    member before zlib errors; the partial output must be DROPPED
+    (its truncated record header would otherwise consume the next
+    member's records) and one damage region counts ONCE regardless of
+    false gzip magics inside it."""
+    from mini_html_parser_spark.sources.warc import parse_warc, warc_bytes
+
+    pages = [(f"http://l/{i}", f"<p>late {i}</p>") for i in range(4)]
+    blob = warc_bytes(pages, per_record_gzip=True)
+    starts = []
+    p = 0
+    while True:
+        p = blob.find(b"\x1f\x8b", p + 1)
+        if p == -1:
+            break
+        starts.append(p)
+    # corrupt member 2 (first response) near its END
+    end2 = starts[2] if len(starts) > 2 else len(blob)
+    dmg = bytearray(blob)
+    dmg[end2 - 5] ^= 0xFF
+    rows, malformed = parse_warc(bytes(dmg))
+    urls = [u for u, _c, _h in rows]
+    assert malformed >= 1
+    # the damaged record is gone, every LATER record survives intact
+    assert "http://l/1" not in urls
+    assert {"http://l/2", "http://l/3"} <= set(urls), urls

@@ -219,3 +219,22 @@ def test_stats_report_svg_panels(spark, tmp_path):
     files = write_stats_report(described, str(tmp_path / "report"))
     assert any(f.endswith("index.html") for f in files)
     assert sum(f.endswith(".svg") for f in files) == 5
+
+
+def test_svg_barh_negative_panel_and_list_merges(spark):
+    """All-negative series stays inside the canvas (hi clamped to 0),
+    and the gpt2 encoder accepts JSON-style list pairs."""
+    import xml.etree.ElementTree as ET
+
+    from mini_html_parser_spark.operators.gpt2_bpe import gpt2_encode
+    from mini_html_parser_spark.operators.report import svg_barh
+
+    svg = svg_barh([("diff", [-1.0, -0.9, -0.4])], ["a", "b", "c"], "neg")
+    root = ET.fromstring(svg)
+    width = float(root.get("width"))
+    ns = {"s": "http://www.w3.org/2000/svg"}
+    for r in root.findall(".//s:rect", ns):
+        assert 0 <= float(r.get("x")) <= width
+        assert float(r.get("x")) + float(r.get("width")) <= width + 1
+    # list pairs (json.load shape) must not raise
+    assert gpt2_encode("hello", [["h", "e"], ["he", "l"]]) == ["hel", "l", "o"]
