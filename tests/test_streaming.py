@@ -47,6 +47,27 @@ def test_streaming_extraction_with_resume(spark, tmp_path):
 
 
 
+def _await_sink_rows(spark, q, path, n, timeout=120):
+    """Wait until the streaming parquet sink has COMMITTED ≥ n rows
+    (or the query terminates).  An availableNow query over
+    applyInPandasWithState + ProcessingTimeTimeout does not reliably
+    self-terminate (it keeps scheduling batches to advance the
+    timeout clock), so a bare awaitTermination(120) burns its full
+    timeout — 240 s of the suite's wall time before this helper."""
+    import time
+
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        if q.awaitTermination(3):
+            return
+        try:
+            if spark.read.parquet(path).count() >= n:
+                return
+        except Exception:
+            pass  # sink not committed yet
+    raise AssertionError(f"streaming sink never reached {n} rows")
+
+
 def test_streaming_stateful_dedup(spark, tmp_path):
     """applyInPandasWithState: first-seen wins across micro-batches."""
     import pandas as pd
@@ -76,7 +97,7 @@ def test_streaming_stateful_dedup(spark, tmp_path):
     q = (deduped.writeStream.format("parquet").option("path", out)
          .option("checkpointLocation", ckpt).outputMode("append")
          .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    _await_sink_rows(spark, q, out, 2)
     q.stop()
     got1 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert len(got1) == 2 and "b" in got1 and ("a" in got1 or "c" in got1)
@@ -88,7 +109,7 @@ def test_streaming_stateful_dedup(spark, tmp_path):
           .writeStream.format("parquet").option("path", out)
           .option("checkpointLocation", ckpt).outputMode("append")
           .trigger(availableNow=True).start())
-    q2.awaitTermination(120)
+    _await_sink_rows(spark, q2, out, 3)
     q2.stop()
     rows = spark.read.parquet(out).collect()
     ids = {r["doc_id"] for r in rows}
