@@ -56,12 +56,28 @@ def _reference_pattern(alphabet):
 
 
 def test_pretokenizer_matches_released_pattern():
-    alphabet = "abcXYZàé漢字①Ⅻ09.,!?'\"- \t\n 　"
+    # ADVICE r4: extend the alphabet with the FULL exotic
+    # str.isspace() margin -- the scanner's \\s proxy is
+    # Py_UNICODE_ISSPACE and the released ``regex`` \\s must agree at
+    # the separator/next-line/ogham/ideographic codepoints, not just
+    # common whitespace.  (\x1c-\x1f file/group/record/unit
+    # separators are isspace() in CPython; the reference pattern here
+    # is built from c.isspace() over the SAME alphabet, so the
+    # comparison is honest at every margin codepoint.)
+    exotic_ws = (
+        "\x1c\x1d\x1e\x1f\x85\xa0\u1680"
+        "\u2000\u2001\u2002\u2003\u2004\u2005\u2006\u2007\u2008\u2009\u200a"
+        "\u2028\u2029\u205f\u3000"
+    )
+    assert all(c.isspace() for c in exotic_ws)
+    alphabet = "abcXYZàé漢字①Ⅻ09.,!?'\"- \t\n 　" + exotic_ws
     cases = [
         "hello world", "it's we're I'll you've he'd can't I'm",
         "a  b", "a \n b", "tabs\t\tend", "  leading", "trailing   ",
         "multi   spaces", "num 42x 3.14", "漢字 mix ①Ⅻ", " nbsp",
         "don't-stop, \"quoted\"!", "'lone", "", " ", "   ", "a'",
+        "a\u2028b", "x\u3000\u3000y", "\u2009\u200a", "n\x85\x85 m",
+        "\u1680ogham\u1680", "mix\u205f\u2007 \t z", "\x1c\x1dsep",
     ]
     rng = random.Random(20260817)
     for _ in range(300):
@@ -85,6 +101,26 @@ def test_merge_loop_hand_computed():
     assert gpt2_encode("hello") == ["hello"]
     assert gpt2_encode("hello hello") == ["hello", "Ġ", "hello"]
     assert gpt2_count_tokens("hello hello") == 3
+
+
+def test_planted_unit_counts():
+    """Pins the hand-derived per-unit token counts that
+    ORACLE_TOKEN_COUNTS_GPT2 (queries.q_token_counts_gpt2) rests on:
+    the oracle's closed form is 1/2/5/4/5 tokens per planted unit and
+    additivity across concatenation (every unit starts with space and
+    ends with non-space, so pretokens never span a unit boundary)."""
+    units = {" the": 1, " hello": 2, " it's": 5, " 123": 4, "  zq!": 5}
+    for u, n in units.items():
+        assert gpt2_count_tokens(u) == n, (u, gpt2_encode(u))
+    # additivity in every adjacency order, including doc-initial units
+    import itertools
+
+    for perm in itertools.permutations(units, 3):
+        text = "".join(perm)
+        assert gpt2_count_tokens(text) == sum(units[u] for u in perm), perm
+    # repeats (the query's repeat(unit, doc_id % m) construction)
+    assert gpt2_count_tokens(" the" * 6 + " hello" * 4 + "  zq!") == 19
+    assert gpt2_count_tokens("") == 0  # doc_id = 0 plants empty text
 
 
 def test_merges_txt_loader(tmp_path):
