@@ -379,7 +379,7 @@ def run_warc_extraction_job(
         # a null-url marker row for files with zero parsed pages)
         warc_malformed = (
             warc_rows.groupBy("warc_file")
-            .agg(F.max("malformed").alias("m"))
+            .agg(F.max("file_malformed").alias("m"))
             .agg(F.sum("m").alias("s"))
             .first()["s"]
         ) or 0

@@ -23,7 +23,7 @@ external library):
   handles, giving a byte-exact round-trip contract.
 * :func:`read_warc` — the Spark operator: ``binaryFile`` scan →
   Arrow-batched ``mapInPandas`` record split →
-  ``(warc_file, url, content_type, html, malformed)`` rows.  One
+  ``(warc_file, url, content_type, html, file_malformed)`` rows.  One
   narrow stage; at corpus scale parallelism comes from the file count
   (crawls ship as many ~1 GB segments), the same unit real WARC
   pipelines parallelize on.
@@ -238,17 +238,20 @@ def warc_bytes(
 
 WARC_ROW_SCHEMA = (
     "warc_file string, url string, content_type string, "
-    "html string, malformed int"
+    "html string, file_malformed int"
 )
 
 
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
     """WARC segments → ``(warc_file, url, content_type, html,
-    malformed)`` rows.  ``binaryFile`` scan (one row per segment —
+    file_malformed)`` rows.  ``binaryFile`` scan (one row per segment —
     crawls ship as many ~1 GB files, the natural parallel unit) then
-    one Arrow-batched record split; ``malformed`` carries the
-    per-file bad-record count on every row of that file (0-row files
-    with damage still surface as a single null-url row)."""
+    one Arrow-batched record split.  ``file_malformed`` is PER-FILE
+    semantics made explicit at the schema level (ADVICE r4): it
+    replicates the file's bad-record count onto every row of that
+    file — aggregate it with ``groupBy(warc_file).agg(max(...))``,
+    never ``sum`` over rows.  Files with zero parsed pages but damage
+    still surface as a single null-url row carrying the count."""
 
     def split(batches):
         for pdf in batches:
@@ -262,7 +265,7 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                             "url": url,
                             "content_type": ctype,
                             "html": html,
-                            "malformed": malformed,
+                            "file_malformed": malformed,
                         }
                     )
                 if not pages and malformed:
@@ -272,13 +275,13 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                             "url": None,
                             "content_type": "",
                             "html": "",
-                            "malformed": malformed,
+                            "file_malformed": malformed,
                         }
                     )
             yield pd.DataFrame(
                 rows,
                 columns=[
-                    "warc_file", "url", "content_type", "html", "malformed",
+                    "warc_file", "url", "content_type", "html", "file_malformed",
                 ],
             )
 

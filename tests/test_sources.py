@@ -103,7 +103,7 @@ def test_warc_roundtrip_plain_gzip_and_per_record(spark, tmp_path):
     (d / "seg-1.warc.gz").write_bytes(warc_bytes(pages[2:], per_record_gzip=True))
     got = read_warc(spark, str(d)).collect()
     assert {(r["url"], r["html"]) for r in got} == set(pages)
-    assert all(r["malformed"] == 0 for r in got)
+    assert all(r["file_malformed"] == 0 for r in got)
     assert all(r["content_type"].startswith("text/html") for r in got)
 
 

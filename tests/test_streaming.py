@@ -48,24 +48,36 @@ def test_streaming_extraction_with_resume(spark, tmp_path):
 
 
 def _await_sink_rows(spark, q, path, n, timeout=120):
-    """Wait until the streaming parquet sink has COMMITTED ≥ n rows
-    (or the query terminates).  An availableNow query over
+    """Wait until the streaming parquet sink has COMMITTED exactly n
+    rows (or the query terminates).  An availableNow query over
     applyInPandasWithState + ProcessingTimeTimeout does not reliably
     self-terminate (it keeps scheduling batches to advance the
     timeout clock), so a bare awaitTermination(120) burns its full
-    timeout — 240 s of the suite's wall time before this helper."""
+    timeout — 240 s of the suite's wall time before this helper.
+
+    ADVICE r4: on reaching n rows, one short awaitTermination grace
+    poll runs and the count is re-asserted EXACTLY n — a regression
+    that emits extra (wrong) rows in a trailing micro-batch fails
+    here instead of being silently killed by the caller's q.stop()."""
     import time
+
+    def _rows():
+        try:
+            return spark.read.parquet(path).count()
+        except Exception:
+            return 0  # sink not committed yet
 
     t0 = time.time()
     while time.time() - t0 < timeout:
         if q.awaitTermination(3):
-            return
-        try:
-            if spark.read.parquet(path).count() >= n:
-                return
-        except Exception:
-            pass  # sink not committed yet
-    raise AssertionError(f"streaming sink never reached {n} rows")
+            break
+        if _rows() >= n:
+            q.awaitTermination(3)  # grace: let any wrong extra batch land
+            break
+    else:
+        raise AssertionError(f"streaming sink never reached {n} rows")
+    got = _rows()
+    assert got == n, f"sink committed {got} rows, expected exactly {n}"
 
 
 def test_streaming_stateful_dedup(spark, tmp_path):
