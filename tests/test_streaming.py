@@ -129,6 +129,92 @@ def test_streaming_stateful_dedup(spark, tmp_path):
     assert len(rows) == 3
 
 
+def test_streaming_sessionize_batch_parity(spark, tmp_path):
+    """Session windows on the stream (VERDICT r4 #4): the closed
+    sessions emitted by streaming_sessionize across a checkpointed
+    restart must EQUAL the per-session rows of the batch gap rule
+    (the same 30-min rule as oracle-green q_events_sessionize) on the
+    same events.  Sessions close two ways — a new event past the gap,
+    and the event-time timeout when the watermark passes last+gap —
+    and both paths are exercised: wave 2 closes two sessions by
+    arrival, the flush waves close the rest by timeout."""
+    from datetime import datetime
+
+    from pyspark.sql import Window, functions as F
+    from mini_html_parser_spark.streaming.extract_stream import (
+        streaming_sessionize,
+    )
+
+    spark = spark.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    inp, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+
+    def write_wave(rows):
+        spark.createDataFrame(
+            [(u, datetime(2024, 1, 1, *hm)) for u, hm in rows],
+            "user_id string, ts timestamp",
+        ).coalesce(1).write.mode("append").parquet(inp)
+
+    def run_available():
+        stream = spark.readStream.schema("user_id string, ts timestamp").parquet(inp)
+        q = (
+            streaming_sessionize(stream, gap_sec=1800, watermark="10 minutes")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # u1: three sessions ([10:00-10:20]x3, [11:30-11:40]x2, [13:00]x1)
+    # u2: three single-event sessions (gaps 55 and 45 min > 30)
+    wave1 = [("u1", (10, 0)), ("u1", (10, 10)), ("u1", (10, 20)),
+             ("u1", (11, 30)), ("u2", (10, 5)), ("u2", (11, 0))]
+    # wave 2 events all sit ABOVE wave 1's checkpointed watermark
+    # (11:30 - 10 min = 11:20) or they would be dropped as late
+    wave2 = [("u1", (11, 40)), ("u1", (13, 0)), ("u2", (11, 45)),
+             ("_flush", (14, 30))]
+    write_wave(wave1)
+    run_available()
+    write_wave(wave2)
+    run_available()  # restart from checkpoint; state survives
+    # watermark is now 14:20 > every real session's last+gap; one more
+    # micro-batch makes the event-time timeouts fire
+    write_wave([("_flush", (14, 40))])
+    run_available()
+
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.read.parquet(out).collect()
+        if r["user_id"] != "_flush"
+    }
+    # batch reference: the q_events_sessionize gap rule, per-session
+    ev = spark.createDataFrame(
+        [(u, datetime(2024, 1, 1, *hm)) for u, hm in wave1 + wave2
+         if u != "_flush"],
+        "user_id string, ts timestamp",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    marked = ev.withColumn(
+        "new_s", F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0))
+    ).withColumn(
+        "sid", F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    )
+    want = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in marked.groupBy("user_id", "sid").agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+        ).collect()
+    }
+    assert got == want and len(got) == 6
+
+
 def test_windowed_event_agg_drops_late_data(spark, tmp_path):
     """Event-time windows + watermark across a checkpointed restart:
     a row arriving 47 minutes late (vs a 10-minute watermark) must be
