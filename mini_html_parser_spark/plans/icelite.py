@@ -66,6 +66,153 @@ class IceliteTable:
             buckets.update(int(b) for b in s["bucket_rows"].keys())
         return buckets
 
+    # ---- schema evolution (VERDICT r4 #5) ----------------------------------
+    #
+    # Iceberg-style ID-BASED column mapping: every column gets a
+    # stable field id at creation; renames keep the id, adds allocate
+    # a fresh one.  Data files keep their write-time physical names,
+    # and the read path maps physical names → current names BY ID, so
+    # old snapshots remain readable after any number of renames, and
+    # columns added later surface as typed nulls in pre-evolution
+    # snapshots.  Schema versions live beside the manifests
+    # (``_icelite/schema-<k>.json``, atomic write) and each snapshot
+    # records the ``schema_id`` it was written under; compact() never
+    # removes schema files.  Divergence from Iceberg, documented:
+    # time travel presents the CURRENT schema (unified view), not the
+    # as-of snapshot's schema — Iceberg's default is the latter with a
+    # schema-id override.
+
+    def schemas(self) -> list[dict]:
+        if not os.path.isdir(self.manifest_dir):
+            return []
+        out = []
+        for name in sorted(os.listdir(self.manifest_dir)):
+            if name.startswith("schema-") and name.endswith(".json"):
+                with open(os.path.join(self.manifest_dir, name)) as f:
+                    out.append(json.load(f))
+        return out
+
+    def current_schema(self) -> dict | None:
+        ss = self.schemas()
+        return ss[-1] if ss else None
+
+    def _write_schema(self, schema: dict) -> dict:
+        os.makedirs(self.manifest_dir, exist_ok=True)
+        k = schema["schema_id"]
+        tmp = os.path.join(self.manifest_dir, f".schema-{k}.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(schema, f, indent=2)
+        os.replace(tmp, os.path.join(self.manifest_dir, f"schema-{k:06d}.json"))
+        return schema
+
+    def _schema_from_df(self, df: DataFrame, partition_col: str) -> dict:
+        fields = [
+            {"id": i + 1, "name": f.name, "type": f.dataType.simpleString()}
+            for i, f in enumerate(df.schema.fields)
+            if f.name != partition_col
+        ]
+        return {
+            "schema_id": 0,
+            "fields": fields,
+            "last_field_id": len(fields),
+        }
+
+    def evolve(
+        self,
+        add_columns: dict[str, str] | None = None,
+        rename_columns: dict[str, str] | None = None,
+    ) -> dict:
+        """Commit a new schema version: ``add_columns`` maps new name →
+        Spark type string (old snapshots read them as typed nulls);
+        ``rename_columns`` maps old name → new name (field id is
+        preserved, so existing data files need no rewrite — the read
+        path re-labels by id).  Metadata-only: no data is touched,
+        exactly like Iceberg's ``ALTER TABLE``."""
+        cur = self.current_schema()
+        if cur is None:
+            raise FileNotFoundError(
+                f"icelite table {self.path} has no schema to evolve "
+                "(commit at least one snapshot first)"
+            )
+        fields = [dict(f) for f in cur["fields"]]
+        names = {f["name"] for f in fields}
+        for old, new in (rename_columns or {}).items():
+            if old not in names:
+                raise KeyError(f"rename: no column {old!r} in current schema")
+            if new in names:
+                raise ValueError(f"rename: column {new!r} already exists")
+            for f in fields:
+                if f["name"] == old:
+                    f["name"] = new
+            names.discard(old)
+            names.add(new)
+        last_id = cur["last_field_id"]
+        for name, typ in (add_columns or {}).items():
+            if name in names:
+                raise ValueError(f"add: column {name!r} already exists")
+            last_id += 1
+            fields.append({"id": last_id, "name": name, "type": typ})
+            names.add(name)
+        return self._write_schema(
+            {
+                "schema_id": cur["schema_id"] + 1,
+                "fields": fields,
+                "last_field_id": last_id,
+            }
+        )
+
+    def _read_with_schema(
+        self, spark, snaps: list[dict], buckets: set[int] | None = None
+    ) -> DataFrame | None:
+        """One scan per DISTINCT schema version among ``snaps`` (not
+        per snapshot — plan size stays O(schema versions), which is
+        O(1) in practice since evolutions are rare), each projected to
+        the current schema by field id, then unioned by name.  Returns
+        None when the table predates schema tracking (caller falls
+        back to the raw flat read)."""
+        schemas = {s["schema_id"]: s for s in self.schemas()}
+        if not schemas:
+            return None
+        current = self.current_schema()
+        keep = {f"bucket={b}" for b in buckets} if buckets is not None else None
+        by_schema: dict[int, list[str]] = {}
+        for s in snaps:
+            sid = s.get("schema_id", current["schema_id"])
+            files = self._snapshot_files(s)
+            if keep is not None:
+                files = [
+                    f for f in files
+                    if any(part in keep for part in f.split(os.sep))
+                ]
+            if files:
+                by_schema.setdefault(sid, []).extend(files)
+        if not by_schema:
+            return None
+        parts = []
+        for sid, files in sorted(by_schema.items()):
+            write_names = {
+                f["id"]: f["name"] for f in schemas[sid]["fields"]
+            }
+            df = spark.read.parquet(*files)
+            cols = []
+            for f in current["fields"]:
+                phys = write_names.get(f["id"])
+                if phys is not None:
+                    cols.append(F.col(phys).alias(f["name"]))
+                else:
+                    # column added after this snapshot was written
+                    cols.append(F.lit(None).cast(f["type"]).alias(f["name"]))
+            cols.append(
+                F.regexp_extract(
+                    F.input_file_name(), r"bucket=(\d+)", 1
+                ).cast("int").alias("bucket")
+            )
+            parts.append(df.select(*cols))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def partitioning(self) -> dict | None:
         """The bucket-layout the table was first committed with.
 
@@ -152,6 +299,9 @@ class IceliteTable:
                 raise FileNotFoundError(
                     f"icelite table {self.path}: no data for buckets {sorted(buckets)}"
                 )
+        sdf = self._read_with_schema(spark, snaps, buckets)
+        if sdf is not None:
+            return sdf
         df = spark.read.parquet(*files)
         return df.withColumn(
             "bucket",
@@ -194,6 +344,9 @@ class IceliteTable:
             return (
                 self.read(spark).limit(0)  # empty frame, right schema
             )
+        sdf = self._read_with_schema(spark, picked)
+        if sdf is not None:
+            return sdf
         df = spark.read.parquet(*files)
         return df.withColumn(
             "bucket",
@@ -274,6 +427,10 @@ class IceliteTable:
             "partitioning": layout,
             "compacted": True,
         }
+        cur_schema = self.current_schema()
+        if cur_schema is not None:
+            # data was rewritten through read() → CURRENT names
+            manifest["schema_id"] = cur_schema["schema_id"]
         os.makedirs(self.manifest_dir, exist_ok=True)
         tmp = os.path.join(self.manifest_dir, f".snap-{snap_n}.json.tmp")
         with open(tmp, "w") as f:
@@ -316,6 +473,23 @@ class IceliteTable:
         snap_n = (parent["sequence"] + 1) if parent else 0
         data_dir = os.path.join(self.path, "data", f"snap-{snap_n}")
 
+        # schema tracking: first commit registers schema v0 from the
+        # frame; later commits must match the CURRENT schema exactly
+        # (a new column requires an explicit evolve() first — silent
+        # schema drift across appends is how a long-lived table rots)
+        schema = self.current_schema()
+        if schema is None:
+            schema = self._write_schema(self._schema_from_df(df, partition_col))
+        else:
+            want = {f["name"] for f in schema["fields"]}
+            got = {c for c in df.columns if c != partition_col}
+            if got != want:
+                raise ValueError(
+                    f"icelite table {self.path}: append schema {sorted(got)} "
+                    f"!= current table schema {sorted(want)}; call "
+                    "evolve(add_columns=..., rename_columns=...) first"
+                )
+
         out = df.repartition(partition_col) if compact else df
         out.write.partitionBy(partition_col).mode("overwrite").parquet(data_dir)
 
@@ -355,6 +529,7 @@ class IceliteTable:
             "total_rows": int(sum(bucket_rows.values())),
             "metrics": metrics or {},
             "partitioning": partitioning or (parent or {}).get("partitioning"),
+            "schema_id": schema["schema_id"],
         }
         os.makedirs(self.manifest_dir, exist_ok=True)
         tmp = os.path.join(self.manifest_dir, f".snap-{snap_n}.json.tmp")

@@ -155,7 +155,10 @@ def test_compact_crash_window_no_duplicates(spark, tmp_path):
         if not os.path.exists(dst):
             shutil.copy(os.path.join(saved, name), dst)
     # both old manifests AND the compacted one are now on disk
-    assert len(os.listdir(t.manifest_dir)) == 3
+    # (plus the schema file, which compaction must never remove)
+    snap_files = [n for n in os.listdir(t.manifest_dir) if n.startswith("snap-")]
+    assert len(snap_files) == 3
+    assert "schema-000000.json" in os.listdir(t.manifest_dir)
     assert len(t.snapshots()) == 1  # only the compacted one is active
     assert t.read(spark).count() == 100
     assert t.read(spark).select("doc_id").distinct().count() == 100
@@ -353,3 +356,80 @@ def test_daily_ingest_pipeline_integration(spark, tmp_path):
         r["doc_id"] for r in dedup_against(new_rows, corpus).collect()
     }
     assert survivors == {"http://d2/new0", "http://d2/new1"}
+
+
+def test_schema_evolution_add_and_rename(spark, tmp_path):
+    """Iceberg-style id-based evolution (VERDICT r4 #5): v1 rows are
+    committed, the schema gains a column and renames another, v2 rows
+    append under the new schema — and every read surface (full read,
+    time travel, incremental scan, bucket-pruned read) presents the
+    UNIFIED current schema: renamed columns resolve by field id in old
+    files, the added column reads as typed nulls there."""
+    t = IceliteTable(str(tmp_path / "evo"))
+    snap1 = t.commit_append(_df(spark, 0, 40))
+    assert t.current_schema()["schema_id"] == 0
+    assert snap1["schema_id"] == 0
+
+    # metadata-only evolution: rename text -> body, add lang
+    s2 = t.evolve(add_columns={"lang": "string"},
+                  rename_columns={"text": "body"})
+    assert s2["schema_id"] == 1
+    # field id preserved across the rename; the add got a fresh id
+    ids = {f["name"]: f["id"] for f in s2["fields"]}
+    ids_v0 = {f["name"]: f["id"] for f in t.schemas()[0]["fields"]}
+    assert ids["body"] == ids_v0["text"] and ids["lang"] == max(ids.values())
+
+    # old-schema append now refuses (drift needs an explicit evolve)
+    import pytest
+    with pytest.raises(ValueError, match="evolve"):
+        t.commit_append(_df(spark, 40, 50))
+
+    v2 = (
+        _df(spark, 40, 80)
+        .withColumnRenamed("text", "body")
+        .withColumn("lang", F.concat(F.lit("l"), F.pmod("doc_id", F.lit(3))))
+    )
+    snap2 = t.commit_append(v2)
+    assert snap2["schema_id"] == 1
+
+    # unified full read: 80 rows, current names, nulls only for v1
+    full = t.read(spark)
+    assert set(full.columns) == {"doc_id", "body", "lang", "bucket"}
+    assert full.count() == 80
+    assert full.filter(F.col("lang").isNull()).count() == 40
+    assert full.filter((F.col("doc_id") == 7) & (F.col("body") == "text-7")).count() == 1
+    assert full.filter((F.col("doc_id") == 47) & (F.col("lang") == "l2")).count() == 1
+
+    # time travel to the v1 snapshot still presents the unified schema
+    old = t.read(spark, as_of_snapshot=snap1["snapshot_id"])
+    assert set(old.columns) == {"doc_id", "body", "lang", "bucket"}
+    assert old.count() == 40 and old.filter(F.col("lang").isNotNull()).count() == 0
+
+    # incremental scan across the evolution boundary
+    inc = t.read_incremental(spark, after_snapshot=snap1["snapshot_id"])
+    assert set(inc.columns) == {"doc_id", "body", "lang", "bucket"}
+    assert inc.count() == 40 and inc.filter(F.col("lang").isNull()).count() == 0
+
+    # bucket-pruned read through the schema path
+    pruned = t.read(spark, buckets={1})
+    assert pruned.count() == 20 and set(pruned.columns) == {"doc_id", "body", "lang", "bucket"}
+
+
+def test_schema_evolution_survives_compaction(spark, tmp_path):
+    """compact() folds mixed-schema snapshots into one CURRENT-schema
+    snapshot; schema files survive, lineage and reads stay exact."""
+    t = IceliteTable(str(tmp_path / "evoc"))
+    t.commit_append(_df(spark, 0, 30))
+    t.evolve(add_columns={"score": "double"})
+    v2 = _df(spark, 30, 60).withColumn("score", F.col("doc_id") * 0.5)
+    t.commit_append(v2)
+    assert t.compact(spark) is not None
+    assert len(t.snapshots()) == 1
+    assert t.current_schema()["schema_id"] == 1
+    full = t.read(spark)
+    assert full.count() == 60
+    assert full.filter(F.col("score").isNull()).count() == 30
+    assert full.filter(F.col("score") == 20.0).count() == 1  # doc 40
+    # further appends keep working under the current schema
+    t.commit_append(_df(spark, 60, 70).withColumn("score", F.lit(1.0)))
+    assert t.read(spark).count() == 70
