@@ -62,6 +62,7 @@ NOISE_EXTRA_REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_NOISE_EXTRA", "3"))
 # decision — threshold, seconds waited, the loadavg the timed region
 # actually started at, and whether the gate was satisfied — into the
 # headline JSON line itself, so the artifact is self-adjudicating.
+WARC_RAW_MB = int(os.environ.get("SPARK_GRAFT_BENCH_WARC_MB", "256"))
 IDLE_THRESHOLD = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_THRESHOLD", "2.0"))
 IDLE_TIMEOUT_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_TIMEOUT", "600"))
 IDLE_POLL_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_POLL", "10"))
@@ -269,8 +270,9 @@ def main() -> None:
     extended: dict[str, float] = {}
 
     def timed_ext(name, build_and_run):
-        _result, best = _sample_until_stable(name, build_and_run)
+        result, best = _sample_until_stable(name, build_and_run)
         extended[name] = round(best, 3)
+        return result
 
     timed_ext("dedup_clusters", lambda: q_dedup_clusters(spark, SF_DIR).count())
     timed_ext("events_asof_join", lambda: q_events_asof_join(spark, SF_DIR).count())
@@ -287,6 +289,44 @@ def main() -> None:
     # round-4 operators
     timed_ext("dedup_substring", lambda: q_dedup_substring(spark, SF_DIR).count())
     timed_ext("perplexity_scores", lambda: q_perplexity_scores(spark, SF_DIR).count())
+
+    # round-5: WARC ingestion throughput (VERDICT r4 #8) — a cached
+    # multi-hundred-MB synthetic crawl archive, read+parse+extract
+    # end-to-end, so ingestion is tracked round-over-round like
+    # extraction.  Generation is untimed and cached across runs.
+    if WARC_RAW_MB > 0:
+        import tempfile
+
+        from mini_html_parser_spark.datagen import generate_warc_segments
+        from mini_html_parser_spark.pipeline import warc_documents
+        from mini_html_parser_spark.sources.warc import read_warc
+
+        n_seg = max(CPUS, 16)
+        warc_dir = os.path.join(
+            tempfile.gettempdir(), f"spark_graft_bench_warc_{WARC_RAW_MB}mb"
+        )
+        wm = generate_warc_segments(
+            warc_dir, n_segments=n_seg,
+            raw_mb_per_segment=max(WARC_RAW_MB // n_seg, 1),
+        )
+
+        def run_warc():
+            rows = read_warc(spark, warc_dir, repartition_files=n_seg)
+            docs = warc_documents(spark, warc_dir, warc_rows=rows)
+            ext = extract_documents(docs, "boilerplate_strip")
+            return ext.select(
+                F.count(F.lit(1)).alias("docs"),
+                F.sum("n_chars").alias("chars"),
+            ).collect()[0]
+
+        wrow = timed_ext("warc_ingest_extract", run_warc)
+        wt = extended["warc_ingest_extract"]
+        extras["warc_pages"] = int(wrow["docs"])
+        extras["warc_raw_html_mb"] = round(wm["raw_html_bytes"] / 1e6, 1)
+        extras["warc_archive_disk_mb"] = round(wm["disk_bytes"] / 1e6, 1)
+        extras["warc_raw_mb_per_sec"] = round(wm["raw_html_bytes"] / 1e6 / wt, 2)
+        extras["warc_pages_per_sec"] = round(wrow["docs"] / wt, 2)
+
     extras["extended_queries"] = extended
 
     load_end = os.getloadavg()

@@ -157,3 +157,83 @@ def generate_documents(spark, n_docs: int, seed: int = SEED, partitions: int | N
 
     rng = spark.range(0, n_docs, numPartitions=partitions)
     return rng.mapInPandas(gen, schema=DOCUMENTS_SCHEMA)
+
+def generate_warc_segments(
+    out_dir: str,
+    n_segments: int = 32,
+    raw_mb_per_segment: int = 8,
+    seed: int = SEED,
+) -> dict:
+    """Deterministic synthetic crawl archive for the WARC ingestion
+    bench (VERDICT r4 #8): ``n_segments`` standalone WARC files built
+    from the same HTML fragment families as the document corpus, each
+    holding ~``raw_mb_per_segment`` MB of raw page HTML.  Every 4th
+    segment is whole-file gzip (the CommonCrawl layout), the rest are
+    plain — both read paths of sources.warc get exercised.  Pure
+    function of (seed, segment), so repeated bench runs reuse the
+    cached archive; a ``_manifest.json`` records totals and params
+    and doubles as the cache validity marker."""
+    import json
+    import os
+
+    from .sources.warc import warc_bytes
+
+    manifest_path = os.path.join(out_dir, "_manifest.json")
+    params = {
+        "n_segments": n_segments,
+        "raw_mb_per_segment": raw_mb_per_segment,
+        "seed": seed,
+    }
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            m = json.load(f)
+        if m.get("params") == params:
+            return m
+    os.makedirs(out_dir, exist_ok=True)
+    for name in os.listdir(out_dir):  # stale cache: rebuild clean
+        if name.startswith("segment-"):
+            os.remove(os.path.join(out_dir, name))
+    total_pages = 0
+    total_raw = 0
+    disk_bytes = 0
+    target = raw_mb_per_segment * 1024 * 1024
+    for s in range(n_segments):
+        rng = random.Random((seed << 16) ^ s)
+        pages = []
+        size = 0
+        while size < target:
+            page_target = rng.randint(8_000, 64_000)
+            parts = ["<html><head><title>crawl page</title></head><body>"]
+            psize = 0
+            k = 0
+            while psize < page_target:
+                frag = _FAMILIES[rng.randrange(len(_FAMILIES))].format(
+                    i=f"{s}_{total_pages}_{k}"
+                )
+                parts.append(frag)
+                psize += len(frag)
+                k += 1
+            parts.append("</body></html>")
+            html = "".join(parts)
+            pages.append(
+                (f"http://crawl.example/seg{s}/page{total_pages}", html)
+            )
+            size += len(html)
+            total_pages += 1
+        total_raw += size
+        gz = s % 4 == 0
+        blob = warc_bytes(pages, compress=gz)
+        ext = "warc.gz" if gz else "warc"
+        path = os.path.join(out_dir, f"segment-{s:04d}.{ext}")
+        with open(path, "wb") as f:
+            f.write(blob)
+        disk_bytes += len(blob)
+    m = {
+        "params": params,
+        "n_pages": total_pages,
+        "raw_html_bytes": total_raw,
+        "disk_bytes": disk_bytes,
+    }
+    with open(manifest_path, "w") as f:
+        json.dump(m, f)
+    return m

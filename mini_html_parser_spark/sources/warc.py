@@ -242,7 +242,9 @@ WARC_ROW_SCHEMA = (
 )
 
 
-def read_warc(spark: SparkSession, path: str) -> DataFrame:
+def read_warc(
+    spark: SparkSession, path: str, repartition_files: int | None = None
+) -> DataFrame:
     """WARC segments → ``(warc_file, url, content_type, html,
     file_malformed)`` rows.  ``binaryFile`` scan (one row per segment —
     crawls ship as many ~1 GB files, the natural parallel unit) then
@@ -285,5 +287,13 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                 ],
             )
 
-    files = spark.read.format("binaryFile").load(path)
-    return files.select("path", "content").mapInPandas(split, WARC_ROW_SCHEMA)
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+    if repartition_files:
+        # many-SMALL-segments layouts only: the binaryFile index packs
+        # files up to maxPartitionBytes per split, so a dir of 8 MB
+        # segments parses on ~2 cores.  One round-robin shuffle of the
+        # raw bytes rebalances the CPU-heavy parse (cheap relative to
+        # parse+extract).  Production crawls ship ~1 GB segments,
+        # where one file = one split already — leave this unset there.
+        files = files.repartition(repartition_files)
+    return files.mapInPandas(split, WARC_ROW_SCHEMA)
