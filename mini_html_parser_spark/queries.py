@@ -2029,8 +2029,14 @@ def q_extract_pdf(spark, sf_dir):
     the oracle checks the byte-exact text round-trip and the page
     count in closed form."""
     from .operators import pdf as pdfmod
+    from .operators.dedup import _spread
 
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    # CPU-heavy chained Python stages (synthesize + parse) run in the
+    # scan's stage: the small sf parquet scans as 1 partition and both
+    # stages would serialize on ONE core (measured 5.1 s -> 0.9 s at
+    # sf0.1; the CLAUDE.md _spread invariant).  At crawl scale the
+    # scan has thousands of splits and this is a no-op.
+    docs = _spread(_docs(spark, sf_dir).select("doc_id", "text"))
 
     def gen(batches):
         import pandas as pd
@@ -2074,8 +2080,14 @@ def q_extract_pdf_interleaved(spark, sf_dir):
     (kind, text, media_ref, offset) contract — the PDF-side analogue
     of extract_interleaved_media."""
     from .operators import pdf as pdfmod
+    from .operators.dedup import _spread
 
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    # CPU-heavy chained Python stages (synthesize + parse) run in the
+    # scan's stage: the small sf parquet scans as 1 partition and both
+    # stages would serialize on ONE core (measured 5.1 s -> 0.9 s at
+    # sf0.1; the CLAUDE.md _spread invariant).  At crawl scale the
+    # scan has thousands of splits and this is a no-op.
+    docs = _spread(_docs(spark, sf_dir).select("doc_id", "text"))
 
     def gen(batches):
         import pandas as pd
