@@ -190,6 +190,11 @@ def generate_warc_segments(
         if m.get("params") == params:
             return m
     os.makedirs(out_dir, exist_ok=True)
+    # invalidate BEFORE touching segment files: a crash mid-rebuild
+    # must not leave a manifest that later cache-hits against a
+    # partial segment set it does not describe
+    if os.path.exists(manifest_path):
+        os.remove(manifest_path)
     for name in os.listdir(out_dir):  # stale cache: rebuild clean
         if name.startswith("segment-"):
             os.remove(os.path.join(out_dir, name))

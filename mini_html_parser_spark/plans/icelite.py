@@ -170,14 +170,21 @@ class IceliteTable:
         the current schema by field id, then unioned by name.  Returns
         None when the table predates schema tracking (caller falls
         back to the raw flat read)."""
-        schemas = {s["schema_id"]: s for s in self.schemas()}
+        all_schemas = self.schemas()
+        schemas = {s["schema_id"]: s for s in all_schemas}
         if not schemas:
             return None
         current = self.current_schema()
+        # snapshots that PREDATE schema tracking were written with the
+        # physical names of the OLDEST registered schema (v0 is always
+        # derived from the same job's frame that also wrote them) —
+        # defaulting to the CURRENT id would project post-evolution
+        # names onto pre-evolution files and fail the read
+        legacy_sid = all_schemas[0]["schema_id"]
         keep = {f"bucket={b}" for b in buckets} if buckets is not None else None
         by_schema: dict[int, list[str]] = {}
         for s in snaps:
-            sid = s.get("schema_id", current["schema_id"])
+            sid = s.get("schema_id", legacy_sid)
             files = self._snapshot_files(s)
             if keep is not None:
                 files = [
@@ -473,21 +480,40 @@ class IceliteTable:
         snap_n = (parent["sequence"] + 1) if parent else 0
         data_dir = os.path.join(self.path, "data", f"snap-{snap_n}")
 
-        # schema tracking: first commit registers schema v0 from the
-        # frame; later commits must match the CURRENT schema exactly
-        # (a new column requires an explicit evolve() first — silent
-        # schema drift across appends is how a long-lived table rots)
+        # schema tracking: first non-empty commit registers schema v0
+        # from the frame; later commits must match the CURRENT schema
+        # exactly — names AND types (a new column requires an explicit
+        # evolve() first; a type change has no evolution path, so the
+        # append is refused at the write instead of corrupting reads
+        # far from the cause — silent schema drift across appends is
+        # how a long-lived table rots)
         schema = self.current_schema()
-        if schema is None:
-            schema = self._write_schema(self._schema_from_df(df, partition_col))
-        else:
-            want = {f["name"] for f in schema["fields"]}
-            got = {c for c in df.columns if c != partition_col}
-            if got != want:
+        if schema is not None:
+            want = {f["name"]: f["type"] for f in schema["fields"]}
+            got = {
+                f.name: f.dataType.simpleString()
+                for f in df.schema.fields
+                if f.name != partition_col
+            }
+            if set(got) != set(want):
                 raise ValueError(
-                    f"icelite table {self.path}: append schema {sorted(got)} "
-                    f"!= current table schema {sorted(want)}; call "
-                    "evolve(add_columns=..., rename_columns=...) first"
+                    f"icelite table {self.path}: append columns "
+                    f"{sorted(got)} != current table schema "
+                    f"{sorted(want)}; call evolve(add_columns=..., "
+                    "rename_columns=...) first"
+                )
+            drift = {
+                n: (got[n], want[n]) for n in got if got[n] != want[n]
+            }
+            if drift:
+                raise ValueError(
+                    f"icelite table {self.path}: append column types "
+                    f"differ from the table schema: "
+                    + ", ".join(
+                        f"{n} is {g} but table has {w}"
+                        for n, (g, w) in sorted(drift.items())
+                    )
+                    + "; cast the columns before appending"
                 )
 
         out = df.repartition(partition_col) if compact else df
@@ -513,6 +539,12 @@ class IceliteTable:
         bucket_rows = {str(r[partition_col]): r["count"] for r in rows}
         if not bucket_rows:
             return None
+
+        if schema is None:
+            # register v0 only now that the commit is known non-empty:
+            # an empty first append (day-1 corpus filtered to nothing)
+            # must not pin the table schema from a throwaway frame
+            schema = self._write_schema(self._schema_from_df(df, partition_col))
 
         if metrics_provider is not None:
             # e.g. an Observation: resolvable only after the write

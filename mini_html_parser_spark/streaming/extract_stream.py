@@ -163,9 +163,17 @@ def streaming_sessionize(
             if n and t - last > gap_sec:
                 out.append(emit(start, last, n))
                 start, n = t, 0
-            # max(): an out-of-order event within the watermark
-            # allowance extends the open session but must not move its
-            # end (or the timeout horizon) backwards
+            # an out-of-order event within the watermark allowance
+            # extends the open session on BOTH ends: min() pulls the
+            # start back exactly as the batch gap rule (which sorts
+            # globally) would, max() keeps the end (and the timeout
+            # horizon) from moving backwards.  With watermark delay
+            # <= gap a late event can never be gap-distant BEFORE the
+            # open start (it would have been dropped first), so this
+            # merge is exactly the batch behavior — the parity
+            # contract assumes that configuration.
+            if n:
+                start = min(start, t)
             last = max(last, t)
             n += 1
         state.update((int(start), int(last), int(n)))

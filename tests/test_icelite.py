@@ -433,3 +433,61 @@ def test_schema_evolution_survives_compaction(spark, tmp_path):
     # further appends keep working under the current schema
     t.commit_append(_df(spark, 60, 70).withColumn("score", F.lit(1.0)))
     assert t.read(spark).count() == 70
+
+
+def test_schema_evolution_legacy_snapshots_use_oldest_schema(spark, tmp_path):
+    """Review r5: snapshots written BEFORE schema tracking must be
+    projected with the OLDEST registered schema's physical names after
+    an evolve(), not the current ones (their files carry v0 names)."""
+    t = IceliteTable(str(tmp_path / "legacy"))
+    snap0 = t.commit_append(_df(spark, 0, 20))
+    # simulate a pre-round-5 manifest: strip schema_id from snap-0
+    import json as _json
+
+    mpath = os.path.join(t.manifest_dir, "snap-000000.json")
+    with open(mpath) as f:
+        m = _json.load(f)
+    del m["schema_id"]
+    with open(mpath, "w") as f:
+        _json.dump(m, f)
+
+    t.evolve(rename_columns={"text": "body"}, add_columns={"lang": "string"})
+    v2 = (_df(spark, 20, 40).withColumnRenamed("text", "body")
+          .withColumn("lang", F.lit("en")))
+    t.commit_append(v2)
+    full = t.read(spark)
+    assert full.count() == 40
+    assert full.filter((F.col("doc_id") == 3) & (F.col("body") == "text-3")).count() == 1
+    assert full.filter(F.col("lang").isNull()).count() == 20
+    # compact() reads through the same path and must also work
+    assert t.compact(spark) is not None
+    assert t.read(spark).count() == 40
+
+
+def test_schema_type_drift_refused(spark, tmp_path):
+    """Review r5: an append whose column TYPES differ from the
+    recorded schema is refused at the write (names alone passing let
+    mixed-type files corrupt reads far from the cause)."""
+    import pytest
+
+    t = IceliteTable(str(tmp_path / "typed"))
+    t.commit_append(_df(spark, 0, 10))
+    bad = _df(spark, 10, 20).withColumn("text", F.col("doc_id").cast("double"))
+    with pytest.raises(ValueError, match="types differ"):
+        t.commit_append(bad)
+    # cast back -> accepted
+    ok = _df(spark, 10, 20)
+    assert t.commit_append(ok) is not None
+
+
+def test_empty_first_commit_does_not_pin_schema(spark, tmp_path):
+    """Review r5: an empty first append must not register schema v0
+    from a throwaway frame — the first REAL append defines the
+    schema."""
+    t = IceliteTable(str(tmp_path / "emptyfirst"))
+    assert t.commit_append(_df(spark, 0, 0)) is None
+    assert t.current_schema() is None
+    real = _df(spark, 0, 10).withColumnRenamed("text", "body")
+    assert t.commit_append(real) is not None
+    assert {f["name"] for f in t.current_schema()["fields"]} == {"doc_id", "body"}
+    assert t.read(spark).count() == 10

@@ -173,9 +173,12 @@ def test_streaming_sessionize_batch_parity(spark, tmp_path):
     wave1 = [("u1", (10, 0)), ("u1", (10, 10)), ("u1", (10, 20)),
              ("u1", (11, 30)), ("u2", (10, 5)), ("u2", (11, 0))]
     # wave 2 events all sit ABOVE wave 1's checkpointed watermark
-    # (11:30 - 10 min = 11:20) or they would be dropped as late
-    wave2 = [("u1", (11, 40)), ("u1", (13, 0)), ("u2", (11, 45)),
-             ("_flush", (14, 30))]
+    # (11:30 - 10 min = 11:20) or they would be dropped as late.
+    # u1@11:25 is OUT OF ORDER (earlier than u1's open-session start
+    # 11:30) but within the allowance — it must pull session_start
+    # BACK to 11:25, exactly as the batch sort does (review r5)
+    wave2 = [("u1", (11, 25)), ("u1", (11, 40)), ("u1", (13, 0)),
+             ("u2", (11, 45)), ("_flush", (14, 30))]
     write_wave(wave1)
     run_available()
     write_wave(wave2)
