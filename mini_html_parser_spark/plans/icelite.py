@@ -384,6 +384,58 @@ class IceliteTable:
                     )
         return sorted(files)
 
+    # ---- commit protocol (optimistic concurrency) ----------------------------
+    def _commit_manifest(
+        self, manifest: dict, require_parent: bool = False
+    ) -> dict | None:
+        """Publish a manifest with Iceberg-style optimistic
+        concurrency.  The manifest is written FULLY to a
+        writer-unique tmp file, then ``os.link``ed to its
+        sequence-numbered name — link is atomic and fails with
+        FileExistsError if another writer already took the sequence,
+        so exactly one writer wins each sequence and readers can never
+        observe a partial manifest.  A loser re-reads the tip,
+        re-parents, and retries at the next sequence (data dirs are
+        uuid-suffixed, so concurrent writers never clobber each
+        other's files either).
+
+        ``require_parent=True`` (compaction): the manifest is only
+        valid for the exact history it folded — if ANY snapshot
+        committed after it was computed, publishing would supersede
+        data it never read, so the commit aborts (returns None)
+        instead of retrying.  On object stores without link semantics
+        the swap belongs to a real catalog; this protocol is the
+        single-filesystem seam for it (same as Iceberg's
+        HadoopTableOperations vs catalog-based commits)."""
+        os.makedirs(self.manifest_dir, exist_ok=True)
+        expected_parent = manifest.get("parent_id")
+        seq = manifest["sequence"]
+        while True:
+            tip = self.current_snapshot()
+            tip_id = tip["snapshot_id"] if tip else None
+            if require_parent and tip_id != expected_parent:
+                return None  # history advanced under a compaction
+            if not require_parent:
+                manifest["parent_id"] = tip_id
+                if tip is not None:
+                    seq = max(seq, tip["sequence"] + 1)
+            manifest["sequence"] = seq
+            tmp = os.path.join(
+                self.manifest_dir,
+                f".snap-{seq}-{manifest['snapshot_id']}.json.tmp",
+            )
+            with open(tmp, "w") as f:
+                json.dump(manifest, f, indent=2)
+            target = os.path.join(self.manifest_dir, f"snap-{seq:06d}.json")
+            try:
+                os.link(tmp, target)
+            except FileExistsError:
+                os.remove(tmp)
+                seq += 1
+                continue
+            os.remove(tmp)
+            return manifest
+
     # ---- maintenance ---------------------------------------------------------
     def compact(self, spark) -> dict | None:
         """Rewrite all committed snapshots into one (the analogue of
@@ -406,7 +458,9 @@ class IceliteTable:
         bucket_col = "bucket"
         parent = snaps[-1]
         snap_n = parent["sequence"] + 1
-        data_dir = os.path.join(self.path, "data", f"snap-{snap_n}")
+        data_dir = os.path.join(
+            self.path, "data", f"snap-{snap_n}-{uuid.uuid4().hex[:8]}"
+        )
         full.repartition(bucket_col).write.partitionBy(bucket_col).mode(
             "overwrite"
         ).parquet(data_dir)
@@ -438,11 +492,14 @@ class IceliteTable:
         if cur_schema is not None:
             # data was rewritten through read() → CURRENT names
             manifest["schema_id"] = cur_schema["schema_id"]
-        os.makedirs(self.manifest_dir, exist_ok=True)
-        tmp = os.path.join(self.manifest_dir, f".snap-{snap_n}.json.tmp")
-        with open(tmp, "w") as f:
-            json.dump(manifest, f, indent=2)
-        os.replace(tmp, os.path.join(self.manifest_dir, f"snap-{snap_n:06d}.json"))
+        # require_parent: a compacted manifest supersedes everything
+        # below its sequence, so it is only valid for the EXACT
+        # history it folded — if any append won a sequence in the
+        # meantime, publishing would shadow data this rewrite never
+        # read.  Abort instead (the orphaned data dir is never
+        # referenced; the next compact() folds the new history).
+        if self._commit_manifest(manifest, require_parent=True) is None:
+            return None
         # the new manifest is durable; superseded manifests can go
         for s in snaps:
             old = os.path.join(self.manifest_dir, f"snap-{s['sequence']:06d}.json")
@@ -478,7 +535,13 @@ class IceliteTable:
         without a separate maintenance job."""
         parent = self.current_snapshot()
         snap_n = (parent["sequence"] + 1) if parent else 0
-        data_dir = os.path.join(self.path, "data", f"snap-{snap_n}")
+        # uuid-suffixed data dir: concurrent writers must never share
+        # a directory (the sequence race is settled later, at the
+        # manifest link — see _commit_manifest; reads use the
+        # manifest's file list, never the dir name)
+        data_dir = os.path.join(
+            self.path, "data", f"snap-{snap_n}-{uuid.uuid4().hex[:8]}"
+        )
 
         # schema tracking: first non-empty commit registers schema v0
         # from the frame; later commits must match the CURRENT schema
@@ -563,11 +626,7 @@ class IceliteTable:
             "partitioning": partitioning or (parent or {}).get("partitioning"),
             "schema_id": schema["schema_id"],
         }
-        os.makedirs(self.manifest_dir, exist_ok=True)
-        tmp = os.path.join(self.manifest_dir, f".snap-{snap_n}.json.tmp")
-        with open(tmp, "w") as f:
-            json.dump(manifest, f, indent=2)
-        os.replace(tmp, os.path.join(self.manifest_dir, f"snap-{snap_n:06d}.json"))
+        manifest = self._commit_manifest(manifest)
         if auto_compact_every and len(self.snapshots()) >= auto_compact_every:
             compacted = self.compact(spark)
             if compacted is not None:

@@ -35,7 +35,7 @@ def test_commit_read_lineage(spark, tmp_path):
     import glob
 
     for b in range(4):
-        files = glob.glob(os.path.join(t.path, "data", "snap-0", f"bucket={b}", "*.parquet"))
+        files = glob.glob(os.path.join(t.path, "data", "snap-0-*", f"bucket={b}", "*.parquet"))
         assert len(files) == 1, (b, files)
 
 
@@ -491,3 +491,99 @@ def test_empty_first_commit_does_not_pin_schema(spark, tmp_path):
     assert t.commit_append(real) is not None
     assert {f["name"] for f in t.current_schema()["fields"]} == {"doc_id", "body"}
     assert t.read(spark).count() == 10
+
+
+def test_concurrent_commit_sequence_race(spark, tmp_path):
+    """Optimistic concurrency (round 5): two writers racing for the
+    same sequence must BOTH commit — the loser re-parents at the next
+    sequence instead of silently overwriting the winner's manifest
+    (the old os.replace path lost one commit's rows)."""
+    import uuid as _uuid
+
+    t = IceliteTable(str(tmp_path / "race"))
+    t.commit_append(_df(spark, 0, 10))
+    tip = t.current_snapshot()
+
+    def mk(rows):
+        return {
+            "sequence": tip["sequence"] + 1,
+            "snapshot_id": _uuid.uuid4().hex,
+            "parent_id": tip["snapshot_id"],
+            "data_dir": tip["data_dir"],          # irrelevant for the race
+            "data_files": [], "bucket_rows": {"0": rows},
+            "total_rows": rows, "metrics": {},
+            "partitioning": tip.get("partitioning"),
+            "schema_id": 0,
+        }
+
+    a, b = mk(1), mk(2)
+    ra = t._commit_manifest(dict(a))
+    rb = t._commit_manifest(dict(b))     # same intended sequence
+    assert ra["sequence"] == 1 and rb["sequence"] == 2
+    # linear history: loser re-parented onto the winner
+    assert ra["parent_id"] == tip["snapshot_id"]
+    assert rb["parent_id"] == ra["snapshot_id"]
+    snaps = t.snapshots()
+    assert [s["sequence"] for s in snaps] == [0, 1, 2]
+    # no tmp litter
+    assert not [n for n in os.listdir(t.manifest_dir) if n.endswith(".tmp")]
+
+
+def test_threaded_concurrent_appends(spark, tmp_path):
+    """Two real writers appending through the full commit_append path
+    concurrently: every commit must survive with all rows readable
+    and a linear parent chain."""
+    import threading
+
+    t = IceliteTable(str(tmp_path / "race2"))
+    errs = []
+
+    def writer(lo):
+        try:
+            for i in range(3):
+                t.commit_append(_df(spark, lo + i * 10, lo + i * 10 + 10))
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    th1 = threading.Thread(target=writer, args=(0,))
+    th2 = threading.Thread(target=writer, args=(100,))
+    th1.start(); th2.start(); th1.join(); th2.join()
+    assert not errs
+    snaps = t.snapshots()
+    assert len(snaps) == 6
+    assert [s["sequence"] for s in snaps] == list(range(6))
+    by_id = {s["snapshot_id"]: s for s in snaps}
+    for s in snaps[1:]:
+        assert s["parent_id"] in by_id
+        assert by_id[s["parent_id"]]["sequence"] == s["sequence"] - 1
+    back = t.read(spark)
+    assert back.count() == 60
+    assert back.select("doc_id").distinct().count() == 60
+
+
+def test_compaction_aborts_when_history_advances(spark, tmp_path):
+    """A compacted manifest supersedes every lower sequence, so it
+    must refuse to publish if an append committed after the fold was
+    computed (it would shadow rows it never read)."""
+    t = IceliteTable(str(tmp_path / "race3"))
+    t.commit_append(_df(spark, 0, 20))
+    t.commit_append(_df(spark, 20, 40))
+
+    # interleave: an append lands between compact's read and publish,
+    # simulated by patching _commit_manifest to append first
+    orig = t._commit_manifest
+
+    def racing_commit(manifest, require_parent=False):
+        if require_parent and not getattr(racing_commit, "fired", False):
+            racing_commit.fired = True
+            t.commit_append(_df(spark, 40, 60))
+        return orig(manifest, require_parent)
+
+    t._commit_manifest = racing_commit
+    assert t.compact(spark) is None          # aborted, not shadowed
+    t._commit_manifest = orig
+    assert t.read(spark).count() == 60       # nothing lost
+    # next compact (quiet history) folds everything
+    assert t.compact(spark) is not None
+    assert len(t.snapshots()) == 1
+    assert t.read(spark).count() == 60
