@@ -94,6 +94,22 @@ def test_topk_per_group_single_exchange(spark, sf_exists):
     assert "Window" in plan
 
 
+def test_pdf_python_stages_are_spread(spark, sf_exists):
+    """Round-5 regression pin: the chained PDF synthesize+parse
+    Python stages must sit ABOVE a round-robin exchange — without it
+    the whole query inherits the sf scan's single partition and runs
+    on one core (5.1 s -> 1.3 s measured at sf0.1)."""
+    from mini_html_parser_spark.queries import q_extract_pdf, q_extract_pdf_interleaved
+
+    for q in (q_extract_pdf, q_extract_pdf_interleaved):
+        plan = _plan(q(spark, SF))
+        lines = plan.splitlines()
+        py = [i for i, l in enumerate(lines) if "MapInPandas" in l]
+        assert py, plan[:400]
+        below = "\n".join(lines[max(py):])
+        assert "RoundRobinPartitioning" in below, plan
+
+
 def test_dedup_substring_partial_agg_shape(spark, sf_exists):
     """The Lee-et-al substring dedup must keep its ONE-groupBy shape
     with map-side partial min/max(doc) over gram hashes: hot grams
