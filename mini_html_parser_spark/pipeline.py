@@ -23,6 +23,33 @@ DEFAULT_SHUFFLE_PARTITIONS = 32
 ARROW_MAX_RECORDS = 256
 
 
+def await_idle(
+    threshold: float = 2.0,
+    timeout_sec: float = 600.0,
+    poll_sec: float = 10.0,
+) -> dict:
+    """Block until the 1-min load average falls below ``threshold``
+    (bounded by ``timeout_sec``) and return a gate record for the
+    benchmark artifact — the single implementation shared by bench.py
+    and tools/scaling_bench.py so the two artifacts' gate records stay
+    field-compatible.  ``status: "timeout_proceeded"`` means the box
+    never got quiet: the numbers that follow are suspect by the
+    artifact's own say-so."""
+    import time
+
+    t0 = time.monotonic()
+    load = os.getloadavg()[0]
+    while load >= threshold and time.monotonic() - t0 < timeout_sec:
+        time.sleep(min(poll_sec, 1 + timeout_sec / 60))
+        load = os.getloadavg()[0]
+    return {
+        "threshold": threshold,
+        "waited_sec": round(time.monotonic() - t0, 1),
+        "loadavg_at_timed_start": round(load, 2),
+        "status": "idle" if load < threshold else "timeout_proceeded",
+    }
+
+
 def build_session(
     app_name: str = "mini-html-parser-spark",
     master: str | None = None,

@@ -8,14 +8,23 @@ shaped so a real Iceberg catalog drops in on a cluster
 
 Layout::
 
-    <table>/data/snap-<n>/bucket=<k>/*.parquet   (one dir per commit)
-    <table>/_icelite/snap-<n>.json               (manifest, written last)
+    <table>/data/snap-<n>-<uuid8>/bucket=<k>/*.parquet  (one dir per
+                                    commit ATTEMPT; uuid-suffixed so
+                                    concurrent writers never share)
+    <table>/_icelite/snap-<n>.json    (manifest — THE commit point,
+                                    published by atomic os.link; the
+                                    <n> in the dir name is advisory,
+                                    the manifest's sequence is truth)
+    <table>/_icelite/schema-<k>.json  (schema versions, id-based
+                                    column mapping; never removed)
 
-A manifest records: snapshot id, parent id, data dir, committed
-buckets, per-bucket row counts (lineage), and job-level metrics.
-Readers union all committed data dirs; a crashed write never commits
-(manifest is the atomic commit point).  Resume = anti-join of input
-buckets against the committed bucket set — no per-row bookkeeping.
+A manifest records: snapshot id, parent id, data dir + file list,
+committed buckets, per-bucket row counts (lineage), schema id, and
+job-level metrics.  Readers scan the manifests' file lists; a
+crashed or lost-race write never commits (its dir stays
+unreferenced).  Resume = anti-join of input buckets against the
+committed bucket set — no per-row bookkeeping.  Concurrent commits
+are arbitrated optimistically per sequence (_commit_manifest).
 """
 
 from __future__ import annotations
@@ -44,11 +53,24 @@ class IceliteTable:
         """
         if not os.path.isdir(self.manifest_dir):
             return []
-        snaps = []
-        for name in sorted(os.listdir(self.manifest_dir)):
-            if name.startswith("snap-") and name.endswith(".json"):
-                with open(os.path.join(self.manifest_dir, name)) as f:
-                    snaps.append(json.load(f))
+        # a concurrent compact() can remove superseded manifests
+        # between our listdir and open.  Removal only starts AFTER the
+        # compacted manifest is durable, so on a re-list the compacted
+        # manifest is visible and the history is complete — retry the
+        # scan rather than returning a partial (gap-sequenced) view.
+        for _attempt in range(5):
+            snaps = []
+            complete = True
+            for name in sorted(os.listdir(self.manifest_dir)):
+                if name.startswith("snap-") and name.endswith(".json"):
+                    try:
+                        with open(os.path.join(self.manifest_dir, name)) as f:
+                            snaps.append(json.load(f))
+                    except FileNotFoundError:
+                        complete = False
+                        break
+            if complete:
+                break
         floor = max(
             (s["sequence"] for s in snaps if s.get("compacted")), default=None
         )
@@ -97,13 +119,58 @@ class IceliteTable:
         return ss[-1] if ss else None
 
     def _write_schema(self, schema: dict) -> dict:
+        """Publish a schema version with the same link arbitration as
+        manifests (_commit_manifest): writer-unique tmp + atomic
+        os.link, so exactly one writer wins ``schema-<k>`` and readers
+        never see a partial file.  A LOSER gets the winner's content
+        back — callers must compare/validate against the return value
+        rather than assume their own schema was registered."""
         os.makedirs(self.manifest_dir, exist_ok=True)
         k = schema["schema_id"]
-        tmp = os.path.join(self.manifest_dir, f".schema-{k}.json.tmp")
+        target = os.path.join(self.manifest_dir, f"schema-{k:06d}.json")
+        tmp = os.path.join(
+            self.manifest_dir, f".schema-{k}-{uuid.uuid4().hex}.json.tmp"
+        )
         with open(tmp, "w") as f:
             json.dump(schema, f, indent=2)
-        os.replace(tmp, os.path.join(self.manifest_dir, f"schema-{k:06d}.json"))
+        try:
+            os.link(tmp, target)
+        except FileExistsError:
+            os.remove(tmp)
+            with open(target) as f:
+                return json.load(f)
+        os.remove(tmp)
         return schema
+
+    def _validate_append_schema(
+        self, df: DataFrame, schema: dict, partition_col: str
+    ) -> None:
+        """Refuse name OR type drift between ``df`` and the recorded
+        table schema (silent drift across appends is how a long-lived
+        table rots; a type change has no evolution path)."""
+        want = {f["name"]: f["type"] for f in schema["fields"]}
+        got = {
+            f.name: f.dataType.simpleString()
+            for f in df.schema.fields
+            if f.name != partition_col
+        }
+        if set(got) != set(want):
+            raise ValueError(
+                f"icelite table {self.path}: append columns "
+                f"{sorted(got)} != current table schema {sorted(want)}; "
+                "call evolve(add_columns=..., rename_columns=...) first"
+            )
+        drift = {n: (got[n], want[n]) for n in got if got[n] != want[n]}
+        if drift:
+            raise ValueError(
+                f"icelite table {self.path}: append column types differ "
+                "from the table schema: "
+                + ", ".join(
+                    f"{n} is {g} but table has {w}"
+                    for n, (g, w) in sorted(drift.items())
+                )
+                + "; cast the columns before appending"
+            )
 
     def _schema_from_df(self, df: DataFrame, partition_col: str) -> dict:
         fields = [
@@ -153,13 +220,21 @@ class IceliteTable:
             last_id += 1
             fields.append({"id": last_id, "name": name, "type": typ})
             names.add(name)
-        return self._write_schema(
-            {
-                "schema_id": cur["schema_id"] + 1,
-                "fields": fields,
-                "last_field_id": last_id,
-            }
-        )
+        proposed = {
+            "schema_id": cur["schema_id"] + 1,
+            "fields": fields,
+            "last_field_id": last_id,
+        }
+        published = self._write_schema(proposed)
+        if published != proposed:
+            # another writer evolved to the same schema_id first —
+            # surface the conflict instead of silently adopting theirs
+            raise RuntimeError(
+                f"icelite table {self.path}: concurrent schema "
+                f"evolution conflict at schema_id {proposed['schema_id']}; "
+                "re-read current_schema() and retry"
+            )
+        return published
 
     def _read_with_schema(
         self, spark, snaps: list[dict], buckets: set[int] | None = None
@@ -496,9 +571,14 @@ class IceliteTable:
         # below its sequence, so it is only valid for the EXACT
         # history it folded — if any append won a sequence in the
         # meantime, publishing would shadow data this rewrite never
-        # read.  Abort instead (the orphaned data dir is never
-        # referenced; the next compact() folds the new history).
+        # read.  Abort instead; the rewrite dir is provably
+        # unreferenced at this point, so drop it (under contention +
+        # auto_compact each aborted attempt would otherwise leak a
+        # full-table-sized directory).
         if self._commit_manifest(manifest, require_parent=True) is None:
+            import shutil
+
+            shutil.rmtree(data_dir, ignore_errors=True)
             return None
         # the new manifest is durable; superseded manifests can go
         for s in snaps:
@@ -546,38 +626,11 @@ class IceliteTable:
         # schema tracking: first non-empty commit registers schema v0
         # from the frame; later commits must match the CURRENT schema
         # exactly — names AND types (a new column requires an explicit
-        # evolve() first; a type change has no evolution path, so the
-        # append is refused at the write instead of corrupting reads
-        # far from the cause — silent schema drift across appends is
-        # how a long-lived table rots)
+        # evolve() first; the append is refused at the write instead
+        # of corrupting reads far from the cause)
         schema = self.current_schema()
         if schema is not None:
-            want = {f["name"]: f["type"] for f in schema["fields"]}
-            got = {
-                f.name: f.dataType.simpleString()
-                for f in df.schema.fields
-                if f.name != partition_col
-            }
-            if set(got) != set(want):
-                raise ValueError(
-                    f"icelite table {self.path}: append columns "
-                    f"{sorted(got)} != current table schema "
-                    f"{sorted(want)}; call evolve(add_columns=..., "
-                    "rename_columns=...) first"
-                )
-            drift = {
-                n: (got[n], want[n]) for n in got if got[n] != want[n]
-            }
-            if drift:
-                raise ValueError(
-                    f"icelite table {self.path}: append column types "
-                    f"differ from the table schema: "
-                    + ", ".join(
-                        f"{n} is {g} but table has {w}"
-                        for n, (g, w) in sorted(drift.items())
-                    )
-                    + "; cast the columns before appending"
-                )
+            self._validate_append_schema(df, schema, partition_col)
 
         out = df.repartition(partition_col) if compact else df
         out.write.partitionBy(partition_col).mode("overwrite").parquet(data_dir)
@@ -606,8 +659,19 @@ class IceliteTable:
         if schema is None:
             # register v0 only now that the commit is known non-empty:
             # an empty first append (day-1 corpus filtered to nothing)
-            # must not pin the table schema from a throwaway frame
+            # must not pin the table schema from a throwaway frame.
+            # _write_schema arbitrates concurrent first commits — a
+            # loser gets the WINNER's v0 back and must re-validate
+            # against it (both writers skipped validation above); on
+            # mismatch, drop our never-referenced data dir and refuse
             schema = self._write_schema(self._schema_from_df(df, partition_col))
+            try:
+                self._validate_append_schema(df, schema, partition_col)
+            except ValueError:
+                import shutil
+
+                shutil.rmtree(data_dir, ignore_errors=True)
+                raise
 
         if metrics_provider is not None:
             # e.g. an Observation: resolvable only after the write

@@ -583,7 +583,83 @@ def test_compaction_aborts_when_history_advances(spark, tmp_path):
     assert t.compact(spark) is None          # aborted, not shadowed
     t._commit_manifest = orig
     assert t.read(spark).count() == 60       # nothing lost
+    # the aborted rewrite's data dir was dropped, not leaked: every
+    # dir under data/ is referenced by an active manifest
+    referenced = {os.path.basename(s_["data_dir"]) for s_ in t.snapshots()}
+    on_disk = set(os.listdir(os.path.join(t.path, "data")))
+    assert on_disk == referenced, (on_disk, referenced)
     # next compact (quiet history) folds everything
     assert t.compact(spark) is not None
     assert len(t.snapshots()) == 1
     assert t.read(spark).count() == 60
+
+
+def test_first_commit_schema_race(spark, tmp_path):
+    """Review r5 #2: concurrent FIRST commits race schema v0 through
+    link arbitration — the loser must re-validate against the
+    winner's schema and refuse (cleaning its data dir) instead of
+    silently clobbering v0."""
+    import pytest
+
+    t = IceliteTable(str(tmp_path / "srace"))
+    orig = t._write_schema
+    winner_v0 = {
+        "schema_id": 0,
+        "fields": [{"id": 1, "name": "doc_id", "type": "bigint"},
+                   {"id": 2, "name": "body", "type": "string"}],
+        "last_field_id": 2,
+    }
+
+    def racing_write(schema):
+        # simulate the concurrent winner landing first
+        if not getattr(racing_write, "fired", False):
+            racing_write.fired = True
+            orig(dict(winner_v0))
+        return orig(schema)
+
+    t._write_schema = racing_write
+    with pytest.raises(ValueError, match="append columns"):
+        t.commit_append(_df(spark, 0, 10))  # has (doc_id, text) != winner
+    t._write_schema = orig
+    # loser left nothing behind: no snapshot, no orphan data dirs
+    assert t.snapshots() == []
+    data_root = os.path.join(t.path, "data")
+    leftover = os.listdir(data_root) if os.path.isdir(data_root) else []
+    assert leftover == [], leftover
+    # winner's schema stands; a conforming append works
+    assert {f["name"] for f in t.current_schema()["fields"]} == {"doc_id", "body"}
+    ok = _df(spark, 0, 10).withColumnRenamed("text", "body")
+    assert t.commit_append(ok) is not None
+    assert t.read(spark).count() == 10
+
+
+def test_concurrent_evolve_conflict(spark, tmp_path):
+    """Review r5 #2 (evolve side): two writers evolving to the same
+    schema_id — the loser gets a conflict error, never a silent adopt."""
+    import pytest
+
+    t = IceliteTable(str(tmp_path / "erace"))
+    t.commit_append(_df(spark, 0, 10))
+    orig = t._write_schema
+    occupier = {
+        "schema_id": 1,
+        "fields": t.current_schema()["fields"] + [
+            {"id": 3, "name": "other", "type": "string"}],
+        "last_field_id": 3,
+    }
+
+    def racing_write(schema):
+        # the competing evolve lands BETWEEN our read and our write
+        if not getattr(racing_write, "fired", False):
+            racing_write.fired = True
+            orig(dict(occupier))
+        return orig(schema)
+
+    t._write_schema = racing_write
+    with pytest.raises(RuntimeError, match="concurrent schema evolution"):
+        t.evolve(add_columns={"lang": "string"})
+    t._write_schema = orig
+    # re-read and retry works (next free id, on top of the winner)
+    s = t.evolve(add_columns={"lang": "string"})
+    assert s["schema_id"] == 2
+    assert {f["name"] for f in s["fields"]} == {"doc_id", "text", "other", "lang"}

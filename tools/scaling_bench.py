@@ -113,25 +113,18 @@ def main() -> None:
     me = os.path.abspath(__file__)
     subprocess.run([sys.executable, me, "--gen", str(n_docs), CORPUS_DIR], check=True,
                    capture_output=True, text=True)
+    from mini_html_parser_spark.pipeline import await_idle
+
+    thresh = float(os.environ.get("SCALE_IDLE_THRESHOLD", "2.0"))
+    timeout = float(os.environ.get("SCALE_IDLE_TIMEOUT", "300"))
     results = {}
     for cores in levels:
-        # idle gate per LEVEL (same rationale as bench.py's): the
+        # idle gate per LEVEL (bench.py's shared helper): the
         # efficiency ratio divides numbers measured minutes apart, so
         # one noisy window under either level corrupts the ratio far
-        # more than it corrupts a single timing.  Wait (bounded) for
-        # the 1-min loadavg to clear — the previous level's own load
-        # also needs the decay time — and RECORD the gate per level.
-        import time as _time
-
-        thresh = float(os.environ.get("SCALE_IDLE_THRESHOLD", "2.0"))
-        t0 = _time.monotonic()
-        load = os.getloadavg()[0]
-        while load >= thresh and _time.monotonic() - t0 < 300:
-            _time.sleep(10)
-            load = os.getloadavg()[0]
-        gate = {"level": cores, "waited_sec": round(_time.monotonic() - t0, 1),
-                "loadavg_at_start": round(load, 2),
-                "status": "idle" if load < thresh else "timeout_proceeded"}
+        # more than it corrupts a single timing.  The wait also
+        # absorbs the previous level's own load decay.
+        gate = {"level": cores, **await_idle(thresh, timeout)}
         print(json.dumps({"idle_gate": gate}))
         out = subprocess.run([sys.executable, me, "--worker", str(cores), CORPUS_DIR],
                              capture_output=True, text=True, check=True)
