@@ -733,3 +733,125 @@ def dedup_against(
         keep = w.groupBy("content_hash").agg(F.min(id_col).alias(id_col))
         w = w.join(keep, [id_col, "content_hash"], "left_semi")
     return w.join(corpus_hashes, "content_hash", "left_anti").drop("content_hash")
+
+
+def build_text_bloom(
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    n_bits: int = 1 << 23,
+    k: int = 5,
+):
+    """Deterministic Bloom filter over ``md5-equivalent`` text
+    identity, built DISTRIBUTED: each partition scatters its k bit
+    positions into a local numpy bitmap (one mapInPandas pass over
+    JVM-computed ``xxhash64`` pairs — no Python hashing of text), and
+    the driver ORs the per-partition bitmaps.  Returns ``(bitmap
+    bytes, n_bits, k)``.
+
+    Positions use the standard double-hashing construction
+    ``pos_i = (h1 + i·h2) mod m`` over two independent JVM hashes
+    (``xxhash64(text)`` and ``xxhash64(text, 1)`` — the same
+    seed-by-extra-column trick as the minhash family), so the filter
+    is bit-deterministic across runs and engines.
+
+    Scale notes: driver traffic is ``n_partitions × n_bits/8`` bytes
+    (the OR is associative — at very large partition counts fold it
+    with a two-level treeAggregate instead); size ``n_bits ≈ 10×``
+    the corpus cardinality for ~1% false positives.  In production
+    the bitmap is maintained INCREMENTALLY (OR in each ingested
+    batch's bitmap — the icelite pattern), never rebuilt."""
+    import numpy as np
+
+    m = int(n_bits)
+    hashes = _spread(corpus_df).select(
+        F.xxhash64(F.col(text_col)).alias("h1"),
+        F.xxhash64(F.col(text_col), F.lit(1)).alias("h2"),
+    )
+
+    def part_bitmap(batches):
+        bits = np.zeros(m // 8, dtype=np.uint8)
+        any_rows = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            any_rows = True
+            h1 = pdf["h1"].to_numpy().astype(np.uint64)
+            h2 = pdf["h2"].to_numpy().astype(np.uint64)
+            for i in range(k):
+                pos = (h1 + np.uint64(i) * h2) % np.uint64(m)
+                np.bitwise_or.at(
+                    bits, (pos >> np.uint64(3)).astype(np.int64),
+                    np.left_shift(
+                        np.uint8(1), (pos & np.uint64(7)).astype(np.uint8)
+                    ),
+                )
+        if any_rows:
+            yield pd.DataFrame({"bm": [bits.tobytes()]})
+
+    merged = np.zeros(m // 8, dtype=np.uint8)
+    for row in hashes.mapInPandas(part_bitmap, "bm binary").toLocalIterator():
+        merged |= np.frombuffer(row["bm"], dtype=np.uint8)
+    return merged.tobytes(), m, k
+
+
+def dedup_against_bloom(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    within_batch: bool = True,
+    n_bits: int = 1 << 23,
+    k: int = 5,
+) -> DataFrame:
+    """:func:`dedup_against` with a broadcast Bloom prefilter — the
+    100-TB daily-ingest shape.  The corpus is summarized ONCE into a
+    bitmap (1 MB default; incrementally maintainable); batch rows
+    whose k positions miss the filter are DEFINITELY new (Bloom has
+    no false negatives) and skip the join entirely, so the exact
+    md5 anti-join runs only over the ~fpp·|new| + |true dups|
+    candidate rows instead of the whole batch, and the corpus side of
+    that join can be pre-pruned the same way.  The survivor set is
+    PROVABLY identical to :func:`dedup_against` (the bloom only
+    routes rows; exactness comes from the md5 join) — which is what
+    lets the same closed-form oracle check both paths."""
+    import numpy as np
+
+    bm_bytes, m, kk = build_text_bloom(corpus_df, text_col, n_bits, k)
+    spark = new_df.sparkSession
+    bm_bc = spark.sparkContext.broadcast(bm_bytes)
+
+    @F.pandas_udf("boolean")
+    def might_contain(h1: pd.Series, h2: pd.Series) -> pd.Series:
+        bits = np.frombuffer(bm_bc.value, dtype=np.uint8)
+        a = h1.to_numpy().astype(np.uint64)
+        b = h2.to_numpy().astype(np.uint64)
+        hit = np.ones(len(a), dtype=bool)
+        for i in range(kk):
+            pos = (a + np.uint64(i) * b) % np.uint64(m)
+            byte = bits[(pos >> np.uint64(3)).astype(np.int64)]
+            hit &= (byte & np.left_shift(
+                np.uint8(1), (pos & np.uint64(7)).astype(np.uint8)
+            )) != 0
+        return pd.Series(hit)
+
+    w = new_df
+    if within_batch:
+        w = w.withColumn("content_hash", F.md5(F.col(text_col)))
+        keep = w.groupBy("content_hash").agg(F.min(id_col).alias(id_col))
+        w = w.join(keep, [id_col, "content_hash"], "left_semi").drop(
+            "content_hash"
+        )
+    w = w.withColumn("_bh1", F.xxhash64(F.col(text_col))).withColumn(
+        "_bh2", F.xxhash64(F.col(text_col), F.lit(1))
+    ).withColumn("_might", might_contain(F.col("_bh1"), F.col("_bh2")))
+    definite_new = w.filter(~F.col("_might"))
+    candidates = w.filter(F.col("_might"))
+    corpus_hashes = corpus_df.select(
+        F.md5(F.col(text_col)).alias("content_hash")
+    ).distinct()
+    survivors = (
+        candidates.withColumn("content_hash", F.md5(F.col(text_col)))
+        .join(corpus_hashes, "content_hash", "left_anti")
+        .drop("content_hash")
+    )
+    return definite_new.unionByName(survivors).drop("_bh1", "_bh2", "_might")

@@ -862,6 +862,27 @@ def q_dedup_incremental(spark, sf_dir):
     return dedup.dedup_against(batch, docs).select("doc_id", "text")
 
 
+def q_dedup_incremental_bloom(spark, sf_dir):
+    """Bloom-prefiltered incremental ingestion dedup (round 5): the
+    same planted batch as dedup_incremental, routed through
+    dedup_against_bloom — the corpus is summarized into a broadcast
+    bitmap and the exact md5 anti-join runs only over bloom-positive
+    candidates.  Bloom has no false negatives and the md5 join
+    supplies exactness, so the survivor set is PROVABLY identical to
+    the plain anti-join and the same closed-form oracle checks this
+    path (the daily-ingest O(batch) shape for a 100-TB corpus)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+    )
+    fresh = docs.filter(F.col("doc_id") % 3 == 1).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"),
+        F.concat("text", F.lit(" fresh")).alias("text"),
+    )
+    batch = copies.unionByName(fresh)
+    return dedup.dedup_against_bloom(batch, docs).select("doc_id", "text")
+
+
 ORACLE_DEDUP_INCREMENTAL = """
 WITH newb AS (
   SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0
@@ -2467,10 +2488,12 @@ FROM c
 # green (CORRECTNESS_r04: 49/50) moves to the tail; every tail entry
 # additionally has an independent pytest (dedicated operator tests,
 # planted-parity tests) and a full check_oracles.py re-run each
-# round.  Authoritative count this round: 73 queries, 73 oracles
+# round.  Authoritative count this round: 74 queries, 74 oracles
 # (no rows-only entries remain) — COVERAGE.md carries the same
 # number.
 QUERIES = {
+    # NEW this round (insert-at-top rule): bloom-prefiltered ingest
+    "dedup_incremental_bloom": q_dedup_incremental_bloom,
     # ---- rotated back into the sweep window (last driver record r03;
     # judge-green in r4 via check_oracles.py) ----
     "pipeline_pack_corpus": q_pipeline_pack_corpus,
@@ -2581,6 +2604,7 @@ ORACLES = {
     "dedup_substring": ORACLE_DEDUP_SUBSTRING,
     "dedup_substring_removal": ORACLE_DEDUP_SUBSTRING_REMOVAL,
     "dedup_incremental": ORACLE_DEDUP_INCREMENTAL,
+    "dedup_incremental_bloom": ORACLE_DEDUP_INCREMENTAL,  # provably same result
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "similarity_bruteforce_topk": ORACLE_SIMILARITY,
     "lang_id_heuristic": ORACLE_LANG_ID,

@@ -1660,3 +1660,48 @@ def test_gopher_quality_randomized_vs_bruteforce(spark):
                 g["bullet_line_frac"], g["ellipsis_line_frac"],
                 g["alpha_word_frac"], g["stop_hits"]) == (
             n_words, mwl, swr, blf, elf, awf, sh), (d, repr(t))
+
+
+def test_dedup_against_bloom_exact_equivalence(spark):
+    """Bloom-prefiltered ingest dedup must return EXACTLY the plain
+    anti-join's survivors even under heavy false-positive pressure
+    (tiny 1 KB bitmap ⇒ many bloom-positives; the md5 anti-join must
+    rescue every one), and the bitmap build must be deterministic."""
+    from pyspark.sql import functions as F2
+
+    from mini_html_parser_spark.operators import dedup
+
+    corpus = spark.range(400).select(
+        F2.col("id").alias("doc_id"),
+        F2.concat(F2.lit("corpus text "), F2.col("id")).alias("text"),
+    )
+    batch = spark.range(300).select(
+        (F2.col("id") + 10_000).alias("doc_id"),
+        F2.when(F2.col("id") % 2 == 0,
+                F2.concat(F2.lit("corpus text "), F2.col("id")))  # dup of corpus
+        .otherwise(F2.concat(F2.lit("new text "), F2.col("id")))
+        .alias("text"),
+    )
+    # duplicate INSIDE the batch too (within-batch keep-min path)
+    batch = batch.unionByName(
+        spark.createDataFrame([(99_999, "new text 1")], "doc_id long, text string")
+    )
+    plain = {(r["doc_id"], r["text"])
+             for r in dedup.dedup_against(batch, corpus).collect()}
+    for n_bits in (1 << 13, 1 << 20):   # 1 KB (FP-heavy) and 128 KB
+        bloomed = {(r["doc_id"], r["text"])
+                   for r in dedup.dedup_against_bloom(
+                       batch, corpus, n_bits=n_bits).collect()}
+        assert bloomed == plain, n_bits
+    # survivors: the 150 odd new texts, minus nothing, with the
+    # within-batch copy of "new text 1" collapsed to min doc_id
+    assert len(plain) == 150
+    assert all("new text" in t for _id, t in plain)
+    # determinism of the distributed bitmap build
+    b1 = dedup.build_text_bloom(corpus, n_bits=1 << 16)
+    b2 = dedup.build_text_bloom(corpus, n_bits=1 << 16)
+    assert b1 == b2
+    # no false negatives: every corpus text is bloom-positive, so with
+    # an all-dup batch nothing can sneak past the prefilter
+    all_dups = corpus.select((F2.col("doc_id") + 50_000).alias("doc_id"), "text")
+    assert dedup.dedup_against_bloom(all_dups, corpus, n_bits=1 << 16).count() == 0
