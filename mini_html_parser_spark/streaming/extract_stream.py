@@ -247,3 +247,64 @@ def span_rate_monitor(extracted: DataFrame, window: str = "10 seconds") -> DataF
             F.sum(F.col("malformed").cast("long")).alias("malformed"),
         )
     )
+
+
+def icelite_batch_writer(table_path: str, n_buckets: int = 64):
+    """The per-micro-batch commit function behind
+    :func:`start_icelite_sink`, exposed for direct testing.
+
+    Exactly-once across restarts: Structured Streaming can REPLAY a
+    micro-batch after a crash between the sink action and the
+    checkpoint commit.  Each icelite snapshot records its
+    ``stream_batch_id``; a replayed batch id that already has a
+    committed snapshot is skipped, so the table never double-ingests
+    (the standard idempotent-foreachBatch pattern, here backed by the
+    manifest instead of an external transaction log)."""
+    from ..plans.icelite import IceliteTable
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        table = IceliteTable(table_path)
+        committed = {
+            s.get("metrics", {}).get("stream_batch_id")
+            for s in table.snapshots()
+        }
+        if batch_id in committed:
+            return  # replay of an already-committed batch
+        salted = df.withColumn(
+            "bucket",
+            F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_buckets)).cast("int"),
+        )
+        table.commit_append(
+            salted,
+            metrics={"stream_batch_id": batch_id},
+            partitioning={"n_buckets": n_buckets, "scheme": "xxhash64_pmod"},
+        )
+
+    return write_batch
+
+
+def start_icelite_sink(
+    extracted: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    n_buckets: int = 64,
+    available_now: bool = True,
+):
+    """Continuous ingest INTO the snapshot table layer: the streaming
+    analogue of ``run_extraction_job`` — each micro-batch becomes one
+    icelite snapshot (bucket-salted, lineage-counted), giving the
+    stream the table's whole read surface: time travel over ingest
+    history, ``read_incremental`` for downstream daily jobs, schema
+    evolution, compaction (run ``auto_compact`` maintenance out of
+    band), and the same optimistic commit protocol if a batch job
+    appends concurrently."""
+    writer = (
+        extracted.writeStream.foreachBatch(
+            icelite_batch_writer(table_path, n_buckets)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

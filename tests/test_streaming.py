@@ -318,3 +318,55 @@ def test_streaming_quality_filters_compose(spark, tmp_path):
     got = {r["doc_id"]: (r["gopher_ok"], r["quality_ok"], r["detected_lang"])
            for r in result.collect()}
     assert got == want
+
+
+def test_streaming_icelite_sink_exactly_once(spark, tmp_path):
+    """Stream → icelite table: each micro-batch commits one snapshot;
+    a REPLAYED batch id (crash between sink action and checkpoint
+    commit) must be a no-op, and a checkpointed restart ingests only
+    the delta — the table's read surface (read, read_incremental)
+    then serves the stream's history."""
+    from mini_html_parser_spark.plans.icelite import IceliteTable
+    from mini_html_parser_spark.streaming.extract_stream import (
+        extract_stream, icelite_batch_writer, read_document_stream,
+        start_icelite_sink,
+    )
+
+    inp = str(tmp_path / "in")
+    tbl = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_input(spark, inp, 0, 8)
+    q = start_icelite_sink(
+        extract_stream(read_document_stream(spark, inp)), tbl, ckpt,
+        n_buckets=8,
+    )
+    q.awaitTermination(120)
+    t = IceliteTable(tbl)
+    snaps1 = t.snapshots()
+    assert len(snaps1) >= 1
+    first_tip = snaps1[-1]["snapshot_id"]
+    assert t.read(spark).count() == 8
+
+    # crash-replay: drive the SAME batch id straight into the writer —
+    # the manifest-recorded stream_batch_id must make it a no-op
+    replay_id = snaps1[-1]["metrics"]["stream_batch_id"]
+    docs = spark.createDataFrame(generate_pandas(8, seed=42, start=0),
+                                 schema=DOCUMENTS_SCHEMA)
+    icelite_batch_writer(tbl, n_buckets=8)(extract_stream(docs), replay_id)
+    assert t.read(spark).count() == 8          # no double ingest
+    assert len(t.snapshots()) == len(snaps1)
+
+    # restart from checkpoint: only the delta is ingested, and the
+    # incremental scan serves exactly the new rows
+    _write_input(spark, inp, 8, 13)
+    q2 = start_icelite_sink(
+        extract_stream(read_document_stream(spark, inp)), tbl, ckpt,
+        n_buckets=8,
+    )
+    q2.awaitTermination(120)
+    back = t.read(spark)
+    assert back.count() == 13
+    assert back.select("doc_id").distinct().count() == 13
+    inc = t.read_incremental(spark, after_snapshot=first_tip)
+    assert inc.count() == 5
