@@ -844,6 +844,15 @@ def dedup_against_bloom(
     w = w.withColumn("_bh1", F.xxhash64(F.col(text_col))).withColumn(
         "_bh2", F.xxhash64(F.col(text_col), F.lit(1))
     ).withColumn("_might", might_contain(F.col("_bh1"), F.col("_bh2")))
+    # the definite-new / candidate routes form a self-union, and
+    # Catalyst recomputes an unshared subtree once PER BRANCH (hash +
+    # bloom UDF + keep-min semi-join, explain-verified) — persist the
+    # routed batch so it is computed once.  The batch side of a daily
+    # ingest is small relative to the corpus, which is exactly why
+    # the bloom shape works; disk-backed in case it isn't.
+    from pyspark import StorageLevel
+
+    w = w.persist(StorageLevel.MEMORY_AND_DISK)
     definite_new = w.filter(~F.col("_might"))
     candidates = w.filter(F.col("_might"))
     corpus_hashes = corpus_df.select(
