@@ -52,6 +52,14 @@ def main(argv=None) -> int:
     p.add_argument("--continuous", action="store_true",
                    help="with --streaming: keep running and process files "
                         "as they arrive instead of the availableNow batch")
+    p.add_argument("--streaming-sink", default="parquet",
+                   choices=["parquet", "icelite"],
+                   help="with --streaming: parquet (default) appends to a "
+                        "flat directory; icelite commits each micro-batch "
+                        "as a bucket-salted snapshot of the SAME table "
+                        "layout the batch job writes — time travel, "
+                        "incremental scans, and replay-idempotent commits "
+                        "over the stream's ingest history")
     p.add_argument("--iceberg-catalog", default=None,
                    help="Iceberg catalog name to wire into the session "
                         "(needs the runtime jar via --packages; see "
@@ -82,17 +90,30 @@ def main(argv=None) -> int:
     if args.streaming:
         from mini_html_parser_spark.streaming.extract_stream import (
             extract_stream, read_document_stream, start_extraction_sink,
+            start_icelite_sink,
         )
 
-        q = start_extraction_sink(
-            extract_stream(read_document_stream(spark, args.input), args.config),
-            output_dir=args.output + "/data/stream",
-            checkpoint_dir=args.output + "/_checkpoint",
-            available_now=not args.continuous,
+        stream = extract_stream(
+            read_document_stream(spark, args.input), args.config
         )
+        if args.streaming_sink == "icelite":
+            q = start_icelite_sink(
+                stream,
+                table_path=args.output,
+                checkpoint_dir=args.output + "/_checkpoint",
+                available_now=not args.continuous,
+            )
+        else:
+            q = start_extraction_sink(
+                stream,
+                output_dir=args.output + "/data/stream",
+                checkpoint_dir=args.output + "/_checkpoint",
+                available_now=not args.continuous,
+            )
         q.awaitTermination()
         print(json.dumps({
             "mode": "streaming",
+            "sink": args.streaming_sink,
             "trigger": "continuous" if args.continuous else "availableNow",
             "output": args.output,
         }))

@@ -350,6 +350,22 @@ def test_extract_job_cli_streaming(spark, tmp_path):
     assert result.count() == 12
     assert result.select("doc_id").distinct().count() == 12
 
+    # icelite sink variant: micro-batches become table snapshots with
+    # the full read surface and checkpointed delta resume
+    from mini_html_parser_spark.plans.icelite import IceliteTable
+
+    out2 = str(tmp_path / "out_tbl")
+    assert extract_job.main(["--input", inp, "--output", out2,
+                             "--streaming", "--streaming-sink", "icelite"]) == 0
+    t = IceliteTable(out2)
+    assert t.read(spark).count() == 12
+    write(12, 15)
+    assert extract_job.main(["--input", inp, "--output", out2,
+                             "--streaming", "--streaming-sink", "icelite"]) == 0
+    back = t.read(spark)
+    assert back.count() == 15
+    assert back.select("doc_id").distinct().count() == 15
+
 
 def test_warc_late_member_corruption_does_not_swallow_next(spark):
     """A byte flipped near the END of a member decodes most of that
