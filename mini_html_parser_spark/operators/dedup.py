@@ -846,13 +846,15 @@ def dedup_against_bloom(
     ).withColumn("_might", might_contain(F.col("_bh1"), F.col("_bh2")))
     # the definite-new / candidate routes form a self-union, and
     # Catalyst recomputes an unshared subtree once PER BRANCH (hash +
-    # bloom UDF + keep-min semi-join, explain-verified) — persist the
-    # routed batch so it is computed once.  The batch side of a daily
-    # ingest is small relative to the corpus, which is exactly why
-    # the bloom shape works; disk-backed in case it isn't.
-    from pyspark import StorageLevel
-
-    w = w.persist(StorageLevel.MEMORY_AND_DISK)
+    # bloom UDF + keep-min semi-join, explain-verified).
+    # localCheckpoint (NOT persist): a persist here would live in the
+    # CacheManager with no reachable unpersist handle — one leaked
+    # cached batch per daily-ingest call.  An eager localCheckpoint
+    # materializes the routed batch once, and its blocks are freed by
+    # the ContextCleaner as soon as the caller drops the returned
+    # frame.  The batch side of a daily ingest is small relative to
+    # the corpus, which is exactly why the bloom shape works.
+    w = w.localCheckpoint(eager=True)
     definite_new = w.filter(~F.col("_might"))
     candidates = w.filter(F.col("_might"))
     corpus_hashes = corpus_df.select(

@@ -545,12 +545,23 @@ class IceliteTable:
         bucket_rows = {str(r[bucket_col]): r["count"] for r in rows}
         # job-level metrics are additive counters (docs parsed, spans
         # emitted, malformed fallbacks): key-wise sum the folded
-        # snapshots' metrics so compaction never destroys them
+        # snapshots' metrics so compaction never destroys them.
+        # stream_batch_id is an IDENTITY, not a counter — summing it
+        # would both erase the replay records and fabricate a future
+        # batch id (review r5 #3: merged 0+1+2=3 would silently drop
+        # real batch 3); fold ids into a stream_batch_ids list instead
         merged_metrics: dict = {}
+        stream_ids: set = set()
         for s in snaps:
             for k, v in (s.get("metrics") or {}).items():
-                if isinstance(v, (int, float)) and not isinstance(v, bool):
+                if k == "stream_batch_id":
+                    stream_ids.add(v)
+                elif k == "stream_batch_ids":
+                    stream_ids.update(v)
+                elif isinstance(v, (int, float)) and not isinstance(v, bool):
                     merged_metrics[k] = merged_metrics.get(k, 0) + v
+        if stream_ids:
+            merged_metrics["stream_batch_ids"] = sorted(stream_ids)
         manifest = {
             "sequence": snap_n,
             "snapshot_id": uuid.uuid4().hex,

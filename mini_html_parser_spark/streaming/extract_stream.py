@@ -256,29 +256,73 @@ def icelite_batch_writer(table_path: str, n_buckets: int = 64):
     Exactly-once across restarts: Structured Streaming can REPLAY a
     micro-batch after a crash between the sink action and the
     checkpoint commit.  Each icelite snapshot records its
-    ``stream_batch_id``; a replayed batch id that already has a
-    committed snapshot is skipped, so the table never double-ingests
-    (the standard idempotent-foreachBatch pattern, here backed by the
-    manifest instead of an external transaction log)."""
+    ``stream_batch_id`` (compaction folds them into a
+    ``stream_batch_ids`` list — ids are identities, never summed);
+    a replayed batch id that is already committed is skipped.  The
+    committed-id set is loaded from the manifests ONCE per writer and
+    maintained in the closure, so the per-batch check is O(1), not
+    O(snapshots) manifest reads per batch (review r5 #3).
+
+    Bucketing (review r5 #3): the SAME salt rule as the batch job —
+    ``pipeline.with_salt_bucket`` with the giant-doc sparse tier —
+    and the TABLE'S recorded layout wins over the ``n_buckets``
+    argument, exactly like ``run_extraction_job``'s resume-layout
+    contract, so a stream-fed table and a batch-fed table are the
+    same kind of table (batch appends, resume pruning, and
+    bucket-pruned reads all stay coherent)."""
+    from ..pipeline import (
+        GIANT_BUCKET_SPACE, GIANT_DOC_CHARS, with_salt_bucket,
+    )
     from ..plans.icelite import IceliteTable
+
+    seen: set = set()
+    state = {"loaded": False}
 
     def write_batch(df: DataFrame, batch_id: int) -> None:
         table = IceliteTable(table_path)
-        committed = {
-            s.get("metrics", {}).get("stream_batch_id")
-            for s in table.snapshots()
-        }
-        if batch_id in committed:
+        if not state["loaded"]:
+            for s in table.snapshots():
+                m = s.get("metrics") or {}
+                if "stream_batch_id" in m:
+                    seen.add(m["stream_batch_id"])
+                seen.update(m.get("stream_batch_ids") or [])
+            state["loaded"] = True
+        if batch_id in seen:
             return  # replay of an already-committed batch
-        salted = df.withColumn(
-            "bucket",
-            F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_buckets)).cast("int"),
-        )
-        table.commit_append(
-            salted,
-            metrics={"stream_batch_id": batch_id},
-            partitioning={"n_buckets": n_buckets, "scheme": "xxhash64_pmod"},
-        )
+        recorded = table.partitioning()
+        nb = n_buckets
+        if recorded is not None:
+            if (
+                recorded.get("giant_bucket_space"),
+                recorded.get("giant_doc_chars"),
+            ) != (GIANT_BUCKET_SPACE, GIANT_DOC_CHARS):
+                raise ValueError(
+                    f"stream layout mismatch: table {table_path} was "
+                    f"committed with giant-doc tier {recorded}, but this "
+                    f"build uses {GIANT_BUCKET_SPACE}/{GIANT_DOC_CHARS}"
+                )
+            nb = int(recorded["n_buckets"])
+        layout = {
+            "n_buckets": nb,
+            "giant_bucket_space": GIANT_BUCKET_SPACE,
+            "giant_doc_chars": GIANT_DOC_CHARS,
+        }
+        # giant-doc weight: the EXTRACTED frame carries n_chars (its
+        # spans struct has no raw `text` field for the default weight
+        # inference); un-extracted feeds fall back to the plain salt
+        if "n_chars" in df.columns:
+            salted = with_salt_bucket(df, nb, weight=F.col("n_chars"))
+        else:
+            salted = with_salt_bucket(df, nb, spans_col=None)
+        if (
+            table.commit_append(
+                salted,
+                metrics={"stream_batch_id": batch_id},
+                partitioning=layout,
+            )
+            is not None
+        ):
+            seen.add(batch_id)
 
     return write_batch
 

@@ -370,3 +370,24 @@ def test_streaming_icelite_sink_exactly_once(spark, tmp_path):
     assert back.select("doc_id").distinct().count() == 13
     inc = t.read_incremental(spark, after_snapshot=first_tip)
     assert inc.count() == 5
+
+    # compaction folds the per-batch ids into stream_batch_ids (they
+    # are identities, never summed) — a replay AFTER compaction must
+    # still be a no-op through a fresh writer
+    assert t.compact(spark) is not None
+    folded = t.snapshots()[-1]["metrics"]["stream_batch_ids"]
+    assert replay_id in folded
+    icelite_batch_writer(tbl, n_buckets=8)(extract_stream(docs), replay_id)
+    assert t.read(spark).count() == 13
+
+    # the stream-created table is the SAME kind of table the batch
+    # job writes: a batch append (append mode, recorded layout reused)
+    # lands coherently on it
+    from mini_html_parser_spark.pipeline import run_extraction_job
+
+    more = spark.createDataFrame(generate_pandas(4, seed=42, start=100),
+                                 schema=DOCUMENTS_SCHEMA)
+    r = run_extraction_job(spark, more, tbl, mode="append")
+    assert r["snapshot"] is not None
+    assert t.read(spark).count() == 17
+    assert t.read(spark).select("doc_id").distinct().count() == 17
