@@ -663,3 +663,43 @@ def test_concurrent_evolve_conflict(spark, tmp_path):
     s = t.evolve(add_columns={"lang": "string"})
     assert s["schema_id"] == 2
     assert {f["name"] for f in s["fields"]} == {"doc_id", "text", "other", "lang"}
+
+
+def test_table_tool_cli(spark, tmp_path, capsys):
+    """jobs/table_tool.py end-to-end: info/history are metadata-only,
+    evolve commits a schema version, compact folds snapshots — each
+    printing one JSON report line."""
+    import json as _json
+    import sys as _sys
+
+    _sys.path.insert(0, "jobs")
+    import table_tool
+
+    tbl = str(tmp_path / "ops")
+    t = IceliteTable(tbl)
+    t.commit_append(_df(spark, 0, 30), metrics={"docs_parsed": 30})
+    t.commit_append(_df(spark, 30, 50))
+
+    def run(*argv):
+        assert table_tool.main(list(argv)) == 0
+        return _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    info = run(tbl, "info")
+    assert info["snapshots"] == 2 and info["total_rows"] == 50
+    assert info["schema_id"] == 0
+    assert "text:string" in info["columns"]
+
+    hist = run(tbl, "history")
+    assert [s["sequence"] for s in hist["snapshots"]] == [0, 1]
+    assert hist["snapshots"][0]["metrics"]["docs_parsed"] == 30
+
+    ev = run(tbl, "evolve", "--add", "lang:string", "--rename", "text:body")
+    assert ev["schema_id"] == 1 and "body:string" in ev["columns"]
+    assert "lang:string" in ev["columns"]
+
+    comp = run(tbl, "compact")
+    assert comp["compacted"] and comp["rows"] == 50 and comp["folded"] == 2
+    assert len(t.snapshots()) == 1
+    # evolved + compacted table still reads under the unified schema
+    back = t.read(spark)
+    assert back.count() == 50 and "body" in back.columns
