@@ -311,3 +311,28 @@ def gpt2_token_counts(
     # parquet input scans as 1-2 partitions and would serialize the
     # merge loop on 2 cores (CLAUDE.md invariant; dedup._spread)
     return _spread(df).withColumn("gpt2_tokens", count(F.col(text_col)))
+
+
+def save_gpt2_merges(merges, path: str) -> None:
+    """Inverse of :func:`load_gpt2_merges`: write a merge table in the
+    standard ``merges.txt`` format (header line + one ``x y`` pair per
+    rank).  Closes the train→export→exact-tokenizer loop: a table
+    learned from the corpus (``bpe.learn_bpe``) — or the embedded
+    illustrative one — round-trips through the SAME file format every
+    public byte-level-BPE release ships, so downstream tooling that
+    consumes merges.txt needs no special case.  Symbols containing a
+    space or newline cannot be represented in the format and are
+    refused (byte-level tables never contain them — that is the whole
+    point of the bytes→unicode mapping)."""
+    lines = ["#version: 0.2 (mini-html-parser-spark export)"]
+    for x, y in merges:
+        if " " in x or " " in y or "\n" in x or "\n" in y:
+            raise ValueError(
+                f"merge pair {(x, y)!r} contains a space/newline and "
+                "cannot be written in merges.txt format; map symbols "
+                "through bytes_to_unicode() first (byte-level tables "
+                "are always representable)"
+            )
+        lines.append(f"{x} {y}")
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("\n".join(lines) + "\n")

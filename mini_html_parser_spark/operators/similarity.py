@@ -577,3 +577,49 @@ def ivfpq_topk(
         .orderBy(F.asc("adc_dist"), F.asc(id_col))
         .limit(k)
     )
+
+
+def batch_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k for a BATCH of query vectors in ONE corpus
+    pass — the production retrieval shape (serving and hard-negative
+    mining score thousands of queries; calling a single-query top-k Q
+    times rescans the corpus Q times).
+
+    Plan: the query batch broadcasts (it is small by construction);
+    the corpus scans once, scoring every (query, vector) pair with
+    the same JVM ``aggregate``/``zip_with`` cosine as
+    :func:`brute_force_topk`; per-query top-k is a rank window over
+    SLIM (query_id, vec_id, cosine) rows — the only shuffle carries
+    ~24 bytes/row × Q·N, never the vectors.  Ties broken by ascending
+    id, matching the single-query operator exactly (which is also
+    what makes the DuckDB oracle a plain window expression).
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(query_id_col).alias("_qid"),
+        F.col(query_vec_col).cast("array<double>").alias("_qvec"),
+    )
+    scored = df.crossJoin(F.broadcast(q)).select(
+        F.col("_qid").alias(query_id_col),
+        F.col(id_col),
+        F.round(
+            cosine_col(F.col(vec_col).cast("array<double>"), F.col("_qvec")), 6
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

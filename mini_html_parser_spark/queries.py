@@ -915,6 +915,40 @@ ORDER BY cosine DESC, vec_id ASC LIMIT 10
 """
 
 
+def q_similarity_batch_topk(spark, sf_dir):
+    """Batched exact retrieval (round 5): three query vectors drawn
+    from the corpus itself score the whole embeddings table in ONE
+    pass (broadcast query batch + slim rank window) — the production
+    serving/hard-negative-mining shape; calling the single-query
+    operator Q times would rescan the corpus Q times.  Tie order
+    (cosine DESC, vec_id ASC on the 6-dp rounded value) matches the
+    single-query operator, so the oracle is a plain window."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qs = emb.filter(F.col("vec_id").isin(1, 5, 9)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.batch_topk(emb, qs, k=5)
+    return out.select("query_id", "vec_id", "cosine")
+
+
+ORACLE_SIMILARITY_BATCH = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id IN (1, 5, 9)
+), s AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6)
+           AS cosine
+  FROM embeddings e CROSS JOIN q
+), r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rk
+  FROM s
+)
+SELECT query_id, vec_id, cosine FROM r WHERE rk <= 5
+"""
+
+
 def q_similarity_lsh(spark, sf_dir):
     """ANN top-k with planted neighbors: 10 exact copies of the query
     vector (vec_id 1e6..1e6+9).  Identical vectors land in the query's
@@ -2488,12 +2522,13 @@ FROM c
 # green (CORRECTNESS_r04: 49/50) moves to the tail; every tail entry
 # additionally has an independent pytest (dedicated operator tests,
 # planted-parity tests) and a full check_oracles.py re-run each
-# round.  Authoritative count this round: 74 queries, 74 oracles
+# round.  Authoritative count this round: 75 queries, 75 oracles
 # (no rows-only entries remain) — COVERAGE.md carries the same
 # number.
 QUERIES = {
-    # NEW this round (insert-at-top rule): bloom-prefiltered ingest
+    # NEW this round (insert-at-top rule)
     "dedup_incremental_bloom": q_dedup_incremental_bloom,
+    "similarity_batch_topk": q_similarity_batch_topk,
     # ---- rotated back into the sweep window (last driver record r03;
     # judge-green in r4 via check_oracles.py) ----
     "pipeline_pack_corpus": q_pipeline_pack_corpus,
@@ -2607,6 +2642,7 @@ ORACLES = {
     "dedup_incremental_bloom": ORACLE_DEDUP_INCREMENTAL,  # provably same result
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "similarity_bruteforce_topk": ORACLE_SIMILARITY,
+    "similarity_batch_topk": ORACLE_SIMILARITY_BATCH,
     "lang_id_heuristic": ORACLE_LANG_ID,
     "quality_scores": ORACLE_QUALITY,
     "quality_classifier": ORACLE_QUALITY_CLASSIFIER,

@@ -146,3 +146,20 @@ def test_spark_token_counts_parity(spark):
     }
     want = {i: gpt2_count_tokens(t, tuple(ILLUSTRATIVE_MERGES)) for i, t in rows}
     assert got == want
+
+
+def test_save_merges_roundtrip(tmp_path):
+    """save_gpt2_merges ↔ load_gpt2_merges round trip in the standard
+    format, for the embedded table and a corpus-learned one."""
+    from mini_html_parser_spark.operators.gpt2_bpe import save_gpt2_merges
+
+    p = str(tmp_path / "merges.txt")
+    save_gpt2_merges(ILLUSTRATIVE_MERGES, p)
+    assert load_gpt2_merges(p) == [tuple(m) for m in ILLUSTRATIVE_MERGES]
+    # tokenization through the round-tripped table is identical
+    loaded = load_gpt2_merges(p)
+    for s in ["hello the world", " it's 123  zq!"]:
+        assert gpt2_encode(s, loaded) == gpt2_encode(s)
+    # unrepresentable symbols are refused, not silently corrupted
+    with pytest.raises(ValueError, match="merges.txt format"):
+        save_gpt2_merges([("a b", "c")], str(tmp_path / "bad.txt"))
