@@ -110,6 +110,20 @@ def test_pdf_python_stages_are_spread(spark, sf_exists):
         assert "RoundRobinPartitioning" in below, plan
 
 
+def test_batch_topk_broadcasts_queries(spark, sf_exists):
+    """Batched retrieval: the query batch must BROADCAST (nested-loop
+    join, no shuffle of the corpus vectors) and the only exchanges
+    feed the slim per-query rank window — the corpus embeddings scan
+    happens exactly once on the scoring path."""
+    from mini_html_parser_spark.queries import q_similarity_batch_topk
+
+    plan = _plan(q_similarity_batch_topk(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange") <= 2, plan  # broadcast + window hash
+    assert "Window" in plan
+
+
 def test_dedup_substring_partial_agg_shape(spark, sf_exists):
     """The Lee-et-al substring dedup must keep its ONE-groupBy shape
     with map-side partial min/max(doc) over gram hashes: hot grams
