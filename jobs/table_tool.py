@@ -72,8 +72,14 @@ def main(argv=None) -> int:
         return 0
 
     if args.command == "evolve":
-        add = dict(a.split(":", 1) for a in args.add)
-        rename = dict(r.split(":", 1) for r in args.rename)
+        def pair(opt, spec):
+            k, sep, v = spec.partition(":")
+            if not sep or not k or not v:
+                p.error(f"{opt} expects NAME:VALUE, got {spec!r}")
+            return k, v
+
+        add = dict(pair("--add", a) for a in args.add)
+        rename = dict(pair("--rename", r) for r in args.rename)
         if not add and not rename:
             p.error("evolve needs at least one --add or --rename")
         schema = t.evolve(add_columns=add or None, rename_columns=rename or None)

@@ -161,9 +161,15 @@ def load_gpt2_merges(path: str) -> list[tuple[str, str]]:
     shipped with every public byte-level-BPE release."""
     merges: list[tuple[str, str]] = []
     with open(path, encoding="utf-8") as f:
-        for line in f:
+        for i, line in enumerate(f):
             line = line.rstrip("\n")
-            if not line or line.startswith("#"):
+            # header: FIRST line only, "#version..." (the released
+            # convention).  Skipping every '#'-prefixed line silently
+            # dropped legitimate byte-level merges like ('#', '#') —
+            # '#' maps to itself in bytes_to_unicode, so corpus-learned
+            # tables over markdown-ish text genuinely contain them
+            # (review r5 #4: a vanished merge shifts every later rank)
+            if not line or (i == 0 and line.startswith("#version")):
                 continue
             x, _, y = line.partition(" ")
             if y:

@@ -604,15 +604,23 @@ def batch_topk(
     """
     from pyspark.sql import Window
 
+    from .dedup import _spread
+
     q = queries.select(
-        F.col(query_id_col).alias("_qid"),
-        F.col(query_vec_col).cast("array<double>").alias("_qvec"),
+        F.col(query_id_col).alias("__bt_qid"),
+        F.col(query_vec_col).cast("array<double>").alias("__bt_qvec"),
     )
-    scored = df.crossJoin(F.broadcast(q)).select(
-        F.col("_qid").alias(query_id_col),
+    # project the corpus down to (id, vec) BEFORE the join (no column
+    # collisions with the internal names, and nothing wider rides the
+    # scoring stage), and _spread it: the Q×dim cosine work otherwise
+    # runs inside the parquet scan's stage — a single small file = 1-2
+    # busy cores (the CLAUDE.md scan-stage invariant)
+    corpus = _spread(df.select(F.col(id_col), F.col(vec_col)))
+    scored = corpus.crossJoin(F.broadcast(q)).select(
+        F.col("__bt_qid").alias(query_id_col),
         F.col(id_col),
         F.round(
-            cosine_col(F.col(vec_col).cast("array<double>"), F.col("_qvec")), 6
+            cosine_col(F.col(vec_col).cast("array<double>"), F.col("__bt_qvec")), 6
         ).alias("cosine"),
     )
     w = Window.partitionBy(query_id_col).orderBy(

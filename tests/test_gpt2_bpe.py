@@ -156,6 +156,13 @@ def test_save_merges_roundtrip(tmp_path):
     p = str(tmp_path / "merges.txt")
     save_gpt2_merges(ILLUSTRATIVE_MERGES, p)
     assert load_gpt2_merges(p) == [tuple(m) for m in ILLUSTRATIVE_MERGES]
+    # '#'-initial merges are legitimate byte-level symbols (markdown
+    # corpora learn ('#','#')) — only the FIRST #version line is a
+    # header, so these must survive the round trip (review r5)
+    hashy = [("#", "#"), ("a", "b"), ("##", "#")]
+    p2 = str(tmp_path / "hashy.txt")
+    save_gpt2_merges(hashy, p2)
+    assert load_gpt2_merges(p2) == hashy
     # tokenization through the round-tripped table is identical
     loaded = load_gpt2_merges(p)
     for s in ["hello the world", " it's 123  zq!"]:

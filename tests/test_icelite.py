@@ -672,8 +672,12 @@ def test_table_tool_cli(spark, tmp_path, capsys):
     import json as _json
     import sys as _sys
 
-    _sys.path.insert(0, "jobs")
-    import table_tool
+    jobs_dir = os.path.join(os.path.dirname(__file__), "..", "jobs")
+    _sys.path.insert(0, jobs_dir)
+    try:
+        import table_tool
+    finally:
+        _sys.path.remove(jobs_dir)
 
     tbl = str(tmp_path / "ops")
     t = IceliteTable(tbl)

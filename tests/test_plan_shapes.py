@@ -120,8 +120,10 @@ def test_batch_topk_broadcasts_queries(spark, sf_exists):
     plan = _plan(q_similarity_batch_topk(spark, SF))
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
-    assert plan.count("Exchange") <= 2, plan  # broadcast + window hash
-    assert "Window" in plan
+    # broadcast + scoring-stage spread + window hash
+    assert plan.count("Exchange") <= 3, plan
+    assert "RoundRobinPartitioning" in plan  # Q×N scoring never sits
+    assert "Window" in plan                  # in a 1-2 partition scan
 
 
 def test_dedup_substring_partial_agg_shape(spark, sf_exists):
