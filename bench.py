@@ -303,6 +303,21 @@ def main() -> None:
                 F.sum("n_chars").alias("chars"),
             ).collect()[0]
 
+        # parse-only decomposition: record the WARC record-walk rate
+        # separately so a future ingest regression is attributable to
+        # parse vs kernel without a profiling session
+        def run_warc_parse():
+            return (
+                read_warc(spark, warc_dir, repartition_files=n_seg)
+                .select(F.count(F.lit(1)).alias("pages"))
+                .collect()[0]
+            )
+
+        timed_ext("warc_parse_only", run_warc_parse)
+        extras["warc_parse_mb_per_sec"] = round(
+            wm["raw_html_bytes"] / 1e6 / extended["warc_parse_only"], 2
+        )
+
         wrow = timed_ext("warc_ingest_extract", run_warc)
         wt = extended["warc_ingest_extract"]
         extras["warc_pages"] = int(wrow["docs"])
