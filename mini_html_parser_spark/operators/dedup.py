@@ -762,7 +762,11 @@ def build_text_bloom(
     batch's bitmap — the icelite pattern), never rebuilt."""
     import numpy as np
 
-    m = int(n_bits)
+    # the bitmap is m//8 BYTES but positions range over [0, m): for
+    # m % 8 != 0 a position in the final partial byte would index out
+    # of bounds inside the executor UDF (ADVICE r5) — round m up to a
+    # byte multiple (a few extra always-zero bits only lower the fpp)
+    m = (int(n_bits) + 7) & ~7
     hashes = _spread(corpus_df).select(
         F.xxhash64(F.col(text_col)).alias("h1"),
         F.xxhash64(F.col(text_col), F.lit(1)).alias("h2"),

@@ -58,7 +58,16 @@ class IceliteTable:
         # compacted manifest is durable, so on a re-list the compacted
         # manifest is visible and the history is complete — retry the
         # scan rather than returning a partial (gap-sequenced) view.
-        for _attempt in range(5):
+        # A short backoff between attempts lets the remover finish its
+        # loop; if the scan is STILL incomplete after the budget, raise
+        # instead of returning a partial view that could silently miss
+        # committed data (ADVICE r5, medium).
+        import time as _time
+
+        complete = False
+        for attempt in range(5):
+            if attempt:
+                _time.sleep(0.05 * attempt)
             snaps = []
             complete = True
             for name in sorted(os.listdir(self.manifest_dir)):
@@ -71,6 +80,13 @@ class IceliteTable:
                         break
             if complete:
                 break
+        if not complete:
+            raise RuntimeError(
+                f"icelite table {self.path}: manifest scan still "
+                "incomplete after 5 attempts (a concurrent compact() is "
+                "removing superseded manifests faster than we can list); "
+                "retry the read"
+            )
         floor = max(
             (s["sequence"] for s in snaps if s.get("compacted")), default=None
         )

@@ -132,12 +132,20 @@ def streaming_sessionize(
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    # state/gap arithmetic is in MILLISECONDS (ADVICE r5: whole-second
+    # flooring silently broke batch↔stream parity for sub-second event
+    # times — the batch sessionizer keeps full timestamp precision).
+    # ms matches the timeout API's unit; sub-ms components are beyond
+    # the parity contract (parquet event feeds here are µs-truncated
+    # to ms by the feed generator, and state stays one long per field).
+    gap_ms = gap_sec * 1000
+
     def sessionize_fn(key, pdfs, state: GroupState):
         def emit(start, last, n):
             return {
                 "user_id": key[0],
-                "session_start": pd.Timestamp(start, unit="s"),
-                "session_end": pd.Timestamp(last, unit="s"),
+                "session_start": pd.Timestamp(start, unit="ms"),
+                "session_end": pd.Timestamp(last, unit="ms"),
                 "n_events": int(n),
             }
 
@@ -152,7 +160,7 @@ def streaming_sessionize(
         if rows.empty:
             return  # nothing new; keep existing state + timeout as-is
         ts = (
-            rows[ts_col].sort_values().astype("int64") // 1_000_000_000
+            rows[ts_col].sort_values().astype("int64") // 1_000_000
         ).tolist()
         if state.exists:
             start, last, n = state.get
@@ -160,7 +168,7 @@ def streaming_sessionize(
             start, last, n = ts[0], ts[0] - 1, 0  # sentinel: no open session yet
         out = []
         for t in ts:
-            if n and t - last > gap_sec:
+            if n and t - last > gap_ms:
                 out.append(emit(start, last, n))
                 start, n = t, 0
             # an out-of-order event within the watermark allowance
@@ -179,7 +187,7 @@ def streaming_sessionize(
         state.update((int(start), int(last), int(n)))
         # event-time timeout: fire when the watermark passes the gap
         # horizon of the open session (epoch MILLIS per the API)
-        state.setTimeoutTimestamp((last + gap_sec) * 1000)
+        state.setTimeoutTimestamp(last + gap_ms)
         if out:
             yield pd.DataFrame(out)
 

@@ -1688,7 +1688,9 @@ def test_dedup_against_bloom_exact_equivalence(spark):
     )
     plain = {(r["doc_id"], r["text"])
              for r in dedup.dedup_against(batch, corpus).collect()}
-    for n_bits in (1 << 13, 1 << 20):   # 1 KB (FP-heavy) and 128 KB
+    # 8191: NOT a byte multiple — build must round m up instead of
+    # letting final-partial-byte positions index out of bounds
+    for n_bits in (1 << 13, 1 << 20, 8191):   # 1 KB (FP-heavy), 128 KB, odd
         bloomed = {(r["doc_id"], r["text"])
                    for r in dedup.dedup_against_bloom(
                        batch, corpus, n_bits=n_bits).collect()}

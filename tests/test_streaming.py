@@ -168,10 +168,16 @@ def test_streaming_sessionize_batch_parity(spark, tmp_path):
         )
         q.awaitTermination(120)
 
-    # u1: three sessions ([10:00-10:20]x3, [11:30-11:40]x2, [13:00]x1)
-    # u2: three single-event sessions (gaps 55 and 45 min > 30)
-    wave1 = [("u1", (10, 0)), ("u1", (10, 10)), ("u1", (10, 20)),
-             ("u1", (11, 30)), ("u2", (10, 5)), ("u2", (11, 0))]
+    # u1: three sessions ([10:00-10:20.75]x3, [11:30-11:40]x2, [13:00]x1)
+    # u2: three single-event sessions (gaps ~55 and 45 min > 30)
+    # sub-second components on session-boundary events (10:20:00.750,
+    # 10:05:00.250): the emitted session_start/session_end must carry
+    # them byte-for-byte like the batch min/max(ts) does — ADVICE r5
+    # caught the stream flooring to whole seconds.  They sit well clear
+    # of the 1800 s gap boundary, so gap decisions agree regardless of
+    # the engines' gap-arithmetic precision (ms stream vs s batch).
+    wave1 = [("u1", (10, 0)), ("u1", (10, 10)), ("u1", (10, 20, 0, 750000)),
+             ("u1", (11, 30)), ("u2", (10, 5, 0, 250000)), ("u2", (11, 0))]
     # wave 2 events all sit ABOVE wave 1's checkpointed watermark
     # (11:30 - 10 min = 11:20) or they would be dropped as late.
     # u1@11:25 is OUT OF ORDER (earlier than u1's open-session start
