@@ -115,6 +115,36 @@ def main() -> None:
 
     idle_gate = await_idle(IDLE_THRESHOLD, IDLE_TIMEOUT_SEC, IDLE_POLL_SEC)
 
+    # Untimed warm-up on DIFFERENT-SIZE plans (VERDICT r5 #7): the
+    # first sample of a cold query otherwise pays JVM JIT +
+    # python-worker pool spin-up + codegen compilation (sidecar r5
+    # showed 1.5-2× first-sample skew), and the CLAUDE.md
+    # shuffle-reuse rule forbids warming on a measured plan itself —
+    # so touch the same engine paths (mapInPandas extraction, shuffle
+    # agg, broadcast join, pandas UDF workers) at a size none of the
+    # timed queries use.
+    def _warm_up():
+        wd = generate_documents(
+            spark, max(256, N_SYNTH_DOCS // 16), partitions=CPUS
+        )
+        extract_documents(wd, "boilerplate_strip").write.format(
+            "noop"
+        ).mode("overwrite").save()
+        small = spark.range(0, 200_000).select(
+            "id",
+            F.pmod("id", F.lit(97)).alias("k"),
+            (F.col("id") % 7).alias("v"),
+        )
+        dim = spark.range(0, 97).select(
+            F.col("id").alias("k"), F.lit("x").alias("tag")
+        )
+        small.join(F.broadcast(dim), "k").groupBy("tag").agg(
+            F.percentile_approx("v", 0.5)
+        ).collect()
+        spark.catalog.clearCache()
+
+    _warm_up()
+
     timings: dict[str, float] = {}
     extras: dict = {}
     samples: dict[str, list[float]] = {}
@@ -362,6 +392,7 @@ def main() -> None:
         "synth_docs": N_SYNTH_DOCS,
         **extras,
         "idle_gate": idle_gate,
+        "warmup": "untimed different-size extraction+agg+broadcast (r6)",
         "loadavg_end_1min": round(load_end[0], 2),
         "noise_evidence": "BENCH/last_run_samples.json",
     }))

@@ -759,7 +759,9 @@ def build_text_bloom(
     with a two-level treeAggregate instead); size ``n_bits ≈ 10×``
     the corpus cardinality for ~1% false positives.  In production
     the bitmap is maintained INCREMENTALLY (OR in each ingested
-    batch's bitmap — the icelite pattern), never rebuilt."""
+    batch's bitmap — :func:`bloom_accumulate` is that increment; the
+    streaming icelite dedup sink maintains its bitmap with it), never
+    rebuilt."""
     import numpy as np
 
     # the bitmap is m//8 BYTES but positions range over [0, m): for
@@ -767,7 +769,27 @@ def build_text_bloom(
     # of bounds inside the executor UDF (ADVICE r5) — round m up to a
     # byte multiple (a few extra always-zero bits only lower the fpp)
     m = (int(n_bits) + 7) & ~7
-    hashes = _spread(corpus_df).select(
+    merged = np.zeros(m // 8, dtype=np.uint8)
+    bloom_accumulate(merged, corpus_df, text_col=text_col, k=k)
+    return merged.tobytes(), m, k
+
+
+def bloom_accumulate(
+    bitmap, df: DataFrame, text_col: str = "text", k: int = 5
+) -> None:
+    """OR ``df``'s text hashes into an EXISTING bitmap in place — the
+    incremental-maintenance primitive behind :func:`build_text_bloom`
+    (which seeds a zero bitmap and calls this once).  A long-lived
+    ingest keeps one bitmap and accumulates each committed batch into
+    it instead of rebuilding from the corpus, so per-batch cost is
+    O(batch), never O(corpus).  ``m`` is the bitmap's own bit length
+    (callers keep the bitmap byte-aligned and ``k`` fixed for its
+    lifetime — same double-hashing construction as the builder)."""
+    import numpy as np
+
+    m = len(bitmap) * 8
+
+    hashes = _spread(df).select(
         F.xxhash64(F.col(text_col)).alias("h1"),
         F.xxhash64(F.col(text_col), F.lit(1)).alias("h2"),
     )
@@ -792,10 +814,8 @@ def build_text_bloom(
         if any_rows:
             yield pd.DataFrame({"bm": [bits.tobytes()]})
 
-    merged = np.zeros(m // 8, dtype=np.uint8)
     for row in hashes.mapInPandas(part_bitmap, "bm binary").toLocalIterator():
-        merged |= np.frombuffer(row["bm"], dtype=np.uint8)
-    return merged.tobytes(), m, k
+        bitmap |= np.frombuffer(row["bm"], dtype=np.uint8)
 
 
 def dedup_against_bloom(
@@ -806,6 +826,7 @@ def dedup_against_bloom(
     within_batch: bool = True,
     n_bits: int = 1 << 23,
     k: int = 5,
+    bloom: tuple | None = None,
 ) -> DataFrame:
     """:func:`dedup_against` with a broadcast Bloom prefilter — the
     100-TB daily-ingest shape.  The corpus is summarized ONCE into a
@@ -817,10 +838,21 @@ def dedup_against_bloom(
     that join can be pre-pruned the same way.  The survivor set is
     PROVABLY identical to :func:`dedup_against` (the bloom only
     routes rows; exactness comes from the md5 join) — which is what
-    lets the same closed-form oracle check both paths."""
+    lets the same closed-form oracle check both paths.
+
+    ``bloom`` = a precomputed ``(bitmap_bytes, m, k)`` triple — a
+    caller that maintains the bitmap incrementally across ingests
+    (:func:`bloom_accumulate`; the streaming icelite dedup sink)
+    passes it here and skips the O(corpus) build.  The bitmap may be
+    a SUPERSET of the corpus (stale-but-inclusive after takedowns):
+    extra bits only send more rows to the exact join, never change
+    the result."""
     import numpy as np
 
-    bm_bytes, m, kk = build_text_bloom(corpus_df, text_col, n_bits, k)
+    if bloom is not None:
+        bm_bytes, m, kk = bloom
+    else:
+        bm_bytes, m, kk = build_text_bloom(corpus_df, text_col, n_bits, k)
     spark = new_df.sparkSession
     bm_bc = spark.sparkContext.broadcast(bm_bytes)
 

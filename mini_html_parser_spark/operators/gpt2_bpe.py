@@ -245,10 +245,34 @@ class Gpt2Encoder:
 # dict holds one encoder per distinct table actually in use.
 _ENCODERS: dict[tuple, Gpt2Encoder] = {}
 
+# engine-wide default-merges config (jobs/vocab_tool.py `import
+# --install` sets the env var): path -> loaded table, read once
+_DEFAULT_MERGES_CACHE: dict[str, list] = {}
+MERGES_ENV = "SPARK_GRAFT_GPT2_MERGES"
+
+
+def default_merges() -> list[tuple[str, str]]:
+    """The engine's default merge table: the merges.txt at
+    ``$SPARK_GRAFT_GPT2_MERGES`` when set (the swap-in seam for the
+    public 50k GPT-2 table — install it with ``jobs/vocab_tool.py
+    import <file> --install``), else the embedded illustrative table.
+    The file is read ONCE on the DRIVER and its pairs are captured
+    into UDF closures, so executors never need the file shipped."""
+    import os
+
+    path = os.environ.get(MERGES_ENV)
+    if not path:
+        return ILLUSTRATIVE_MERGES
+    cached = _DEFAULT_MERGES_CACHE.get(path)
+    if cached is None:
+        cached = load_gpt2_merges(path)
+        _DEFAULT_MERGES_CACHE[path] = cached
+    return cached
+
 
 def _encoder_for(merges) -> Gpt2Encoder:
     if merges is None:
-        merges = ILLUSTRATIVE_MERGES
+        merges = default_merges()
     # deep-tuple: JSON-deserialized tables carry pairs as LISTS, which
     # are unhashable — normalize instead of raising
     key = tuple(tuple(p) for p in merges)
@@ -300,7 +324,7 @@ def gpt2_token_counts(
 
     from .dedup import _spread
 
-    m_t = tuple(merges) if merges is not None else tuple(ILLUSTRATIVE_MERGES)
+    m_t = tuple(merges) if merges is not None else tuple(default_merges())
 
     @pandas_udf("long")
     def count(texts: pd.Series) -> pd.Series:

@@ -1305,7 +1305,7 @@ def q_token_counts_gpt2(spark, sf_dir):
     ranks for production use; exotic-text behavior is pinned by
     tests/test_gpt2_bpe.py (bijection, pretokenizer-vs-released-
     pattern, hand-computed merges)."""
-    from .operators.gpt2_bpe import gpt2_token_counts
+    from .operators.gpt2_bpe import ILLUSTRATIVE_MERGES, gpt2_token_counts
 
     planted = _docs(spark, sf_dir).select(
         "doc_id",
@@ -1317,7 +1317,11 @@ def q_token_counts_gpt2(spark, sf_dir):
             F.expr("repeat('  zq!', CAST(doc_id % 2 AS INT))"),
         ).alias("text"),
     )
-    out = gpt2_token_counts(planted)
+    # the oracle's closed-form counts are derived for ILLUSTRATIVE
+    # ranks — pin them explicitly so an env-installed production table
+    # (gpt2_bpe.default_merges / vocab_tool import) can't shift the
+    # planted counts out from under the hash
+    out = gpt2_token_counts(planted, merges=ILLUSTRATIVE_MERGES)
     return out.select("doc_id", "gpt2_tokens")
 
 
@@ -2503,6 +2507,98 @@ FROM c
 
 
 # =========================================================================
+# icelite table layer: row-level deletes / MERGE + stats pruning (round 6)
+# =========================================================================
+
+
+def q_icelite_delete_read(spark, sf_dir):
+    """Row-level deletes + MERGE through the icelite table layer
+    (round 6, VERDICT r5 #1): the documents table is committed to a
+    throwaway icelite table, ``doc_id % 10 == 3`` is retracted by an
+    equality-delete commit (the PII-takedown shape — no data
+    rewrite), and ``doc_id % 10 == 4`` is atomically UPSERTED via
+    ``merge()`` with a recrawled text.  The read path anti-joins the
+    delete files (broadcast) and the merge's own rows survive its
+    delete (Iceberg's strictly-lower-sequence rule); the oracle
+    states the resulting end state relationally."""
+    import shutil
+    import tempfile
+
+    from .plans.icelite import IceliteTable
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+    tmp = tempfile.mkdtemp(prefix="icelite_delete_q_")
+    try:
+        t = IceliteTable(os.path.join(tmp, "tbl"))
+        bucket = F.pmod(F.col("doc_id"), F.lit(8)).cast("int")
+        t.commit_append(docs.withColumn("bucket", bucket))
+        t.commit_delete(
+            docs.filter(F.col("doc_id") % 10 == 3).select("doc_id")
+        )
+        recrawl = (
+            docs.filter(F.col("doc_id") % 10 == 4)
+            .select(
+                "doc_id",
+                F.concat(F.lit("recrawl: "), F.col("text")).alias("text"),
+                "lang",
+            )
+            .withColumn("bucket", bucket)
+        )
+        t.merge(recrawl, key_col="doc_id")
+        out = t.read(spark).select("doc_id", "text", "lang")
+        # the table dir is removed on return: pin the result rows in
+        # block storage first (the driver collects later)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+ORACLE_ICELITE_DELETE = """
+SELECT doc_id,
+       CASE WHEN doc_id % 10 = 4 THEN 'recrawl: ' || text ELSE text END
+         AS text,
+       lang
+FROM documents
+WHERE doc_id % 10 <> 3
+"""
+
+
+def q_icelite_stats_prune(spark, sf_dir):
+    """File-level column-stats pruning (round 6, VERDICT r5 #2): the
+    corpus is committed with lang-correlated buckets so each data
+    file covers one language; ``read(prune=[("lang","=","en")])``
+    drops every other file at the MANIFEST level (the shrunken
+    inputFiles list is pinned in pytest), and the residual row filter
+    makes the result exact — identical to the plain relational filter
+    the oracle states."""
+    import shutil
+    import tempfile
+
+    from .plans.icelite import IceliteTable
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "lang", "n_chars")
+    tmp = tempfile.mkdtemp(prefix="icelite_prune_q_")
+    try:
+        t = IceliteTable(os.path.join(tmp, "tbl"))
+        salted = docs.withColumn(
+            "bucket", F.pmod(F.xxhash64("lang"), F.lit(8)).cast("int")
+        )
+        t.commit_append(salted)
+        pruned = t.read(spark, prune=[("lang", "=", "en")])
+        out = pruned.filter(F.col("lang") == "en").select(
+            "doc_id", "lang", "n_chars"
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+ORACLE_ICELITE_PRUNE = """
+SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en'
+"""
+
+
+# =========================================================================
 # Registry
 # =========================================================================
 
@@ -2513,24 +2609,48 @@ FROM c
 # changes, or whose oracle changes, moves to the TOP; entries past
 # the ~50-entry window rotate back into it the following round.
 #
-# Round-5 rotation: the 23 entries the r4 sweep could not reach
-# (pipeline_pack_corpus, fingerprint, the relational B9-B23 family,
-# and the extract_* family — all judge-green via check_oracles.py in
-# r4 and pinned by byte-for-byte pytest goldens) lead, followed by
-# token_counts_gpt2 (query + NEW planted oracle this round — the one
-# r4 `no_oracle` row).  The family the r4 driver sweep just recorded
-# green (CORRECTNESS_r04: 49/50) moves to the tail; every tail entry
-# additionally has an independent pytest (dedicated operator tests,
-# planted-parity tests) and a full check_oracles.py re-run each
-# round.  Authoritative count this round: 75 queries, 75 oracles
-# (no rows-only entries remain) — COVERAGE.md carries the same
-# number.
+# Round-6 rotation (VERDICT r5 #5): the 22-entry r5 tail
+# (events/multimodal/dedup_substring/quality families — last
+# driver-recorded r04, judge-green via check_oracles.py in r5)
+# rotates back into the window, led by the two NEW round-6 entries
+# (icelite_delete_read, icelite_stats_prune).  The entries the r05
+# driver sweep just recorded green move toward the tail; every tail
+# entry additionally has an independent pytest and a full
+# check_oracles.py re-run each round.  Authoritative count this
+# round: 77 queries, 77 oracles (no rows-only entries) — COVERAGE.md
+# carries the same number.
 QUERIES = {
     # NEW this round (insert-at-top rule)
+    "icelite_delete_read": q_icelite_delete_read,
+    "icelite_stats_prune": q_icelite_stats_prune,
+    # ---- rotated back into the sweep window (last driver record r04;
+    # judge-green in r5 via check_oracles.py) ----
+    "events_window_agg": q_events_window_agg,
+    "events_sessionize": q_events_sessionize,
+    "events_asof_join": q_events_asof_join,
+    "events_json_extract": q_events_json_extract,
+    "events_cube": q_events_cube,
+    "join_broadcast_revenue": q_join_broadcast_revenue,
+    "anti_join_resume": q_anti_join_resume,
+    "multimodal_features": q_multimodal_features,
+    "multimodal_resize": q_multimodal_resize,
+    "multimodal_frames": q_multimodal_frames,
+    "dedup_substring": q_dedup_substring,
+    "dedup_substring_removal": q_dedup_substring_removal,
+    "dedup_incremental": q_dedup_incremental,
+    "similarity_ivfpq_topk": q_similarity_ivfpq,
+    "quality_classifier": q_quality_classifier,
+    "gopher_rules": q_gopher_rules,
+    "temperature_resample": q_temperature_resample,
+    "perplexity_scores": q_perplexity_scores,
+    "media_text_pairs": q_media_text_pairs,
+    "url_filter": q_url_filter,
+    "dataset_card": q_dataset_card,
+    "pipeline_media_features": q_pipeline_media_features,
+    # ---- r05-recorded (CORRECTNESS_r05 50/50); stay in-window while
+    # slots remain ----
     "dedup_incremental_bloom": q_dedup_incremental_bloom,
     "similarity_batch_topk": q_similarity_batch_topk,
-    # ---- rotated back into the sweep window (last driver record r03;
-    # judge-green in r4 via check_oracles.py) ----
     "pipeline_pack_corpus": q_pipeline_pack_corpus,
     "fingerprint": q_fingerprint,
     # relational (B9–B23)
@@ -2557,9 +2677,9 @@ QUERIES = {
     "extract_density_prune": q_extract_density_prune,
     "extract_pdf": q_extract_pdf,
     "extract_pdf_interleaved": q_extract_pdf_interleaved,
-    # changed this round: planted closed-form oracle (VERDICT r4 #1)
     "token_counts_gpt2": q_token_counts_gpt2,
-    # training-data operators (r4-green; re-coverable in the window)
+    # ---- tail: recorded green in CORRECTNESS_r05 (50/50) AND pinned
+    # by dedicated pytests; rotate back per the rule above ----
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_candidates": q_dedup_minhash_candidates,
@@ -2587,33 +2707,11 @@ QUERIES = {
     "topk_per_group": q_topk_per_group,
     "neardup_survivors": q_neardup_survivors,
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
-    # ---- tail: recorded green in CORRECTNESS_r04 (49/50) AND pinned
-    # by dedicated pytests; rotate back per the rule above ----
-    "events_window_agg": q_events_window_agg,
-    "events_sessionize": q_events_sessionize,
-    "events_asof_join": q_events_asof_join,
-    "events_json_extract": q_events_json_extract,
-    "events_cube": q_events_cube,
-    "join_broadcast_revenue": q_join_broadcast_revenue,
-    "anti_join_resume": q_anti_join_resume,
-    "multimodal_features": q_multimodal_features,
-    "multimodal_resize": q_multimodal_resize,
-    "multimodal_frames": q_multimodal_frames,
-    "dedup_substring": q_dedup_substring,
-    "dedup_substring_removal": q_dedup_substring_removal,
-    "dedup_incremental": q_dedup_incremental,
-    "similarity_ivfpq_topk": q_similarity_ivfpq,
-    "quality_classifier": q_quality_classifier,
-    "gopher_rules": q_gopher_rules,
-    "temperature_resample": q_temperature_resample,
-    "perplexity_scores": q_perplexity_scores,
-    "media_text_pairs": q_media_text_pairs,
-    "url_filter": q_url_filter,
-    "dataset_card": q_dataset_card,
-    "pipeline_media_features": q_pipeline_media_features,
 }
 
 ORACLES = {
+    "icelite_delete_read": ORACLE_ICELITE_DELETE,
+    "icelite_stats_prune": ORACLE_ICELITE_PRUNE,
     "extract_flagship": ORACLE_FLAGSHIP,
     "extract_interleaved_media": ORACLE_INTERLEAVED,
     "extract_tag_histogram": ORACLE_TAG_HISTOGRAM,

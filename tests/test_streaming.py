@@ -397,3 +397,82 @@ def test_streaming_icelite_sink_exactly_once(spark, tmp_path):
     assert r["snapshot"] is not None
     assert t.read(spark).count() == 17
     assert t.read(spark).select("doc_id").distinct().count() == 17
+
+
+def test_streaming_corpus_dedup_beyond_ttl(spark, tmp_path):
+    """Cross-restart, cross-TTL exact streaming dedup (round 6,
+    VERDICT r5 #4): duplicates separated by restarts (the beyond-TTL
+    case — streaming_exact_dedup's state is gone) must still be
+    dropped, because the dedup horizon is the icelite table itself:
+    bloom route (incrementally maintained bitmap) + md5 anti-join per
+    micro-batch.  Ends with a parity check against the batch
+    dedup_against pipeline over the same feeds."""
+    from mini_html_parser_spark.operators import dedup as dedup_ops
+    from mini_html_parser_spark.plans.icelite import IceliteTable
+    from mini_html_parser_spark.streaming.extract_stream import (
+        start_dedup_icelite_sink,
+    )
+
+    inp = str(tmp_path / "in")
+    tbl = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _feed(rows):
+        spark.createDataFrame(
+            rows, "doc_id string, text string"
+        ).coalesce(1).write.mode("append").parquet(inp)
+
+    def _run():
+        stream = spark.readStream.schema(
+            "doc_id string, text string"
+        ).parquet(inp)
+        q = start_dedup_icelite_sink(stream, tbl, ckpt, n_buckets=4)
+        q.awaitTermination(120)
+
+    # run 1: 10 rows, 8 unique (d8/d9 duplicate d0/d1 within-batch)
+    feed1 = [(f"d{i}", f"text-{i % 8}") for i in range(10)]
+    _feed(feed1)
+    _run()
+    t = IceliteTable(tbl)
+    assert t.read(spark).count() == 8
+
+    # restart 1 (state TTL irrelevant — fresh writer, bitmap rebuilt
+    # from the table): old-content dups days later + new docs with an
+    # in-batch dup
+    feed2 = [
+        ("e0", "text-0"), ("e1", "text-3"),           # cross-run dups
+        ("e2", "fresh-1"), ("e3", "fresh-1"),         # in-batch dup
+        ("e4", "fresh-2"),
+    ]
+    _feed(feed2)
+    _run()
+    back = t.read(spark)
+    assert back.count() == 10  # 8 + fresh-1 + fresh-2
+    assert back.select("text").distinct().count() == 10
+
+    # restart 2: a dup of content admitted in the PREVIOUS restart
+    feed3 = [("f0", "fresh-1"), ("f1", "brand-new")]
+    _feed(feed3)
+    _run()
+    final = t.read(spark)
+    assert final.count() == 11
+    assert final.select("text").distinct().count() == 11
+    ids = {r["doc_id"] for r in final.select("doc_id").collect()}
+    assert "f0" not in ids and "f1" in ids
+
+    # batch parity: the same three feeds through dedup_against give
+    # the identical (doc_id, text) survivor set
+    def df_of(rows):
+        return spark.createDataFrame(rows, "doc_id string, text string")
+
+    corpus = dedup_ops.exact_dedup(df_of(feed1))
+    for feed in (feed2, feed3):
+        corpus = corpus.unionByName(
+            dedup_ops.dedup_against(df_of(feed), corpus)
+        )
+    want = {(r["doc_id"], r["text"]) for r in corpus.collect()}
+    got = {
+        (r["doc_id"], r["text"])
+        for r in final.select("doc_id", "text").collect()
+    }
+    assert got == want

@@ -118,6 +118,7 @@ def main() -> None:
     thresh = float(os.environ.get("SCALE_IDLE_THRESHOLD", "2.0"))
     timeout = float(os.environ.get("SCALE_IDLE_TIMEOUT", "300"))
     results = {}
+    gates = []
     for cores in levels:
         # idle gate per LEVEL (bench.py's shared helper): the
         # efficiency ratio divides numbers measured minutes apart, so
@@ -125,23 +126,50 @@ def main() -> None:
         # more than it corrupts a single timing.  The wait also
         # absorbs the previous level's own load decay.
         gate = {"level": cores, **await_idle(thresh, timeout)}
+        gates.append(gate)
         print(json.dumps({"idle_gate": gate}))
         out = subprocess.run([sys.executable, me, "--worker", str(cores), CORPUS_DIR],
                              capture_output=True, text=True, check=True)
         line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
         results[cores] = json.loads(line)
         print(line)
+    ladder = []
     for lo, hi in zip(levels, levels[1:]):
         ratio = hi / lo
         eff = results[hi]["docs_per_sec"] / (ratio * results[lo]["docs_per_sec"])
-        print(json.dumps({
+        step = {
             "scaling": f"local[{lo}] -> local[{hi}]",
             "docs_per_sec_N": results[lo]["docs_per_sec"],
             "docs_per_sec_4N": results[hi]["docs_per_sec"],
             "efficiency": round(eff, 3),
             "target": 0.8,
             "pass": eff >= 0.8,
-        }))
+        }
+        ladder.append(step)
+        print(json.dumps(step))
+    # ladder-artifact parity with the headline bench (VERDICT r5 #6):
+    # one JSON file per run, idle-gate stamps per level — committed as
+    # SCALING_r{N}.json each round so round-over-round efficiency is
+    # machine-comparable, not prose in BASELINE.md.
+    artifact = {
+        "n_docs": n_docs,
+        "levels": {str(c): results[c] for c in levels},
+        "idle_gates": gates,
+        "ladder": ladder,
+        "north_rule_step": "2->8 (below the VM's ~10-effective-core "
+                           "memory-bandwidth ceiling; see BENCH/BASELINE.md)",
+    }
+    path = os.environ.get(
+        "SCALE_ARTIFACT",
+        os.path.join(os.path.dirname(os.path.dirname(me)), "BENCH",
+                     "last_scaling.json"),
+    )
+    try:
+        with open(path, "w") as f:
+            json.dump(artifact, f, indent=1)
+        print(json.dumps({"artifact": path}))
+    except OSError:
+        pass
 
 
 if __name__ == "__main__":
