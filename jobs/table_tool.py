@@ -5,11 +5,32 @@
     python jobs/table_tool.py <table_dir> compact
     python jobs/table_tool.py <table_dir> evolve \
         [--add name:type ...] [--rename old:new ...]
+    python jobs/table_tool.py <table_dir> delete \
+        --keys-parquet /path/keys.parquet [--key doc_id]
+    python jobs/table_tool.py <table_dir> dedup \
+        [--key doc_id] [--text-col text] [--dry-run]
+    python jobs/table_tool.py <table_dir> vacuum [--grace-sec N]
 
-``info``/``history``/``evolve`` are metadata-only (no Spark session —
-they run instantly against the manifests); ``compact`` builds a local
-session to rewrite the data files.  Every command prints one JSON
-line, mirroring extract_job's report contract.
+``info``/``history``/``evolve``/``vacuum`` are metadata-only (no
+Spark session — they run instantly against the manifests);
+``compact``/``delete``/``dedup`` build a local session.  Every
+command prints one JSON line, mirroring extract_job's report
+contract.
+
+``vacuum`` reclaims orphan data directories (superseded by compact,
+or leaked by a crashed writer) — see IceliteTable.vacuum for the
+grace-window safety rule.
+
+``delete`` commits an equality-delete snapshot from a parquet of key
+values (PII takedowns: no data rewrite — the read path retracts the
+rows, the next ``compact`` folds them away).
+
+``dedup`` is POST-HOC corpus dedup of an already-ingested table: keep
+the min-key row per exact text, commit one equality delete for every
+other copy.  This is the retraction form of the ingest-time
+``dedup_against`` path — at 100 TB the alternative is rewriting the
+table.  ``--dry-run`` reports what would be deleted without
+committing.
 """
 
 from __future__ import annotations
@@ -22,13 +43,31 @@ import sys
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("table")
-    p.add_argument("command", choices=["info", "history", "compact", "evolve"])
+    p.add_argument("command", choices=["info", "history", "compact",
+                                       "evolve", "delete", "dedup",
+                                       "vacuum"])
     p.add_argument("--add", action="append", default=[],
                    metavar="NAME:TYPE",
                    help="evolve: add a column (Spark type string, e.g. "
                         "lang:string, score:double)")
     p.add_argument("--rename", action="append", default=[],
                    metavar="OLD:NEW", help="evolve: rename a column")
+    p.add_argument("--keys-parquet", default=None,
+                   help="delete: parquet file/dir of key values")
+    p.add_argument("--key", default="doc_id",
+                   help="delete/dedup: key column (default doc_id)")
+    p.add_argument("--text-col", default="text",
+                   help="dedup: content column (default text)")
+    p.add_argument("--dry-run", action="store_true",
+                   help="dedup: report duplicates without committing")
+    p.add_argument("--grace-sec", type=float, default=72 * 3600,
+                   help="vacuum: only remove orphan dirs whose newest "
+                        "mtime is older than this (default 72h; 0 only "
+                        "when no writer is live)")
+    p.add_argument("--rebucket", type=int, default=None, metavar="N",
+                   help="compact: partition-spec evolution — rewrite "
+                        "the table under N buckets (cluster grew; see "
+                        "IceliteTable.compact rebucket_to)")
     args = p.parse_args(argv)
 
     from mini_html_parser_spark.plans.icelite import IceliteTable
@@ -90,22 +129,71 @@ def main(argv=None) -> int:
         }))
         return 0
 
-    # compact: needs a session to rewrite data files
+    if args.command == "vacuum":
+        rep = t.vacuum(grace_sec=args.grace_sec)
+        print(json.dumps({"table": args.table, **rep}))
+        return 0
+
+    # compact/delete/dedup: need a session for data-file work
     from mini_html_parser_spark.pipeline import build_session
 
     # getOrCreate: reuses an existing in-process session (tests) or
     # builds one (CLI).  Deliberately NOT stopped here — a borrowed
     # session must survive the call; a CLI-owned one dies with the
     # process.
-    spark = build_session(app_name="icelite-compact")
+    spark = build_session(app_name=f"icelite-{args.command}")
     spark.sparkContext.setLogLevel("ERROR")
-    manifest = t.compact(spark)
+
+    if args.command == "delete":
+        if not args.keys_parquet:
+            p.error("delete requires --keys-parquet")
+        keys = spark.read.parquet(args.keys_parquet)
+        manifest = t.commit_delete(keys, key_col=args.key)
+        print(json.dumps({
+            "table": args.table,
+            "deleted_keys": manifest["delete_count"] if manifest else 0,
+            "snapshot_id": manifest["snapshot_id"] if manifest else None,
+        }))
+        return 0
+
+    if args.command == "dedup":
+        from pyspark.sql import functions as F
+
+        rows = t.read(spark)
+        h = F.md5(F.col(args.text_col))
+        keep = (
+            rows.withColumn("_h", h)
+            .groupBy("_h")
+            .agg(F.min(args.key).alias(args.key))
+        )
+        # non-keepers = rows whose (key, hash) is not the keeper pair
+        dup_keys = (
+            rows.withColumn("_h", h)
+            .join(keep, [args.key, "_h"], "left_anti")
+            .select(args.key)
+        )
+        if args.dry_run:
+            n = dup_keys.count()
+            print(json.dumps({
+                "table": args.table, "would_delete": n, "dry_run": True,
+            }))
+            return 0
+        manifest = t.commit_delete(dup_keys, key_col=args.key)
+        print(json.dumps({
+            "table": args.table,
+            "deleted_keys": manifest["delete_count"] if manifest else 0,
+            "snapshot_id": manifest["snapshot_id"] if manifest else None,
+        }))
+        return 0
+
+    manifest = t.compact(spark, rebucket_to=args.rebucket)
     print(json.dumps({
         "table": args.table,
         "compacted": manifest is not None,
         "snapshot_id": manifest["snapshot_id"] if manifest else None,
         "rows": manifest["total_rows"] if manifest else None,
         "folded": (manifest or {}).get("metrics", {}).get("compacted_snapshots"),
+        "rebucketed_to": args.rebucket,
     }))
     return 0
 

@@ -705,6 +705,79 @@ def remove_duplicated_passages(
     )
 
 
+# ---- paragraph-level dedup (RefinedWeb / Falcon line dedup) ------------------
+
+def dedup_paragraphs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """Sub-document exact dedup at PARAGRAPH (line) granularity —
+    RefinedWeb's line-level dedup (Penedo et al. 2023,
+    arXiv:2306.01116): web boilerplate (nav bars, cookie banners,
+    footers) repeats across millions of pages while the surrounding
+    documents are unique, so document-level dedup never sees it.
+
+    Units are the ``sep``-split segments of ``text_col`` whose
+    ``trim()`` is non-empty (pure-whitespace segments are dropped from
+    the reassembly — a normalization, stated contract).  Policy: a
+    paragraph survives only at its globally FIRST occurrence —
+    seniority is min ``(id, position)`` under natural ordering.  For
+    the complementary Falcon THRESHOLD rule (drop every occurrence of
+    a line seen in ≥ N distinct docs, keeping rare lines everywhere)
+    use :func:`..text_analysis.remove_boilerplate_lines` — the two are
+    different retention semantics, not variants of one knob.
+
+    Returns one row per input document that has at least one non-empty
+    paragraph: ``(id, text, n_kept, n_dropped)`` with ``text`` the
+    surviving paragraphs re-joined by ``sep`` in original order (may
+    be ``''`` when everything was dropped — the caller typically
+    filters ``n_kept > 0``).
+
+    100-TB shape: three linear shuffles — posexplode → paragraph-key
+    aggregate (partial-agg combines the heavy hitters map-side, so a
+    nav bar on 10⁸ pages arrives at the reducer as one row per
+    partition, never 10⁸ rows on one key) → co-partitioned join back
+    on the paragraph key → one groupBy(doc) reassembly.  No window
+    over the paragraph key (a window would sort the hot key's whole
+    group on one task); no Python."""
+    paras = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+        )
+        .filter(F.length(F.trim(F.col("para"))) > 0)
+    )
+    senior = paras.groupBy("para").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_w")
+    )
+    flagged = paras.join(senior, "para").withColumn(
+        "_keep",
+        (F.col(id_col) == F.col("_w")[id_col])
+        & (F.col("pos") == F.col("_w")["pos"]),
+    )
+    agg = flagged.groupBy(id_col).agg(
+        F.sum(F.col("_keep").cast("long")).alias("n_kept"),
+        (F.count(F.lit(1)) - F.sum(F.col("_keep").cast("long"))).alias(
+            "n_dropped"
+        ),
+        # collect_list skips nulls: only kept paragraphs enter; the
+        # array_sort on (pos, para) structs restores original order
+        F.array_sort(
+            F.collect_list(F.when(F.col("_keep"), F.struct("pos", "para")))
+        ).alias("_ps"),
+    )
+    return agg.select(
+        F.col(id_col),
+        F.array_join(
+            F.transform(F.col("_ps"), lambda s: s["para"]), sep
+        ).alias(text_col),
+        "n_kept",
+        "n_dropped",
+    )
+
+
 def dedup_against(
     new_df: DataFrame,
     corpus_df: DataFrame,

@@ -195,3 +195,130 @@ def temperature_resample(
         df, rates, group_col=group_col, seed=seed, id_col=id_col,
         default_rate=1.0,
     )
+
+
+# ---- DSIR: Data Selection via Importance Resampling --------------------------
+# Xie et al. 2023 (arXiv:2302.03169): score every raw document by how
+# much its hashed-unigram distribution looks like a TARGET domain
+# relative to the raw corpus, then keep the top-scoring slice.  The
+# production use is "select the 5% of Common Crawl that looks like
+# Wikipedia" before expensive downstream processing.
+
+def dsir_bucket_weights(
+    df: DataFrame,
+    target_filter,
+    n_buckets: int = 4096,
+    text_col: str = "text",
+    smoothing: float = 0.5,
+):
+    """Per-bucket log importance weights ``ln p_target(b) - ln p_raw(b)``
+    over md5-hashed unigram buckets, Laplace-smoothed.
+
+    ONE corpus pass computes both distributions: the target membership
+    predicate (a row-level boolean Column, e.g. ``F.col('lang') ==
+    'en'``) rides through the token explode, so raw and target counts
+    come out of the same partial-aggregated groupBy(bucket) — a
+    shuffle bounded by ``n_buckets`` rows after map-side combine, then
+    an ``n_buckets``-row collect (4096 doubles — driver-trivial).
+
+    Returns ``(weights, n_raw_tokens, n_target_tokens)``; ``weights``
+    is a dense list indexed by bucket id.
+    """
+    import math
+
+    from . import bpe
+
+    b = (
+        F.conv(F.substring(F.md5(F.col("t")), 1, 8), 16, 10)
+        .cast("long") % n_buckets
+    ).alias("b")
+    toks = (
+        df.select(
+            F.split(F.trim(F.col(text_col)), bpe.WS_RE).alias("toks"),
+            target_filter.alias("_t"),
+        )
+        .select(F.explode("toks").alias("t"), "_t")
+    )
+    counts = (
+        toks.select(b, "_t")
+        .groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("cr"),
+            F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("ct"),
+        )
+        .collect()
+    )
+    n_raw = sum(r["cr"] for r in counts)
+    n_target = sum(r["ct"] for r in counts)
+    raw = {r["b"]: r["cr"] for r in counts}
+    tgt = {r["b"]: r["ct"] for r in counts}
+    a = smoothing
+    weights = [
+        math.log((tgt.get(i, 0) + a) / (n_target + a * n_buckets))
+        - math.log((raw.get(i, 0) + a) / (n_raw + a * n_buckets))
+        for i in range(n_buckets)
+    ]
+    return weights, int(n_raw), int(n_target)
+
+
+def dsir_score(
+    df: DataFrame,
+    target_filter,
+    n_buckets: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Per-document DSIR score: mean hashed-unigram log importance
+    weight — ``(id, n_tokens, dsir_score)`` with the score rounded to
+    6 dp (the engine-portable contract every FP oracle here uses).
+
+    Scale shape: after :func:`dsir_bucket_weights` the weight table is
+    a plain Python list folded into a LITERAL array column, so scoring
+    is zero-shuffle whole-stage codegen — per token one md5 + one
+    ``element_at`` — no join, no explode, no Python.  The token array
+    is projected as a real column BEFORE the lambda (Catalyst does not
+    CSE inside higher-order functions — see decontam.ngrams_of_tokens).
+    """
+    from . import bpe
+
+    weights, _, _ = dsir_bucket_weights(
+        df, target_filter, n_buckets, text_col, smoothing
+    )
+    warr = F.array(*[F.lit(float(w)) for w in weights])
+    bucket_of = lambda t: (  # noqa: E731
+        F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long") % n_buckets
+    )
+    toked = df.select(
+        F.col(id_col),
+        F.split(F.trim(F.col(text_col)), bpe.WS_RE).alias("toks"),
+    )
+    per_tok = F.transform(
+        F.col("toks"), lambda t: F.element_at(warr, (bucket_of(t) + 1).cast("int"))
+    )
+    return toked.select(
+        id_col,
+        F.size("toks").alias("n_tokens"),
+        F.round(
+            F.aggregate(per_tok, F.lit(0.0), lambda acc, x: acc + x)
+            / F.size("toks"),
+            6,
+        ).alias("dsir_score"),
+    )
+
+
+def dsir_select(
+    df: DataFrame,
+    target_filter,
+    n: int,
+    n_buckets: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``n`` raw documents by DSIR score (deterministic tie order:
+    rounded score DESC, id ASC) — a TakeOrderedAndProject, never a
+    full sort materialization."""
+    scored = dsir_score(df, target_filter, n_buckets, text_col, id_col)
+    return scored.orderBy(
+        F.desc("dsir_score"), F.asc(id_col)
+    ).limit(n)

@@ -273,6 +273,101 @@ def embedding_near_duplicates(
     return pairs.filter(F.col("cosine") >= threshold)
 
 
+def semantic_dedup(
+    df: DataFrame,
+    k: int = 8,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: str = "seeded",
+    kmeans_sample: int = 20_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): partition the
+    embedding space into ``k`` clusters, then inside each cluster drop
+    every vector that has a more-senior (lower-``id_col``) cluster-mate
+    with cosine ≥ ``threshold``.  Near-duplicate *meaning* — paraphrase
+    mirrors, templated boilerplate — that exact/MinHash text dedup
+    can't see.
+
+    Returns one row per input vector: ``(id, cluster_id, keep)``.
+
+    ``centroids='seeded'`` uses the ``k`` lowest-id vectors as fixed
+    centroids — fully deterministic and reproducible in ANSI SQL (the
+    DuckDB oracle re-derives the identical clustering).
+    ``centroids='kmeans'`` trains real centroids with the module's
+    deterministic Lloyd iteration on a bounded driver-side sample
+    (the paper's construction; not SQL-expressible).
+
+    Scale shape (100 TB): the centroid table is ``k`` rows broadcast
+    against the corpus (k ~ 10⁴–10⁵ in the paper — still MBs);
+    assignment is one windowed argmax per vector, no corpus shuffle
+    beyond the one groupBy(cluster) that emits intra-cluster pairs
+    via dedup._bucket_pairs — clusters above MAX_BUCKET_PAIRS_SIZE
+    fall back to star edges exactly like the LSH path, so a
+    degenerate mass-duplicate cluster never goes quadratic.
+    """
+    from .dedup import _bucket_pairs
+
+    vec = F.col(vec_col).cast("array<double>")
+    spark = df.sparkSession
+    if centroids == "seeded":
+        cent = (
+            df.orderBy(id_col)
+            .limit(k)
+            .select(F.col(id_col).alias("cluster_id"), vec.alias("cvec"))
+        )
+    elif centroids == "kmeans":
+        import numpy as np
+
+        sample = (
+            df.orderBy(id_col)
+            .limit(kmeans_sample)
+            .select(vec.alias("v"))
+            .collect()
+        )
+        X = _normalize_rows(np.array([r["v"] for r in sample], dtype=np.float64))
+        C = _lloyd(X, k, seed=13)
+        cent = spark.createDataFrame(
+            [(int(i), [float(x) for x in c]) for i, c in enumerate(C)],
+            "cluster_id long, cvec array<double>",
+        )
+    else:  # pragma: no cover - guarded API
+        raise ValueError(f"centroids must be 'seeded' or 'kmeans': {centroids!r}")
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("c_cos"), F.asc("cluster_id")
+    )
+    assigned = (
+        df.select(F.col(id_col), vec.alias("v"))
+        .crossJoin(F.broadcast(cent))
+        .withColumn("c_cos", F.round(cosine_col(F.col("v"), F.col("cvec")), 6))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "cluster_id", "v")
+    )
+    assigned = assigned.persist()  # pair emission re-reads per join branch
+    dup_ids = (
+        _bucket_pairs(
+            assigned, ["cluster_id"], id_col,
+            carry_cols=["v"], dedupe=False, heavy_carry=True,
+        )
+        .withColumn("cos", F.round(cosine_col(F.col("v_a"), F.col("v_b")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+    )
+    return (
+        assigned.join(dup_ids.distinct().withColumn("_dup", F.lit(True)),
+                      on=id_col, how="left")
+        .select(
+            id_col,
+            "cluster_id",
+            F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep"),
+        )
+    )
+
+
 # ---- Product quantization (PQ) ANN -------------------------------------------
 # The FAISS IndexPQ construction, Spark-native: vectors are L2-
 # normalized (so L2 order ⇔ cosine order), split into m subvectors,

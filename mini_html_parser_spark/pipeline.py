@@ -223,6 +223,11 @@ def _resolve_layout(
         "giant_bucket_space": GIANT_BUCKET_SPACE,
         "giant_doc_chars": GIANT_DOC_CHARS,
     }
+    if recorded is not None and recorded.get("rebucketed"):
+        # sticky: once the table has been re-laid-out, every future
+        # manifest must keep advertising exact-resume (see
+        # IceliteTable.requires_exact_resume)
+        layout["rebucketed"] = True
     return parallelism, n_buckets, layout
 
 

@@ -514,7 +514,11 @@ class IceliteTable:
             )
             counts[key] = counts.get(key, 0) + int(d.get("delete_count") or 0)
         for key_col in sorted(by_key):
-            keys = spark.read.parquet(*by_key[key_col]).select(key_col).distinct()
+            # no distinct: an anti-join is insensitive to duplicate
+            # build-side keys, the writers already dedupe, and the
+            # distinct's partial/final agg would put an Exchange on
+            # this otherwise exchange-free read path
+            keys = spark.read.parquet(*by_key[key_col]).select(key_col)
             if counts[key_col] <= self.BROADCAST_DELETE_MAX:
                 keys = F.broadcast(keys)
             df = df.join(keys, on=key_col, how="left_anti")
@@ -680,13 +684,47 @@ class IceliteTable:
             return out
         return self.read(spark).limit(0)  # empty frame, right schema
 
-    def filter_pending(self, df: DataFrame, bucket_col: str = "bucket") -> DataFrame:
-        """Drop rows whose bucket is already committed (resume).
+    def requires_exact_resume(self) -> bool:
+        """True once the table has ever been re-bucketed (partition-spec
+        evolution).  Bucket-level skip-if-done assumes "bucket committed
+        ⇒ every doc of that bucket committed"; after a re-bucket the new
+        (coarser-per-doc) mapping can mark a bucket committed while some
+        of its docs were never ingested under the OLD layout, so resume
+        must fall back to the doc-exact anti-join.  The flag is sticky —
+        exact resume is always correct, merely costlier."""
+        layout = self.partitioning()
+        return bool(layout and layout.get("rebucketed"))
 
-        The committed-bucket set is tiny metadata (manifest-level, like
-        Iceberg partition summaries), so this is a partition-pruning
-        filter, not a data-scale anti-join.
-        """
+    def filter_pending(
+        self,
+        df: DataFrame,
+        bucket_col: str = "bucket",
+        key_col: str = "doc_id",
+        exact: bool | None = None,
+    ) -> DataFrame:
+        """Drop rows already committed (resume).
+
+        Fast path (the default for a never-rebucketed table): drop rows
+        whose BUCKET is committed — the committed-bucket set is tiny
+        metadata (manifest-level, like Iceberg partition summaries), so
+        this is a partition-pruning filter, not a data-scale anti-join.
+
+        Exact path (``exact=True``, auto-selected after a re-bucket —
+        see :meth:`requires_exact_resume`): anti-join on ``key_col``
+        against the table's committed keys.  A corpus-scale shuffle
+        rather than a metadata filter — the price of partition
+        evolution mid-ingest; the parquet scan on the build side is
+        column-pruned to the key."""
+        if exact is None:
+            exact = self.requires_exact_resume()
+        if exact:
+            try:
+                committed = self.read(df.sparkSession)
+            except FileNotFoundError:
+                return df
+            return df.join(
+                committed.select(key_col), on=key_col, how="left_anti"
+            )
         done = self.committed_buckets()
         if not done:
             return df
@@ -837,7 +875,12 @@ class IceliteTable:
             return manifest
 
     # ---- maintenance ---------------------------------------------------------
-    def compact(self, spark) -> dict | None:
+    def compact(
+        self,
+        spark,
+        rebucket_to: int | None = None,
+        key_col: str = "doc_id",
+    ) -> dict | None:
         """Rewrite all committed snapshots into one (the analogue of
         Iceberg's ``rewrite_data_files`` + snapshot expiry).
 
@@ -849,13 +892,47 @@ class IceliteTable:
         between the manifest write and the removes) leaves a readable,
         duplicate-free table; committed_buckets/partitioning are
         preserved.  Old data dirs are left in place, never referenced.
+
+        ``rebucket_to`` is partition-spec EVOLUTION (Iceberg's
+        ``replace_partition_field``, applied as a full rewrite): every
+        row's lineage bucket is recomputed as
+        ``pmod(xxhash64(key_col), rebucket_to)`` and the new layout is
+        recorded, so a table created for an N-core cluster can be
+        re-laid-out for 4N (the north rule's cluster growth).  Two
+        contracts change:
+
+        - future appends via ``run_extraction_job`` salt into the NEW
+          ``n_buckets`` (the recorded layout is authoritative; the
+          giant-doc tier still applies to them — the rewritten rows
+          themselves take the plain hash, which only affects lineage
+          labels, never read results);
+        - the manifest carries a sticky ``rebucketed`` flag and resume
+          switches from bucket-level skip-if-done to the doc-exact
+          anti-join (see :meth:`requires_exact_resume` for why the
+          bucket shortcut would silently drop pending docs).
         """
         snaps = self.snapshots()
-        if len(snaps) <= 1:
+        if len(snaps) <= 1 and rebucket_to is None:
             return None
         full = self.read(spark)
         layout = self.partitioning()
         bucket_col = "bucket"
+        if rebucket_to is not None:
+            if key_col not in full.columns:
+                raise ValueError(
+                    f"rebucket_to needs key column {key_col!r}; table has "
+                    f"{full.columns}"
+                )
+            full = full.withColumn(
+                bucket_col,
+                F.pmod(F.xxhash64(F.col(key_col)), F.lit(int(rebucket_to)))
+                .cast("int"),
+            )
+            layout = {
+                **(layout or {}),
+                "n_buckets": int(rebucket_to),
+                "rebucketed": True,
+            }
         parent = snaps[-1]
         snap_n = parent["sequence"] + 1
         data_dir = os.path.join(
@@ -934,6 +1011,73 @@ class IceliteTable:
             if os.path.exists(old):
                 os.remove(old)
         return manifest
+
+    def vacuum(
+        self, grace_sec: float = 72 * 3600, now: float | None = None
+    ) -> dict:
+        """Reclaim ORPHAN data directories (Iceberg's
+        ``remove_orphan_files``).  compact() deliberately leaves
+        superseded data dirs on disk ("never referenced" — crash
+        safety), and a crashed writer or compactor can leak a dir that
+        no manifest ever came to reference; on a years-lived 100-TB
+        table those orphans are the dominant storage cost.
+
+        A ``data/`` subdirectory is removed iff BOTH:
+
+        - no active manifest references it (via ``data_dir``,
+          ``data_files`` or ``delete_files`` — the manifest is truth,
+          exactly like the read path), and
+        - its newest mtime is older than ``grace_sec`` (default 72 h,
+          Iceberg's ``older_than`` convention).  Writers create their
+          data dir BEFORE linking the manifest, so without the grace
+          window vacuum would race an in-flight commit and delete data
+          whose manifest is milliseconds away.  The grace window is
+          the entire safety argument — callers passing ``0`` must know
+          no writer is live.
+
+        Metadata-only (no Spark session).  Returns a report dict;
+        ``removed``/``kept_recent`` list directory names relative to
+        ``data/``.  ``now`` is injectable for tests."""
+        import shutil
+        import time as _time
+
+        data_root = os.path.join(self.path, "data")
+        report = {"removed": [], "kept_recent": [], "referenced": 0}
+        if not os.path.isdir(data_root):
+            return report
+        referenced: set[str] = set()
+        for s in self.snapshots():
+            dd = s.get("data_dir")
+            if dd:
+                referenced.add(os.path.basename(os.path.normpath(dd)))
+            for rel in (s.get("data_files") or []) + (
+                s.get("delete_files") or []
+            ):
+                parts = os.path.normpath(rel).split(os.sep)
+                if len(parts) >= 2 and parts[0] == "data":
+                    referenced.add(parts[1])
+        report["referenced"] = len(referenced)
+        t_now = _time.time() if now is None else now
+        for name in sorted(os.listdir(data_root)):
+            full = os.path.join(data_root, name)
+            if name in referenced or not os.path.isdir(full):
+                continue
+            newest = os.path.getmtime(full)
+            for root, _dirs, names in os.walk(full):
+                for n in names:
+                    try:
+                        newest = max(
+                            newest, os.path.getmtime(os.path.join(root, n))
+                        )
+                    except FileNotFoundError:
+                        # the dir IS an in-flight write — leave it
+                        newest = t_now
+            if t_now - newest < grace_sec:
+                report["kept_recent"].append(name)
+                continue
+            shutil.rmtree(full, ignore_errors=True)
+            report["removed"].append(name)
+        return report
 
     # ---- row-level deletes (VERDICT r5 #1) -----------------------------------
     def commit_delete(
@@ -1025,6 +1169,7 @@ class IceliteTable:
         compact: bool = True,
         auto_compact_every: int | None = None,
         delete_key: str | None = None,
+        sort_within_buckets: list[str] | None = None,
     ) -> dict | None:
         """Write ``df`` partitioned by ``partition_col`` and commit a
         snapshot manifest recording per-bucket lineage row counts (and
@@ -1066,6 +1211,17 @@ class IceliteTable:
             )
 
         out = df.repartition(partition_col) if compact else df
+        if sort_within_buckets:
+            # Iceberg's write.sort-order: clustering rows inside each
+            # file keeps the recorded min/max ranges TIGHT, which is
+            # what makes read(prune=...) skip files instead of keeping
+            # everything (unsorted commits interleave the whole value
+            # range into every file).  sortWithinPartitions: no extra
+            # exchange — the sort rides the compaction shuffle's
+            # partitions.  Multi-file-per-bucket layouts benefit most;
+            # the one-file-per-bucket default still gains row-group-
+            # level locality.
+            out = out.sortWithinPartitions(*sort_within_buckets)
         out.write.partitionBy(partition_col).mode("overwrite").parquet(data_dir)
 
         # empty input (e.g. resume with nothing pending) writes no

@@ -707,3 +707,123 @@ def test_table_tool_cli(spark, tmp_path, capsys):
     # evolved + compacted table still reads under the unified schema
     back = t.read(spark)
     assert back.count() == 50 and "body" in back.columns
+
+
+# ---------------------------------------------------------------------------
+# partition-spec evolution: compact(rebucket_to=N) + exact resume (round 6)
+# ---------------------------------------------------------------------------
+
+def test_rebucket_rewrites_layout_and_lineage(spark, tmp_path):
+    """compact(rebucket_to=64): same rows, bucket lineage recomputed
+    under the new hash space, new layout recorded with the sticky
+    ``rebucketed`` flag, counter conservation through the fold."""
+    t = IceliteTable(str(tmp_path / "tbl"))
+    t.commit_append(_df(spark, 0, 60), partitioning={"n_buckets": 4},
+                    metrics={"docs_parsed": 60})
+    t.commit_append(_df(spark, 60, 100), metrics={"docs_parsed": 40})
+
+    manifest = t.compact(spark, rebucket_to=64)
+    assert manifest["compacted"]
+    assert t.partitioning()["n_buckets"] == 64
+    assert t.partitioning()["rebucketed"] is True
+    assert t.requires_exact_resume()
+    # lineage recomputed under the new mapping: ids in [0, 64),
+    # more than the old 4, counts conserved
+    buckets = t.committed_buckets()
+    assert buckets and all(0 <= b < 64 for b in buckets)
+    assert len(buckets) > 4
+    assert manifest["total_rows"] == 100
+    assert manifest["metrics"]["docs_parsed"] == 100
+    back = t.read(spark)
+    assert back.count() == 100
+    assert back.select("doc_id").distinct().count() == 100
+    # rebucket works even from a single snapshot (plain compact no-ops)
+    assert t.compact(spark) is None
+    m2 = t.compact(spark, rebucket_to=8)
+    assert m2 is not None and t.partitioning()["n_buckets"] == 8
+    assert t.read(spark).count() == 100
+
+
+def test_rebucket_partial_ingest_resume_is_exact(spark, tmp_path):
+    """THE hazard rebucketing creates: a partially-ingested corpus is
+    re-laid-out, so 'bucket committed' no longer implies 'every doc of
+    that bucket committed'.  Resume after rebucket must ingest exactly
+    the missing docs — no loss (the bucket shortcut would silently
+    drop pending docs landing in committed buckets), no duplicates."""
+    from mini_html_parser_spark.datagen import generate_documents
+    from mini_html_parser_spark.pipeline import run_extraction_job, with_salt_bucket
+
+    out = str(tmp_path / "tbl")
+    docs = generate_documents(spark, 30)
+    salted = with_salt_bucket(docs, 4)
+    subset = salted.filter(F.col("bucket").isin(0, 1)).drop("bucket")
+    run_extraction_job(spark, subset, out, parallelism=2)
+    t = IceliteTable(out)
+    n_partial = t.read(spark).count()
+    assert 0 < n_partial < 30
+
+    # cluster grew: re-lay-out the table.  16 (a multiple of 4) would
+    # keep pmod congruence classes aligned and never mix committed
+    # with pending docs in one bucket — 6 breaks the congruence, which
+    # is the general case the exact path exists for
+    assert t.compact(spark, rebucket_to=6) is not None
+    # sanity: under the new mapping at least one committed bucket id
+    # also receives a PENDING doc — the exact case the bucket
+    # shortcut would lose
+    pending_buckets = {
+        r["bucket"]
+        for r in with_salt_bucket(
+            salted.filter(~F.col("bucket").isin(0, 1)).drop("bucket"), 6
+        ).select("bucket").distinct().collect()
+    }
+    assert pending_buckets & t.committed_buckets()
+
+    # resume over the FULL corpus: exactly the missing docs arrive
+    r = run_extraction_job(spark, docs, out)
+    assert r["snapshot"] is not None
+    assert r["metrics"]["docs_parsed"] == 30 - n_partial
+    back = t.read(spark)
+    assert back.count() == 30
+    assert back.select("doc_id").distinct().count() == 30
+
+    # second resume: nothing pending (exact path no-op contract)
+    r2 = run_extraction_job(spark, docs, out)
+    assert r2["snapshot"] is None
+    assert t.read(spark).count() == 30
+
+
+def test_filter_pending_fast_path_stays_join_free(spark, tmp_path):
+    """The default (never-rebucketed) resume path must remain a
+    metadata isin-filter — no join, no Exchange in the plan.  The
+    exact path is the documented price of evolution, not a new
+    default."""
+    t = IceliteTable(str(tmp_path / "tbl"))
+    t.commit_append(_df(spark, 0, 40))
+    assert not t.requires_exact_resume()
+    plan = (
+        t.filter_pending(_df(spark, 0, 80))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_table_tool_compact_rebucket_cli(spark, tmp_path, capsys):
+    import json as _json
+    import sys as _sys
+
+    jobs_dir = os.path.join(os.path.dirname(__file__), "..", "jobs")
+    _sys.path.insert(0, jobs_dir)
+    try:
+        import table_tool
+    finally:
+        _sys.path.remove(jobs_dir)
+
+    tbl = str(tmp_path / "ops")
+    t = IceliteTable(tbl)
+    t.commit_append(_df(spark, 0, 50))
+    assert table_tool.main([tbl, "compact", "--rebucket", "32"]) == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["compacted"] and rep["rebucketed_to"] == 32
+    assert t.partitioning()["n_buckets"] == 32
+    assert t.read(spark).count() == 50

@@ -250,3 +250,185 @@ def test_stats_prune_never_drops_matching_rows_with_mixed_files(
     pruned = t.read(spark, prune=[("score", "=", 42)])
     assert len(pruned.inputFiles()) == 1
     assert pruned.filter(F.col("score") == 42).count() == 5  # 42+97k < 500
+
+
+# ---------------------------------------------------------------------------
+# table_tool delete / dedup ops commands
+# ---------------------------------------------------------------------------
+
+def test_table_tool_delete_and_posthoc_dedup(spark, tmp_path, capsys):
+    """The ops wiring for retraction: `delete --keys-parquet` commits
+    an equality delete, and `dedup` finds exact-duplicate texts in the
+    committed corpus and retracts every non-min-key copy — the
+    post-hoc form of ingest dedup, no table rewrite."""
+    import json as _json
+    import os as _os
+    import sys as _sys
+
+    jobs_dir = _os.path.join(_os.path.dirname(__file__), "..", "jobs")
+    _sys.path.insert(0, jobs_dir)
+    try:
+        import table_tool
+    finally:
+        _sys.path.remove(jobs_dir)
+
+    def run(*argv):
+        assert table_tool.main(list(argv)) == 0
+        return _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    tbl = str(tmp_path / "ops")
+    t = IceliteTable(tbl)
+    # 30 docs; doc_ids 20-29 duplicate the TEXTS of 0-9
+    base = _df(spark, 0, 20)
+    dups = _df(spark, 0, 10).select(
+        (F.col("doc_id") + 20).alias("doc_id"), "text", "bucket"
+    )
+    t.commit_append(base.unionByName(dups))
+
+    # dry-run reports, commits nothing
+    rep = run(tbl, "dedup", "--dry-run")
+    assert rep["would_delete"] == 10
+    assert len(t.snapshots()) == 1
+
+    rep = run(tbl, "dedup")
+    assert rep["deleted_keys"] == 10
+    back = t.read(spark)
+    assert back.count() == 20
+    assert back.select("text").distinct().count() == 20
+    assert back.filter(F.col("doc_id") >= 20).count() == 0  # min-key kept
+
+    # explicit key-file delete (takedown shape)
+    keys_path = str(tmp_path / "keys.parquet")
+    spark.createDataFrame([(1,), (2,)], "doc_id bigint").write.parquet(keys_path)
+    rep = run(tbl, "delete", "--keys-parquet", keys_path)
+    assert rep["deleted_keys"] == 2
+    assert t.read(spark).count() == 18
+
+
+def test_sort_within_buckets_tightens_row_group_stats(spark, tmp_path):
+    """write.sort-order analogue: sorting rows inside each bucket's
+    file makes the parquet ROW-GROUP min/max ranges disjoint (the
+    native reader's row-group pruning bites), instead of every group
+    spanning the whole value range."""
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    def ranges(table_dir):
+        t = IceliteTable(table_dir)
+        snap = t.current_snapshot()
+        out = []
+        for rel in snap["data_files"]:
+            md = pq.ParquetFile(os.path.join(table_dir, rel)).metadata
+            for rg in range(md.num_row_groups):
+                row = md.row_group(rg)
+                for ci in range(row.num_columns):
+                    col = row.column(ci)
+                    if col.path_in_schema == "score":
+                        out.append((col.statistics.min, col.statistics.max))
+        return out
+
+    # shuffled scores so unsorted files interleave the whole range
+    df = spark.range(0, 50_000).select(
+        F.col("id").alias("doc_id"),
+        F.pmod(F.xxhash64("id"), F.lit(50_000)).alias("score"),
+        F.lit(0).cast("int").alias("bucket"),
+    )
+    unsorted_dir = str(tmp_path / "plain")
+    sorted_dir = str(tmp_path / "sorted")
+    # default 128 MB row groups put all 50k rows in ONE group; shrink
+    # the writer block so the file genuinely has several groups
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    old_block = hconf.get("parquet.block.size")
+    hconf.setInt("parquet.block.size", 64 * 1024)
+    try:
+        IceliteTable(unsorted_dir).commit_append(df)
+        IceliteTable(sorted_dir).commit_append(
+            df, sort_within_buckets=["score"]
+        )
+    finally:
+        if old_block is None:
+            hconf.unset("parquet.block.size")
+        else:
+            hconf.set("parquet.block.size", old_block)
+
+    rs = sorted(ranges(sorted_dir))
+    assert len(rs) > 1, "need multiple row groups for the assertion"
+    # sorted: consecutive row-group ranges never overlap
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(rs, rs[1:]):
+        assert a_hi <= b_lo, (a_hi, b_lo)
+    # and the same read results either way
+    assert (
+        IceliteTable(sorted_dir).read(spark).count()
+        == IceliteTable(unsorted_dir).read(spark).count()
+        == 50_000
+    )
+
+
+# ---------------------------------------------------------------------------
+# vacuum (orphan data-dir reclamation)
+# ---------------------------------------------------------------------------
+
+def test_vacuum_removes_superseded_dirs_after_compact(spark, tmp_path):
+    """compact() leaves the superseded data dirs on disk (crash
+    safety); vacuum() reclaims exactly those once the grace window has
+    passed, never anything a live manifest references."""
+    import os
+    import time
+
+    tbl = str(tmp_path / "t")
+    t = IceliteTable(tbl)
+    t.commit_append(_df(spark, 0, 50))
+    t.commit_append(_df(spark, 50, 100))
+    t.commit_delete(_keys(spark, [3]), key_col="doc_id")
+    assert t.compact(spark) is not None
+
+    data_root = os.path.join(tbl, "data")
+    before = set(os.listdir(data_root))
+    assert len(before) == 4  # 2 appends + 1 delete dir + compacted
+
+    # inside the grace window nothing moves
+    rep = t.vacuum(grace_sec=3600)
+    assert rep["removed"] == []
+    assert len(rep["kept_recent"]) == 3
+    assert set(os.listdir(data_root)) == before
+
+    # past the grace window the three superseded dirs go; the
+    # referenced (compacted) dir survives and the table still reads
+    rep = t.vacuum(grace_sec=3600, now=time.time() + 7200)
+    assert len(rep["removed"]) == 3
+    assert rep["referenced"] == 1
+    left = set(os.listdir(data_root))
+    assert len(left) == 1
+    assert t.read(spark).count() == 99
+
+
+def test_vacuum_grace_window_protects_inflight_writer(spark, tmp_path):
+    """A writer creates its data dir BEFORE linking the manifest; a
+    dir with recent mtimes must be treated as an in-flight commit,
+    not an orphan — even with grace_sec=0 passed a stale `now`."""
+    import os
+    import time
+
+    tbl = str(tmp_path / "t")
+    t = IceliteTable(tbl)
+    t.commit_append(_df(spark, 0, 10))
+
+    # fake an in-flight writer: dir exists, manifest not yet linked
+    inflight = os.path.join(tbl, "data", "snap-2-deadbeef")
+    os.makedirs(inflight)
+    with open(os.path.join(inflight, "part-0.parquet"), "wb") as f:
+        f.write(b"x")
+
+    rep = t.vacuum(grace_sec=3600)
+    assert rep["removed"] == []
+    assert rep["kept_recent"] == ["snap-2-deadbeef"]
+
+    # a crashed writer's leak is reclaimable once it is provably old
+    old = time.time() - 10 * 3600
+    os.utime(os.path.join(inflight, "part-0.parquet"), (old, old))
+    os.utime(inflight, (old, old))
+    rep = t.vacuum(grace_sec=3600)
+    assert rep["removed"] == ["snap-2-deadbeef"]
+    assert t.read(spark).count() == 10

@@ -1707,3 +1707,154 @@ def test_dedup_against_bloom_exact_equivalence(spark):
     # an all-dup batch nothing can sneak past the prefilter
     all_dups = corpus.select((F2.col("doc_id") + 50_000).alias("doc_id"), "text")
     assert dedup.dedup_against_bloom(all_dups, corpus, n_bits=1 << 16).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup semantic dedup (round 6)
+# ---------------------------------------------------------------------------
+
+def test_semantic_dedup_drops_junior_cluster_mates(spark):
+    """Three orthogonal seed directions (ids 0-2 become the seeded
+    centroids); a near-copy of centroid 0 must be dropped (its senior
+    cluster-mate is above threshold), a same-cluster but dissimilar
+    member must survive."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 1.0, 0.0]),
+        (10, [0.999, 0.01, 0.0, 0.0]),   # near-copy of centroid 0 -> drop
+        (11, [0.7, 0.1, 0.0, 0.6]),      # cluster 0, cosine ~0.75 -> keep
+        (12, [0.0, 0.995, 0.05, 0.0]),   # near-copy of centroid 1 -> drop
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.semantic_dedup(df, k=3, threshold=0.95)
+    got = {r["vec_id"]: (r["cluster_id"], r["keep"]) for r in out.collect()}
+    assert len(got) == 6
+    assert got[0] == (0, True) and got[1] == (1, True) and got[2] == (2, True)
+    assert got[10] == (0, False)
+    assert got[11][0] == 0 and got[11][1] is True
+    assert got[12] == (1, False)
+
+
+def test_semantic_dedup_kmeans_mode_and_zero_shuffle_scoring(spark):
+    """kmeans centroids: same contract (one row per vector, near-copies
+    of a senior mate dropped), clusters learned not seeded."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(60):
+        base = [0.0] * 8
+        base[i % 4] = 1.0
+        rows.append((i, [x + rng.uniform(-0.05, 0.05) for x in base]))
+    # plant an exact copy of id 3 at id 100
+    rows.append((100, rows[3][1]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.semantic_dedup(
+        df, k=4, threshold=0.999, centroids="kmeans"
+    ).collect()
+    got = {r["vec_id"]: r for r in out}
+    assert len(got) == 61
+    assert got[100]["keep"] is False          # the planted copy
+    assert got[3]["keep"] is True             # its senior twin
+    # seeded rng: exactly two organic noise-tail pairs also cross
+    # 0.999 (36~12 at 0.99926, 57~21 at 0.99913) — the junior member
+    # of each is dropped alongside the planted copy
+    assert sorted(r["vec_id"] for r in out if not r["keep"]) == [36, 57, 100]
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (round 6)
+# ---------------------------------------------------------------------------
+
+def _dsir_corpus(spark):
+    rows = []
+    for i in range(40):  # target: English-y vocabulary
+        rows.append((i, "the quick brown fox jumps over lazy dogs", "en"))
+    for i in range(40, 80):  # raw-only vocabulary
+        rows.append((i, "zzz qqq vvv kkk www jjj xxx yyy uuu", "de"))
+    # a non-target doc written in the TARGET vocabulary: DSIR's whole
+    # point is that it scores high although its lang label is raw-only
+    rows.append((200, "quick brown fox over the lazy dogs jumps", "de"))
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_dsir_scores_target_vocabulary_highest(spark):
+    df = _dsir_corpus(spark)
+    scored = sampling.dsir_score(df, F.col("lang") == "en")
+    rows = {r["doc_id"]: r for r in scored.collect()}
+    assert len(rows) == 81
+    assert rows[200]["dsir_score"] > 0          # target-like content
+    assert rows[50]["dsir_score"] < 0           # raw-only content
+    # the target-vocab de doc outranks every raw-vocab doc
+    assert rows[200]["dsir_score"] > max(
+        rows[i]["dsir_score"] for i in range(40, 80)
+    )
+    top = sampling.dsir_select(df, F.col("lang") == "en", n=41)
+    ids = {r["doc_id"] for r in top.collect()}
+    assert 200 in ids and ids >= set(range(40))
+
+
+def test_dsir_scoring_plan_is_zero_shuffle(spark):
+    """After the bounded weight collect, scoring is a single codegen
+    projection: literal weight array + per-token md5 lookup — no
+    Exchange, no join, no Python stage in the scored plan."""
+    df = _dsir_corpus(spark)
+    scored = sampling.dsir_score(df, F.col("lang") == "en")
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan and "MapInPandas" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level first-occurrence dedup (round 6)
+# ---------------------------------------------------------------------------
+
+def test_dedup_paragraphs_first_occurrence_wins(spark):
+    """RefinedWeb line dedup: a line survives only at its globally
+    first (doc_id, pos); whitespace-only segments are normalized away;
+    order inside each doc is preserved; a doc whose every line was
+    seen before comes back with text='' and n_kept=0."""
+    rows = [
+        (1, "alpha\nbeta\ngamma"),
+        (2, "beta\ndelta\n \nalpha"),   # beta+alpha seen in doc 1
+        (3, "gamma\nbeta"),              # nothing new
+        (4, "epsilon\nepsilon"),         # self-dup: pos 0 wins
+        (5, "   \n  "),                  # only space-lines -> dropped doc
+        # trim() strips SPACES only (the engine-portable contract —
+        # CLAUDE.md cross-engine gotcha), so a tab line is a real,
+        # dedupable paragraph in BOTH engines
+        (6, "\t\nalpha"),
+        (7, "\t"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup.dedup_paragraphs(df).collect()}
+    assert set(out) == {1, 2, 3, 4, 6, 7}  # doc 5 has no paragraphs
+    assert out[6]["text"] == "\t" and out[6]["n_dropped"] == 1
+    assert out[7]["text"] == "" and out[7]["n_dropped"] == 1
+    assert out[1]["text"] == "alpha\nbeta\ngamma"
+    assert (out[1]["n_kept"], out[1]["n_dropped"]) == (3, 0)
+    assert out[2]["text"] == "delta"
+    assert (out[2]["n_kept"], out[2]["n_dropped"]) == (1, 2)
+    assert out[3]["text"] == "" and out[3]["n_kept"] == 0
+    assert out[3]["n_dropped"] == 2
+    assert out[4]["text"] == "epsilon"
+    assert (out[4]["n_kept"], out[4]["n_dropped"]) == (1, 1)
+
+
+def test_dedup_paragraphs_plan_no_window_over_hot_key(spark):
+    """Scale shape: the paragraph-key aggregate must be a partial-agg
+    groupBy (map-side combine absorbs the 10^8-page nav bar), never a
+    Window over the paragraph key (one task would sort the hot key's
+    whole group)."""
+    df = spark.createDataFrame(
+        [(i, "nav\ncontent %d" % i) for i in range(50)],
+        "doc_id long, text string",
+    )
+    plan = (
+        dedup.dedup_paragraphs(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan, plan
+    assert "partial" in plan.lower(), plan

@@ -142,3 +142,73 @@ def test_dedup_substring_partial_agg_shape(spark, sf_exists):
     # shape budget: 2 repartition spreads + gram agg + doc agg +
     # broadcast — anything beyond 5 exchanges is a new shuffle
     assert plan.count("Exchange") <= 5, plan
+
+
+def test_icelite_delete_read_plan_broadcast_anti_join(spark, tmp_path):
+    """The delete-aware read path's scale invariants (round 6):
+
+    - NO deletes → the single flat scan, zero Exchange (identical to
+      the r4 plan; grouping by delete signature must not change it);
+    - active deletes → one BroadcastHashJoin LeftAnti per delete key
+      column (the corpus side never shuffles for a takedown-sized key
+      set), still zero Exchange."""
+    from pyspark.sql import functions as F
+
+    from mini_html_parser_spark.plans.icelite import IceliteTable
+
+    t = IceliteTable(str(tmp_path / "t"))
+    df = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("x-"), F.col("id")).alias("text"),
+        F.pmod(F.col("id"), F.lit(4)).cast("int").alias("bucket"),
+    )
+    t.commit_append(df)
+
+    clean = _plan(t.read(spark))
+    assert "Exchange" not in clean, clean
+    assert "BroadcastHashJoin" not in clean, clean
+
+    t.commit_delete(
+        spark.createDataFrame([(3,), (7,)], "doc_id bigint"), key_col="doc_id"
+    )
+    deleted = _plan(t.read(spark))
+    assert "Exchange" not in deleted.replace(
+        "BroadcastExchange", "BroadcastX"
+    ), deleted
+    assert "BroadcastHashJoin" in deleted, deleted
+    assert "LeftAnti" in deleted, deleted
+
+
+def test_icelite_stats_prune_shrinks_scan_file_index(spark, tmp_path):
+    """File skipping happens at the MANIFEST level: the pruned read's
+    scan never indexes the skipped files (inputFiles is the planner's
+    file list).  At 100 TB this is a metadata decision vs a corpus
+    listing."""
+    from pyspark.sql import functions as F
+
+    from mini_html_parser_spark.plans.icelite import IceliteTable
+
+    t = IceliteTable(str(tmp_path / "t"))
+    df = spark.range(0, 400).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") * 3).alias("score"),
+        F.pmod(F.col("id"), F.lit(8)).cast("int").alias("bucket"),
+    )
+    t.commit_append(df)  # one file per bucket, interleaved score ranges
+    # second commit with a disjoint score range
+    t.commit_append(
+        spark.range(1000, 1400).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") * 3).alias("score"),
+            F.pmod(F.col("id"), F.lit(8)).cast("int").alias("bucket"),
+        )
+    )
+    full = t.read(spark)
+    pruned = t.read(spark, prune=[("score", ">=", 3000)])
+    assert len(full.inputFiles()) == 16
+    assert len(pruned.inputFiles()) == 8, pruned.inputFiles()
+    assert (
+        pruned.filter(F.col("score") >= 3000).count()
+        == full.filter(F.col("score") >= 3000).count()
+        == 400
+    )
