@@ -230,13 +230,35 @@ def minhash_lsh_candidates(
     The bucket join shuffles on (band, band_hash) — uniform by
     construction, so no skew handling needed beyond AQE.
     """
+    banded = minhash_bands(
+        df, text_col, id_col, num_hashes, bands, shingle_n, shingle_df
+    )
+    return _bucket_pairs(banded, ["band", "bucket"], id_col)
+
+
+def minhash_bands(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    shingle_df: DataFrame | None = None,
+) -> DataFrame:
+    """Banded minhash rows ``(id, band, bucket)`` — the LSH index in
+    its PERSISTABLE form: this is what a production pipeline maintains
+    incrementally as its corpus near-dup index table (append the
+    surviving batch's band rows after every ingest — the same
+    maintain-the-summary pattern as :func:`dedup_against`'s hash set
+    and :func:`bloom_accumulate`'s bitmap), so the daily batch joins
+    a ready index instead of re-signing 100 TB."""
     rows_per_band = num_hashes // bands
     # materialize the shingle array once; computing the signature from
     # the inline shingle expression would re-evaluate the split/
     # sequence/distinct chain inside every one of the k hash lambdas
     sh = shingle_df if shingle_df is not None else shingle_frame(df, text_col, id_col, shingle_n)
     sig = sh.select(F.col(id_col), minhash_signature(F.col("sh"), num_hashes).alias("sig"))
-    banded = sig.select(
+    return sig.select(
         id_col,
         F.explode(
             F.array(*[
@@ -253,7 +275,6 @@ def minhash_lsh_candidates(
             ])
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
-    return _bucket_pairs(banded, ["band", "bucket"], id_col)
 
 
 def jaccard_verify(
@@ -283,6 +304,16 @@ def jaccard_verify(
     return joined.filter(F.col("jaccard") >= threshold)
 
 
+def shingle_fingerprint(sh: F.Column) -> F.Column:
+    """Canonical fingerprint of a shingle SET: md5 over the sorted,
+    per-shingle-md5'd elements.  Each shingle is hashed BEFORE the
+    concat: fixed-width hex never contains the separator, so distinct
+    sets can't serialize alike — a raw '|' join would collide when
+    tokens contain '|' (ADVICE r2: Jaccard 1.0 ⇔ identical sets must
+    hold for all text)."""
+    return F.md5(F.concat_ws("|", F.transform(F.array_sort(sh), F.md5)))
+
+
 def exact_shingle_duplicates(
     df: DataFrame,
     text_col: str = "text",
@@ -300,16 +331,7 @@ def exact_shingle_duplicates(
     dedup/clustering: set equality is transitive).
     """
     sh = shingle_df if shingle_df is not None else shingle_frame(df, text_col, id_col, shingle_n)
-    # hash each shingle BEFORE joining: fixed-width hex never contains
-    # the separator, so distinct shingle sets can't serialize alike —
-    # a raw join with '|' would collide when tokens contain '|'
-    # (ADVICE r2: Jaccard 1.0 ⇔ identical sets must hold for all text)
-    fp = sh.select(
-        F.col(id_col),
-        F.md5(
-            F.concat_ws("|", F.transform(F.array_sort("sh"), F.md5))
-        ).alias("fp"),
-    )
+    fp = sh.select(F.col(id_col), shingle_fingerprint(F.col("sh")).alias("fp"))
     pairs = _bucket_pairs(fp, ["fp"], id_col, dedupe=False)
     # star edges (groups > MAX_BUCKET_PAIRS_SIZE) are lossless here:
     # set equality is transitive, so rep→member edges span the group
@@ -806,6 +828,123 @@ def dedup_against(
         keep = w.groupBy("content_hash").agg(F.min(id_col).alias(id_col))
         w = w.join(keep, [id_col, "content_hash"], "left_semi")
     return w.join(corpus_hashes, "content_hash", "left_anti").drop("content_hash")
+
+
+def neardup_against(
+    new_df: DataFrame,
+    corpus_df: DataFrame | None = None,
+    threshold: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    within_batch: bool = True,
+    corpus_bands: DataFrame | None = None,
+    corpus_fingerprints: DataFrame | None = None,
+    verify: bool = True,
+    broadcast_batch: bool = False,
+) -> DataFrame:
+    """NEAR-dup incremental ingestion: survivors of a NEW batch whose
+    near-duplicate is not already in the corpus — the fuzzy analogue
+    of :func:`dedup_against` (which only catches byte-identical text).
+    The daily-crawl case: recrawled pages differ by a timestamp or ad
+    block but are the same document.
+
+    Batch and corpus ids must be disjoint (always true for an ingest
+    increment — fresh ids by construction).
+
+    ``threshold >= 1.0``: shingle-SET equality (whitespace-run and
+    duplicate-shingle insensitive — already fuzzier than md5(text)),
+    via :func:`shingle_fingerprint` anti-join; the maintainable corpus
+    summary is one 32-hex fingerprint per doc
+    (``corpus_fingerprints=(id, fp)``).
+
+    ``threshold < 1.0``: MinHash-LSH — batch band rows join the corpus
+    band INDEX (``corpus_bands``, see :func:`minhash_bands` — the
+    persistable index a production pipeline maintains incrementally),
+    then ``verify=True`` (default) confirms candidates with exact
+    n-gram Jaccard ≥ threshold (needs ``corpus_df`` text for the
+    candidate docs only); ``verify=False`` is the LSH-only policy
+    (tune bands/rows to the threshold; no corpus text needed at all).
+
+    100-TB shape: the corpus is never re-signed — its index table is
+    appended per ingest.  The band join shuffles only band rows
+    (corpus index side is hash-partitioned once if stored bucketed);
+    ``broadcast_batch=True`` makes it a map-side join for takedown- or
+    small-increment-sized batches (corpus index never moves).  The
+    verify join touches corpus text for candidate ids only — bounded
+    by candidate count, not corpus size.  ``within_batch`` keeps the
+    min-id representative of each intra-batch near-dup group
+    (θ=1.0 semantics: fingerprint groupBy; θ<1: pairwise near-dup
+    juniors drop, matching :func:`neardup_survivors`)."""
+    if threshold >= 1.0:
+        sh_new = shingle_frame(new_df, text_col, id_col, shingle_n)
+        fp_new = sh_new.select(
+            F.col(id_col), shingle_fingerprint(F.col("sh")).alias("fp")
+        )
+        w = new_df.join(fp_new, id_col)
+        if within_batch:
+            keep = w.groupBy("fp").agg(F.min(id_col).alias(id_col))
+            w = w.join(keep, [id_col, "fp"], "left_semi")
+        if corpus_fingerprints is not None:
+            cfp = corpus_fingerprints.select(F.col("fp")).distinct()
+        else:
+            if corpus_df is None:
+                raise ValueError(
+                    "threshold >= 1.0 needs corpus_df or corpus_fingerprints"
+                )
+            cfp = (
+                shingle_frame(corpus_df, text_col, id_col, shingle_n)
+                .select(shingle_fingerprint(F.col("sh")).alias("fp"))
+                .distinct()
+            )
+        return w.join(cfp, "fp", "left_anti").drop("fp")
+
+    sh_new = shingle_frame(new_df, text_col, id_col, shingle_n).persist()
+    batch_bands = minhash_bands(
+        new_df, text_col, id_col, num_hashes, bands, shingle_n,
+        shingle_df=sh_new,
+    )
+    if corpus_bands is None:
+        if corpus_df is None:
+            raise ValueError("threshold < 1.0 needs corpus_df or corpus_bands")
+        corpus_bands = minhash_bands(
+            corpus_df, text_col, id_col, num_hashes, bands, shingle_n
+        )
+    b = F.broadcast(batch_bands) if broadcast_batch else batch_bands
+    cands = (
+        b.alias("n")
+        .join(
+            corpus_bands.alias("c"),
+            (F.col("n.band") == F.col("c.band"))
+            & (F.col("n.bucket") == F.col("c.bucket")),
+        )
+        .select(
+            F.col(f"n.{id_col}").alias("id_a"),
+            F.col(f"c.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    if verify:
+        if corpus_df is None:
+            raise ValueError("verify=True needs corpus_df (candidate texts)")
+        sh_corpus = shingle_frame(corpus_df, text_col, id_col, shingle_n)
+        confirmed = jaccard_verify(
+            cands, None, text_col, id_col, shingle_n, threshold,
+            shingle_df=sh_new.unionByName(sh_corpus),
+        )
+        dup_ids = confirmed.select(F.col("id_a").alias(id_col)).distinct()
+    else:
+        dup_ids = cands.select(F.col("id_a").alias(id_col)).distinct()
+    out = new_df.join(dup_ids, id_col, "left_anti")
+    if within_batch:
+        intra = jaccard_duplicates(
+            out, threshold, text_col, id_col, num_hashes, bands, shingle_n
+        )
+        juniors = intra.select(F.col("id_b").alias(id_col)).distinct()
+        out = out.join(juniors, id_col, "left_anti")
+    return out
 
 
 def build_text_bloom(

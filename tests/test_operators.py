@@ -1858,3 +1858,87 @@ def test_dedup_paragraphs_plan_no_window_over_hot_key(spark):
     )
     assert "Window" not in plan, plan
     assert "partial" in plan.lower(), plan
+
+
+# ---------------------------------------------------------------------------
+# incremental near-dup ingestion (round 6)
+# ---------------------------------------------------------------------------
+
+def _neardup_fixtures(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely different corpus document two with unique words"),
+            (3, "third doc talks about spark shuffles and partitions only"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            # near-dup of corpus 1: one word changed out of 10
+            (100, "the quick brown fox jumps over the lazy cat today"),
+            # exact shingle-set dup of corpus 3 (whitespace run differs)
+            (101, "third doc talks  about spark shuffles and partitions only"),
+            # genuinely new
+            (102, "a totally novel page about minhash band indexes here"),
+            # near-dup of 102 WITHIN the batch (junior id -> dropped)
+            (103, "a totally novel page about minhash band indexes there"),
+        ],
+        "doc_id long, text string",
+    )
+    return corpus, batch
+
+
+def test_neardup_against_lsh_verify_path(spark):
+    corpus, batch = _neardup_fixtures(spark)
+    out = dedup.neardup_against(
+        batch, corpus_df=corpus, threshold=0.5, num_hashes=32, bands=16
+    )
+    assert {r["doc_id"] for r in out.collect()} == {102}
+
+    # verify=False (LSH-only policy): same result on this corpus, no
+    # corpus text needed when the band index is supplied
+    idx = dedup.minhash_bands(corpus, num_hashes=32, bands=16)
+    out2 = dedup.neardup_against(
+        batch, threshold=0.5, num_hashes=32, bands=16,
+        corpus_bands=idx, verify=False,
+    )
+    assert {r["doc_id"] for r in out2.collect()} == {102}
+
+
+def test_neardup_against_fingerprint_path_and_summary(spark):
+    """θ=1.0: shingle-set equality catches the whitespace recrawl that
+    exact-text dedup_against misses; the maintainable corpus summary
+    (one fingerprint per doc) gives the identical answer."""
+    corpus, batch = _neardup_fixtures(spark)
+    out = dedup.neardup_against(batch, corpus_df=corpus, threshold=1.0)
+    got = {r["doc_id"] for r in out.collect()}
+    assert got == {100, 102, 103}  # only the set-identical 101 drops
+    # exact-text dedup would have kept the recrawl
+    assert 101 in {
+        r["doc_id"] for r in dedup.dedup_against(batch, corpus).collect()
+    }
+    # precomputed fingerprint summary path
+    from mini_html_parser_spark.operators.dedup import (
+        shingle_fingerprint, shingle_frame,
+    )
+    summary = shingle_frame(corpus).select(
+        "doc_id", shingle_fingerprint(F.col("sh")).alias("fp")
+    )
+    out2 = dedup.neardup_against(
+        batch, threshold=1.0, corpus_fingerprints=summary
+    )
+    assert {r["doc_id"] for r in out2.collect()} == got
+
+
+def test_neardup_against_broadcast_batch_plan(spark):
+    """broadcast_batch=True: the corpus band INDEX never shuffles for
+    a small increment — the band join must be a BroadcastHashJoin."""
+    corpus, batch = _neardup_fixtures(spark)
+    idx = dedup.minhash_bands(corpus, num_hashes=32, bands=16)
+    out = dedup.neardup_against(
+        batch, threshold=0.5, corpus_bands=idx, verify=False,
+        broadcast_batch=True, within_batch=False,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
