@@ -496,6 +496,44 @@ class IceliteTable:
             F.regexp_extract(F.input_file_name(), r"bucket=(\d+)", 1).cast("int"),
         )
 
+    def _current_name_for(self, name: str, schema_id) -> str:
+        """Map a WRITE-TIME column name to the current schema name via
+        the stable field id (the same Iceberg id-based mapping the data
+        read path uses).  Without this, renaming the delete-key column
+        would brick every read of a table with active deletes — the
+        anti-join would ask for a column the mapped scan no longer
+        exposes.  Falls back to the given name for pre-schema-tracking
+        manifests (resolving via the newest schema that knows it, since
+        a later rename chain can legally re-introduce the old name for
+        a DIFFERENT field id)."""
+        schemas = self.schemas()
+        if not schemas:
+            return name
+        cur = schemas[-1]
+        src = None
+        if schema_id is not None:
+            src = next(
+                (s for s in schemas if s["schema_id"] == schema_id), None
+            )
+        if src is None:
+            src = next(
+                (
+                    s for s in reversed(schemas)
+                    if any(f["name"] == name for f in s["fields"])
+                ),
+                None,
+            )
+        if src is None:
+            return name
+        fid = next(
+            (f["id"] for f in src["fields"] if f["name"] == name), None
+        )
+        if fid is None:
+            return name
+        return next(
+            (f["name"] for f in cur["fields"] if f["id"] == fid), name
+        )
+
     def _anti_join_deletes(
         self, spark, df: DataFrame, del_snaps: list[dict]
     ) -> DataFrame:
@@ -504,21 +542,35 @@ class IceliteTable:
         ``df``'s snapshots — strictly-newer sequences only).  Delete
         files are tiny relative to the corpus, so the anti-join
         broadcasts below BROADCAST_DELETE_MAX keys; above it AQE picks
-        the strategy."""
-        by_key: dict[str, list[str]] = {}
+        the strategy.
+
+        Delete files keep their WRITE-TIME physical column name;
+        deletes committed on either side of a rename are grouped by
+        (current, physical) name pair, aliased to the CURRENT name,
+        and unioned — so one anti-join per logical key column, however
+        many renames the table has seen."""
+        by_key: dict[tuple[str, str], list[str]] = {}
         counts: dict[str, int] = {}
         for d in del_snaps:
-            key = d["delete_key"]
-            by_key.setdefault(key, []).extend(
+            phys = d["delete_key"]
+            cur = self._current_name_for(phys, d.get("schema_id"))
+            by_key.setdefault((cur, phys), []).extend(
                 os.path.join(self.path, p) for p in d["delete_files"]
             )
-            counts[key] = counts.get(key, 0) + int(d.get("delete_count") or 0)
-        for key_col in sorted(by_key):
+            counts[cur] = counts.get(cur, 0) + int(d.get("delete_count") or 0)
+        for key_col in sorted(counts):
             # no distinct: an anti-join is insensitive to duplicate
             # build-side keys, the writers already dedupe, and the
             # distinct's partial/final agg would put an Exchange on
             # this otherwise exchange-free read path
-            keys = spark.read.parquet(*by_key[key_col]).select(key_col)
+            keys = None
+            for (cur, phys), files in sorted(by_key.items()):
+                if cur != key_col:
+                    continue
+                part = spark.read.parquet(*files).select(
+                    F.col(phys).alias(cur)
+                )
+                keys = part if keys is None else keys.unionByName(part)
             if counts[key_col] <= self.BROADCAST_DELETE_MAX:
                 keys = F.broadcast(keys)
             df = df.join(keys, on=key_col, how="left_anti")
@@ -711,16 +763,27 @@ class IceliteTable:
 
         Exact path (``exact=True``, auto-selected after a re-bucket —
         see :meth:`requires_exact_resume`): anti-join on ``key_col``
-        against the table's committed keys.  A corpus-scale shuffle
-        rather than a metadata filter — the price of partition
-        evolution mid-ingest; the parquet scan on the build side is
-        column-pruned to the key."""
+        against the table's EVER-COMMITTED keys — the raw data files,
+        deletes deliberately NOT applied.  Resume semantics must match
+        the fast path: a bucket-committed (and later taken-down) doc
+        is skipped there too, so applying deletes here would silently
+        re-ingest PII takedowns on resume.  Caveat, shared with the
+        fast path: once ``compact()`` physically folds a delete away,
+        the key is gone from the data files and a resume treats the
+        doc as new — retraction durability across compaction belongs
+        to the delete's key list, which the caller keeps if the corpus
+        will be re-fed.  A corpus-scale shuffle rather than a metadata
+        filter — the price of partition evolution mid-ingest; the
+        parquet scan on the build side is column-pruned to the key."""
         if exact is None:
             exact = self.requires_exact_resume()
         if exact:
-            try:
-                committed = self.read(df.sparkSession)
-            except FileNotFoundError:
+            snaps = self.snapshots()
+            committed = (
+                self._scan_snaps(df.sparkSession, self._data_manifests(snaps))
+                if snaps else None
+            )
+            if committed is None:
                 return df
             return df.join(
                 committed.select(key_col), on=key_col, how="left_anti"
@@ -1062,7 +1125,12 @@ class IceliteTable:
             full = os.path.join(data_root, name)
             if name in referenced or not os.path.isdir(full):
                 continue
-            newest = os.path.getmtime(full)
+            try:
+                newest = os.path.getmtime(full)
+            except FileNotFoundError:
+                # a concurrent vacuum already reclaimed it between our
+                # listdir and here — nothing left to do for this dir
+                continue
             for root, _dirs, names in os.walk(full):
                 for n in names:
                     try:

@@ -432,3 +432,77 @@ def test_vacuum_grace_window_protects_inflight_writer(spark, tmp_path):
     rep = t.vacuum(grace_sec=3600)
     assert rep["removed"] == ["snap-2-deadbeef"]
     assert t.read(spark).count() == 10
+
+
+# ---------------------------------------------------------------------------
+# deletes across schema evolution + exact-resume semantics (round 6)
+# ---------------------------------------------------------------------------
+
+def test_delete_key_survives_rename(spark, tmp_path):
+    """Delete files keep their WRITE-TIME physical column name; the
+    read path must map it to the CURRENT name by field id, or renaming
+    the delete-key column would brick every read of a table with
+    active deletes (the anti-join would ask the mapped scan for a
+    column it no longer exposes)."""
+    t = IceliteTable(str(tmp_path / "t"))
+    t.commit_append(_df(spark, 0, 20))
+    t.commit_delete(_keys(spark, [3, 4]), key_col="doc_id")
+    t.evolve(rename_columns={"doc_id": "id"})
+
+    back = t.read(spark)
+    assert "id" in back.columns and "doc_id" not in back.columns
+    assert back.count() == 18
+    assert back.filter(F.col("id").isin(3, 4)).count() == 0
+
+    # a delete committed AFTER the rename (physical name `id`) and the
+    # pre-rename delete (physical `doc_id`) both resolve to the current
+    # name and apply together
+    t.commit_delete(
+        spark.createDataFrame([(5,)], "id bigint"), key_col="id"
+    )
+    back = t.read(spark)
+    assert back.count() == 17
+    assert back.filter(F.col("id").isin(3, 4, 5)).count() == 0
+
+
+def test_exact_resume_skips_taken_down_docs(spark, tmp_path):
+    """filter_pending(exact=True) anti-joins against EVER-COMMITTED
+    keys with deletes deliberately NOT applied: the fast (bucket) path
+    skips a committed-then-deleted doc too, so the exact path applying
+    deletes would silently re-ingest PII takedowns on resume."""
+    t = IceliteTable(str(tmp_path / "t"))
+    t.commit_append(_df(spark, 0, 10))
+    t.commit_delete(_keys(spark, [3]), key_col="doc_id")
+
+    batch = _df(spark, 0, 12)  # 0..9 committed (3 since deleted), 10..11 new
+    got = sorted(
+        r["doc_id"] for r in t.filter_pending(batch, exact=True).collect()
+    )
+    assert got == [10, 11]
+
+
+def test_vacuum_skips_concurrently_reclaimed_dir(spark, tmp_path, monkeypatch):
+    """Two vacuums racing: the loser's getmtime() hits a dir the winner
+    already rmtree'd between listdir and stat — that is a skip for that
+    dir, not a crash (and never a removal double-report)."""
+    import os
+    import shutil
+
+    t = IceliteTable(str(tmp_path / "t"))
+    t.commit_append(_df(spark, 0, 5))
+    orphan = os.path.join(str(tmp_path / "t"), "data", "snap-9-deadbeef")
+    os.makedirs(orphan)
+
+    real_getmtime = os.path.getmtime
+
+    def racy(p):
+        if os.path.normpath(str(p)) == orphan:
+            shutil.rmtree(orphan, ignore_errors=True)
+            raise FileNotFoundError(p)
+        return real_getmtime(p)
+
+    monkeypatch.setattr(os.path, "getmtime", racy)
+    rep = t.vacuum(grace_sec=0)
+    assert "snap-9-deadbeef" not in rep["removed"]
+    assert "snap-9-deadbeef" not in rep["kept_recent"]
+    assert t.read(spark).count() == 5
