@@ -10,9 +10,11 @@
     python jobs/table_tool.py <table_dir> dedup \
         [--key doc_id] [--text-col text] [--dry-run]
     python jobs/table_tool.py <table_dir> vacuum [--grace-sec N]
+    python jobs/table_tool.py <table_dir> checkpoint [--expire-manifests]
 
-``info``/``history``/``evolve``/``vacuum`` are metadata-only (no
-Spark session — they run instantly against the manifests);
+``info``/``history``/``evolve``/``vacuum``/``checkpoint`` are
+metadata-only (no Spark session — they run instantly against the
+manifests);
 ``compact``/``delete``/``dedup`` build a local session.  Every
 command prints one JSON line, mirroring extract_job's report
 contract.
@@ -45,7 +47,7 @@ def main(argv=None) -> int:
     p.add_argument("table")
     p.add_argument("command", choices=["info", "history", "compact",
                                        "evolve", "delete", "dedup",
-                                       "vacuum"])
+                                       "vacuum", "checkpoint"])
     p.add_argument("--add", action="append", default=[],
                    metavar="NAME:TYPE",
                    help="evolve: add a column (Spark type string, e.g. "
@@ -64,6 +66,11 @@ def main(argv=None) -> int:
                    help="vacuum: only remove orphan dirs whose newest "
                         "mtime is older than this (default 72h; 0 only "
                         "when no writer is live)")
+    p.add_argument("--expire-manifests", action="store_true",
+                   help="checkpoint: also remove the per-commit "
+                        "manifest files the checkpoint folded (log "
+                        "cleanup; keep them when external tooling "
+                        "tails raw manifests)")
     p.add_argument("--rebucket", type=int, default=None, metavar="N",
                    help="compact: partition-spec evolution — rewrite "
                         "the table under N buckets (cluster grew; see "
@@ -132,6 +139,15 @@ def main(argv=None) -> int:
     if args.command == "vacuum":
         rep = t.vacuum(grace_sec=args.grace_sec)
         print(json.dumps({"table": args.table, **rep}))
+        return 0
+
+    if args.command == "checkpoint":
+        rep = t.checkpoint(expire_manifests=args.expire_manifests)
+        print(json.dumps({
+            "table": args.table,
+            "checkpoint": rep,
+            "expired_manifests": bool(args.expire_manifests and rep),
+        }))
         return 0
 
     # compact/delete/dedup: need a session for data-file work

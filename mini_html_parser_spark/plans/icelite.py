@@ -111,8 +111,27 @@ class IceliteTable:
         self.manifest_dir = os.path.join(path, "_icelite")
 
     # ---- manifest plumbing -------------------------------------------------
+    @staticmethod
+    def _name_seq(name: str, prefix: str) -> int | None:
+        """Sequence encoded in a ``{prefix}{seq:06d}.json`` file name,
+        or None for foreign files.  Parsed as int, never compared
+        lexicographically — %06d overflows its zero-padding past 10^6
+        commits and lexicographic order silently breaks there."""
+        if not (name.startswith(prefix) and name.endswith(".json")):
+            return None
+        try:
+            return int(name[len(prefix):-5])
+        except ValueError:
+            return None
+
     def snapshots(self) -> list[dict]:
         """Active manifests, in sequence order.
+
+        Reads the newest metadata CHECKPOINT (see :meth:`checkpoint`)
+        plus only the manifests STRICTLY NEWER than it — O(tail) file
+        opens per call instead of O(#commits), which on a years-lived
+        table (10^5 micro-batch commits) is the difference between
+        one small read and opening every commit ever made.
 
         A ``compacted`` manifest SUPERSEDES everything below its
         sequence: older manifests are invisible even if still on disk,
@@ -122,10 +141,10 @@ class IceliteTable:
         """
         if not os.path.isdir(self.manifest_dir):
             return []
-        # a concurrent compact() can remove superseded manifests
-        # between our listdir and open.  Removal only starts AFTER the
-        # compacted manifest is durable, so on a re-list the compacted
-        # manifest is visible and the history is complete — retry the
+        # a concurrent compact()/checkpoint() can remove superseded
+        # manifests (or a superseded checkpoint) between our listdir
+        # and open.  Removal only starts AFTER the superseding file is
+        # durable, so on a re-list the history is complete — retry the
         # scan rather than returning a partial (gap-sequenced) view.
         # A short backoff between attempts lets the remover finish its
         # loop; if the scan is STILL incomplete after the budget, raise
@@ -137,10 +156,29 @@ class IceliteTable:
         for attempt in range(5):
             if attempt:
                 _time.sleep(0.05 * attempt)
-            snaps = []
+            names = os.listdir(self.manifest_dir)
             complete = True
-            for name in sorted(os.listdir(self.manifest_dir)):
-                if name.startswith("snap-") and name.endswith(".json"):
+            snaps: list[dict] = []
+            ckpt_seq = -1
+            ckpts = [
+                (s, n) for n in names
+                if (s := self._name_seq(n, "ckpt-")) is not None
+            ]
+            if ckpts:
+                seq, name = max(ckpts)
+                try:
+                    with open(os.path.join(self.manifest_dir, name)) as f:
+                        ckpt_seq = seq
+                        snaps = json.load(f)["snapshots"]
+                except FileNotFoundError:
+                    complete = False  # superseded mid-scan; re-list
+            if complete:
+                tail = sorted(
+                    (s, n) for n in names
+                    if (s := self._name_seq(n, "snap-")) is not None
+                    and s > ckpt_seq
+                )
+                for _seq, name in tail:
                     try:
                         with open(os.path.join(self.manifest_dir, name)) as f:
                             snaps.append(json.load(f))
@@ -152,16 +190,77 @@ class IceliteTable:
         if not complete:
             raise RuntimeError(
                 f"icelite table {self.path}: manifest scan still "
-                "incomplete after 5 attempts (a concurrent compact() is "
-                "removing superseded manifests faster than we can list); "
-                "retry the read"
+                "incomplete after 5 attempts (a concurrent compact() or "
+                "checkpoint() is removing superseded metadata faster than "
+                "we can list); retry the read"
             )
+        snaps.sort(key=lambda s: s["sequence"])
         floor = max(
             (s["sequence"] for s in snaps if s.get("compacted")), default=None
         )
         if floor is not None:
             snaps = [s for s in snaps if s["sequence"] >= floor]
         return snaps
+
+    def checkpoint(self, expire_manifests: bool = False) -> dict | None:
+        """Fold the active manifest list into ONE metadata file
+        (``_icelite/ckpt-{seq:06d}.json``) so :meth:`snapshots` reads
+        the checkpoint plus only strictly-newer manifests — Delta's
+        parquet checkpoint / Iceberg's manifest list, in this table's
+        single-filesystem seam.  Metadata-only: no data moves, no
+        sequence is consumed, and writers are never blocked (the
+        commit protocol is untouched — a checkpoint is a derived
+        view, the manifests stay truth).
+
+        Concurrency: the checkpoint is written to a writer-unique tmp
+        file and ``os.link``ed into place (same arbitration as
+        commits); a same-sequence race is benign — both checkpoints
+        fold the identical active list.  Only STRICTLY-OLDER
+        checkpoints are removed afterwards, so racing a newer
+        checkpoint never regresses the metadata tip.
+
+        ``expire_manifests=True`` additionally removes the per-commit
+        manifest files the checkpoint folded (Delta's log cleanup);
+        a reader racing the removal re-lists and finds the checkpoint
+        (the same retry contract as compact()'s removal loop).  Leave
+        False when external tooling still tails raw manifests.
+
+        Returns ``{"sequence": S, "count": n}`` or None for an empty
+        table."""
+        snaps = self.snapshots()
+        if not snaps:
+            return None
+        seq = snaps[-1]["sequence"]
+        tmp = os.path.join(
+            self.manifest_dir, f".ckpt-{seq}-{uuid.uuid4().hex}.json.tmp"
+        )
+        with open(tmp, "w") as f:
+            json.dump({"sequence": seq, "snapshots": snaps}, f, indent=2)
+        target = os.path.join(self.manifest_dir, f"ckpt-{seq:06d}.json")
+        try:
+            os.link(tmp, target)
+        except FileExistsError:
+            pass  # same-sequence checkpoint already durable: equivalent
+        os.remove(tmp)
+        # the new checkpoint is durable; older checkpoints and
+        # (optionally) the folded manifests are cleanup, not truth
+        for name in os.listdir(self.manifest_dir):
+            s = self._name_seq(name, "ckpt-")
+            if s is not None and s < seq:
+                try:
+                    os.remove(os.path.join(self.manifest_dir, name))
+                except FileNotFoundError:
+                    pass
+        if expire_manifests:
+            for s in snaps:
+                p = os.path.join(
+                    self.manifest_dir, f"snap-{s['sequence']:06d}.json"
+                )
+                try:
+                    os.remove(p)
+                except FileNotFoundError:
+                    pass
+        return {"sequence": seq, "count": len(snaps)}
 
     def current_snapshot(self) -> dict | None:
         snaps = self.snapshots()
@@ -736,6 +835,135 @@ class IceliteTable:
             return out
         return self.read(spark).limit(0)  # empty frame, right schema
 
+    def read_changes(
+        self,
+        spark,
+        after_snapshot: str | None = None,
+        until_snapshot: str | None = None,
+    ) -> DataFrame:
+        """CDC changelog scan (Iceberg's ``create_changelog_view`` /
+        Delta Change Data Feed): every row-level change committed
+        STRICTLY AFTER ``after_snapshot`` (from table genesis when
+        None), up to and including ``until_snapshot`` (the current
+        snapshot when None), in the table's CURRENT schema plus three
+        metadata columns:
+
+          _change_type         ``'insert'`` | ``'delete'``
+          _commit_sequence     the committing snapshot's sequence
+          _commit_snapshot_id  the committing snapshot's id
+
+        Inserts are attributed to their committing snapshot by ONE
+        flat schema-aware scan plus a broadcast file→snapshot map
+        keyed on each file's ``snap-dir/bucket=k/part-file`` path
+        suffix (the snap dir is uuid-suffixed per commit, so the key
+        is table-unique) — plan size constant in snapshot count, the
+        same design rule as :meth:`read`.  RAW rows are emitted: a row
+        inserted and retracted inside the window produces BOTH events;
+        downstream nets them if it wants net semantics (Iceberg's
+        changelog contract).
+
+        A delete at sequence D emits the FULL ROW IMAGE of exactly the
+        rows that were live entering D (visible rows of sequences < D
+        after earlier deletes) and match its keys — one event per
+        physical retraction, nothing for already-retracted keys or
+        later re-appends.  Cost: one extra metadata-pruned scan per
+        window delete; deletes are rare (takedowns), and each scan
+        reads only sequences below D.  A :meth:`merge` manifest emits
+        its delete events and its insert events at the SAME sequence —
+        consumers replay a sequence's deletes before its inserts.
+
+        Windows never span a ``compact()``: compaction expires the
+        history it folds, so an endpoint below the floor raises
+        KeyError (CDC consumers checkpoint their last-consumed
+        snapshot and must stay above the floor — the same contract as
+        :meth:`read_incremental`).  A genesis window over a compacted
+        table reports the surviving compacted manifest as bootstrap
+        inserts at its own sequence — which IS the net history."""
+        snaps = self.snapshots()
+        if not snaps:
+            raise FileNotFoundError(
+                f"icelite table {self.path} has no snapshots"
+            )
+        by_id = {s["snapshot_id"]: s for s in snaps}
+        lo = -1
+        if after_snapshot is not None:
+            if after_snapshot not in by_id:
+                raise KeyError(
+                    f"icelite table {self.path}: snapshot "
+                    f"{after_snapshot!r} not found among active snapshots "
+                    "(never existed or expired by compact())"
+                )
+            lo = by_id[after_snapshot]["sequence"]
+        hi = snaps[-1]["sequence"]
+        if until_snapshot is not None:
+            if until_snapshot not in by_id:
+                raise KeyError(
+                    f"icelite table {self.path}: snapshot "
+                    f"{until_snapshot!r} not found among active snapshots"
+                )
+            hi = by_id[until_snapshot]["sequence"]
+        window = [s for s in snaps if lo < s["sequence"] <= hi]
+
+        parts: list[DataFrame] = []
+        data_snaps = self._data_manifests(window)
+        if data_snaps:
+            key_rows = []
+            for s in data_snaps:
+                for f in self._snapshot_files(s):
+                    suffix = "/".join(os.path.normpath(f).split(os.sep)[-3:])
+                    key_rows.append(
+                        (suffix, s["sequence"], s["snapshot_id"])
+                    )
+            scan = self._scan_snaps(spark, data_snaps)
+            if scan is not None:
+                fmap = spark.createDataFrame(
+                    key_rows,
+                    "_file_key string, _commit_sequence bigint, "
+                    "_commit_snapshot_id string",
+                )
+                ins = scan.withColumn(
+                    "_file_key",
+                    F.regexp_extract(
+                        F.input_file_name(), r"([^/]+/[^/]+/[^/]+)$", 1
+                    ),
+                ).join(F.broadcast(fmap), on="_file_key", how="inner")
+                parts.append(
+                    ins.drop("_file_key")
+                    .withColumn("_change_type", F.lit("insert"))
+                )
+
+        for d in self._delete_manifests(window):
+            prior = [s for s in snaps if s["sequence"] < d["sequence"]]
+            live = self._read_snaps(spark, prior)
+            if live is None:
+                continue
+            cur = self._current_name_for(d["delete_key"], d.get("schema_id"))
+            keys = spark.read.parquet(
+                *[os.path.join(self.path, p) for p in d["delete_files"]]
+            ).select(F.col(d["delete_key"]).alias(cur))
+            hit = live.join(F.broadcast(keys), on=cur, how="left_semi")
+            parts.append(
+                hit.withColumn(
+                    "_commit_sequence",
+                    F.lit(int(d["sequence"])).cast("bigint"),
+                )
+                .withColumn("_commit_snapshot_id", F.lit(d["snapshot_id"]))
+                .withColumn("_change_type", F.lit("delete"))
+            )
+
+        if not parts:
+            return (
+                self.read(spark)
+                .limit(0)
+                .withColumn("_commit_sequence", F.lit(0).cast("bigint"))
+                .withColumn("_commit_snapshot_id", F.lit(""))
+                .withColumn("_change_type", F.lit("insert"))
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def requires_exact_resume(self) -> bool:
         """True once the table has ever been re-bucketed (partition-spec
         evolution).  Bucket-level skip-if-done assumes "bucket committed
@@ -1236,6 +1464,7 @@ class IceliteTable:
         partitioning: dict | None = None,
         compact: bool = True,
         auto_compact_every: int | None = None,
+        auto_checkpoint_every: int | None = None,
         delete_key: str | None = None,
         sort_within_buckets: list[str] | None = None,
     ) -> dict | None:
@@ -1253,7 +1482,13 @@ class IceliteTable:
         ``auto_compact_every=N`` folds the table down to one snapshot
         whenever the active-snapshot count reaches N after this commit
         — bounds manifest/file growth for long incremental jobs
-        without a separate maintenance job."""
+        without a separate maintenance job.
+
+        ``auto_checkpoint_every=N`` instead folds only METADATA: when
+        N or more manifests sit above the newest checkpoint after
+        this commit, :meth:`checkpoint` runs — snapshots() stays
+        O(tail) for commit-heavy ingest (streaming sinks) without the
+        data rewrite a compact implies."""
         parent = self.current_snapshot()
         snap_n = (parent["sequence"] + 1) if parent else 0
         # uuid-suffixed data dir: concurrent writers must never share
@@ -1372,4 +1607,20 @@ class IceliteTable:
                 # instead of the run's parse/malformed counters); the
                 # durable table state is the compacted snapshot.
                 manifest["compaction"] = compacted["snapshot_id"]
+        if auto_checkpoint_every:
+            names = os.listdir(self.manifest_dir)
+            ckpt_seq = max(
+                (
+                    s for n in names
+                    if (s := self._name_seq(n, "ckpt-")) is not None
+                ),
+                default=-1,
+            )
+            tail = sum(
+                1 for n in names
+                if (s := self._name_seq(n, "snap-")) is not None
+                and s > ckpt_seq
+            )
+            if tail >= auto_checkpoint_every:
+                self.checkpoint()
         return manifest

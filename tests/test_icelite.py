@@ -827,3 +827,115 @@ def test_table_tool_compact_rebucket_cli(spark, tmp_path, capsys):
     assert rep["compacted"] and rep["rebucketed_to"] == 32
     assert t.partitioning()["n_buckets"] == 32
     assert t.read(spark).count() == 50
+
+
+# ---------------------------------------------------------------------------
+# metadata checkpointing (round 6): snapshots() = newest ckpt + tail
+# ---------------------------------------------------------------------------
+
+def test_checkpoint_equivalence_and_tail_only_reads(spark, tmp_path):
+    """After checkpoint(), snapshots() must be identical to the full
+    manifest scan AND must open only manifests strictly newer than
+    the checkpoint — O(tail), not O(#commits)."""
+    import builtins
+    import os as _os
+
+    t = IceliteTable(str(tmp_path / "t"))
+    for i in range(6):
+        t.commit_append(_df(spark, i * 10, (i + 1) * 10))
+    full = t.snapshots()
+    assert [s["sequence"] for s in full] == list(range(6))
+
+    rep = t.checkpoint()
+    assert rep == {"sequence": 5, "count": 6}
+    t.commit_append(_df(spark, 60, 70))   # seq 6 (tail)
+    t.commit_append(_df(spark, 70, 80))   # seq 7 (tail)
+
+    opened: list[str] = []
+    real_open = builtins.open
+
+    def counting_open(f, *a, **k):
+        name = _os.path.basename(str(f))
+        if name.startswith("snap-") and name.endswith(".json"):
+            opened.append(name)
+        return real_open(f, *a, **k)
+
+    builtins.open = counting_open
+    try:
+        merged = t.snapshots()
+    finally:
+        builtins.open = real_open
+    assert [s["sequence"] for s in merged] == list(range(8))
+    assert sorted(opened) == ["snap-000006.json", "snap-000007.json"]
+    assert t.read(spark).count() == 80
+
+
+def test_checkpoint_expire_manifests_and_recheckpoint(spark, tmp_path):
+    """expire_manifests removes the folded per-commit files; the table
+    stays fully readable/writable, a later checkpoint supersedes the
+    older one (only one ckpt file remains), and compact() still works
+    over a checkpointed history."""
+    import os as _os
+
+    t = IceliteTable(str(tmp_path / "t"))
+    for i in range(4):
+        t.commit_append(_df(spark, i * 10, (i + 1) * 10))
+    t.checkpoint(expire_manifests=True)
+    names = _os.listdir(t.manifest_dir)
+    assert not any(n.startswith("snap-") for n in names)
+    assert t.read(spark).count() == 40
+
+    t.commit_append(_df(spark, 40, 50))  # sequences continue past ckpt
+    assert [s["sequence"] for s in t.snapshots()] == [0, 1, 2, 3, 4]
+    t.checkpoint(expire_manifests=True)
+    ckpts = [n for n in _os.listdir(t.manifest_dir) if n.startswith("ckpt-")]
+    assert ckpts == ["ckpt-000004.json"]
+
+    # compact over a checkpoint-backed history: floor supersedes the
+    # ckpt's folded entries, reads stay exact
+    t.compact(spark)
+    assert len(t.snapshots()) == 1
+    assert t.read(spark).count() == 50
+
+
+def test_auto_checkpoint_every(spark, tmp_path):
+    """commit_append(auto_checkpoint_every=N) folds metadata whenever
+    N manifests sit above the newest checkpoint."""
+    import os as _os
+
+    t = IceliteTable(str(tmp_path / "t"))
+    for i in range(7):
+        t.commit_append(
+            _df(spark, i * 10, (i + 1) * 10), auto_checkpoint_every=3
+        )
+    ckpts = sorted(
+        n for n in _os.listdir(t.manifest_dir) if n.startswith("ckpt-")
+    )
+    # ckpt at seq 2 (3 tail manifests), superseded by one at seq 5
+    assert ckpts == ["ckpt-000005.json"]
+    assert [s["sequence"] for s in t.snapshots()] == list(range(7))
+    assert t.read(spark).count() == 70
+
+
+def test_checkpoint_cli(spark, tmp_path, capsys):
+    import json as _json
+    import os as _os
+    import sys as _sys
+
+    jobs_dir = _os.path.join(_os.path.dirname(__file__), "..", "jobs")
+    _sys.path.insert(0, jobs_dir)
+    try:
+        import table_tool
+    finally:
+        _sys.path.remove(jobs_dir)
+
+    tbl = str(tmp_path / "t")
+    t = IceliteTable(tbl)
+    t.commit_append(_df(spark, 0, 10))
+    t.commit_append(_df(spark, 10, 20))
+
+    assert table_tool.main([tbl, "checkpoint", "--expire-manifests"]) == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["checkpoint"] == {"sequence": 1, "count": 2}
+    assert rep["expired_manifests"] is True
+    assert t.read(spark).count() == 20

@@ -506,3 +506,111 @@ def test_vacuum_skips_concurrently_reclaimed_dir(spark, tmp_path, monkeypatch):
     assert "snap-9-deadbeef" not in rep["removed"]
     assert "snap-9-deadbeef" not in rep["kept_recent"]
     assert t.read(spark).count() == 5
+
+
+# ---------------------------------------------------------------------------
+# CDC changelog reads (round 6)
+# ---------------------------------------------------------------------------
+
+def test_read_changes_full_history_and_replay(spark, tmp_path):
+    """Genesis changelog: every append's raw rows as inserts at their
+    committing sequence, every retraction as a full-row-image delete
+    event; replaying the log in sequence order (deletes before
+    inserts within a sequence) reproduces read() exactly."""
+    t = IceliteTable(str(tmp_path / "t"))
+    t.commit_append(_df(spark, 0, 10))               # seq 0: +10
+    t.commit_delete(_keys(spark, [3, 5]))            # seq 1: -2
+    t.commit_append(_df(spark, 10, 15))              # seq 2: +5
+
+    ch = t.read_changes(spark)
+    ins = ch.filter(F.col("_change_type") == "insert").collect()
+    assert len(ins) == 15  # raw: deleted rows still appear as inserts
+    seq_of = {r["doc_id"]: r["_commit_sequence"] for r in ins}
+    assert seq_of[0] == 0 and seq_of[9] == 0 and seq_of[14] == 2
+
+    dels = ch.filter(F.col("_change_type") == "delete").collect()
+    assert sorted(r["doc_id"] for r in dels) == [3, 5]
+    assert all(r["_commit_sequence"] == 1 for r in dels)
+    assert sorted(r["text"] for r in dels) == ["text-3", "text-5"]
+
+    # replay property
+    state: dict[int, str] = {}
+    for seq in sorted({r["_commit_sequence"] for r in ins + dels}):
+        for r in dels:
+            if r["_commit_sequence"] == seq:
+                state.pop(r["doc_id"], None)
+        for r in ins:
+            if r["_commit_sequence"] == seq:
+                state[r["doc_id"]] = r["text"]
+    now = {r["doc_id"]: r["text"] for r in t.read(spark).collect()}
+    assert state == now
+
+
+def test_read_changes_window_skips_already_retracted(spark, tmp_path):
+    """A delete of an already-retracted key emits nothing (one event
+    per physical retraction); a window delete still retracts
+    PRE-window rows; pre-window inserts never appear."""
+    t = IceliteTable(str(tmp_path / "t"))
+    s0 = t.commit_append(_df(spark, 0, 10))          # seq 0 (pre-window)
+    t.commit_delete(_keys(spark, [4]))               # seq 1: -4
+    t.commit_delete(_keys(spark, [4, 6]))            # seq 2: only 6 live
+
+    ch = t.read_changes(spark, after_snapshot=s0["snapshot_id"])
+    assert ch.filter(F.col("_change_type") == "insert").count() == 0
+    got = sorted(
+        (r["_commit_sequence"], r["doc_id"])
+        for r in ch.filter(F.col("_change_type") == "delete").collect()
+    )
+    assert got == [(1, 4), (2, 6)]
+
+
+def test_read_changes_merge_emits_both_events(spark, tmp_path):
+    """merge() at sequence q: delete events carry the OLD row images
+    of live matching keys (absent keys emit nothing), insert events
+    carry the new rows — both stamped with q."""
+    t = IceliteTable(str(tmp_path / "t"))
+    s0 = t.commit_append(_df(spark, 0, 5))
+    t.merge(_df(spark, 3, 6, tag="re"))              # 3,4 live; 5 new
+
+    ch = t.read_changes(spark, after_snapshot=s0["snapshot_id"])
+    dels = ch.filter(F.col("_change_type") == "delete").collect()
+    assert sorted(r["doc_id"] for r in dels) == [3, 4]
+    assert all(r["text"].startswith("text-") for r in dels)  # old image
+    ins = ch.filter(F.col("_change_type") == "insert").collect()
+    assert sorted(r["doc_id"] for r in ins) == [3, 4, 5]
+    assert all(r["text"].startswith("re-") for r in ins)
+    assert {r["_commit_sequence"] for r in dels + ins} == {1}
+
+
+def test_read_changes_compaction_floor_and_bootstrap(spark, tmp_path):
+    """An endpoint expired by compact() raises; a genesis window over
+    a compacted table reports the compacted manifest as bootstrap
+    inserts at its own sequence."""
+    t = IceliteTable(str(tmp_path / "t"))
+    s0 = t.commit_append(_df(spark, 0, 10))
+    t.commit_delete(_keys(spark, [7]))
+    t.commit_append(_df(spark, 10, 12))
+    t.compact(spark)                                  # seq 3 supersedes 0-2
+
+    with pytest.raises(KeyError, match="expired"):
+        t.read_changes(spark, after_snapshot=s0["snapshot_id"])
+
+    ch = t.read_changes(spark)
+    rows = ch.collect()
+    assert all(r["_change_type"] == "insert" for r in rows)
+    assert all(r["_commit_sequence"] == 3 for r in rows)
+    assert sorted(r["doc_id"] for r in rows) == [i for i in range(12) if i != 7]
+
+
+def test_read_changes_survives_rename(spark, tmp_path):
+    """Changelog events come out in the CURRENT schema: delete events
+    committed under the old column name map by field id."""
+    t = IceliteTable(str(tmp_path / "t"))
+    t.commit_append(_df(spark, 0, 8))
+    t.commit_delete(_keys(spark, [2]))
+    t.evolve(rename_columns={"doc_id": "id"})
+
+    ch = t.read_changes(spark)
+    assert "id" in ch.columns and "doc_id" not in ch.columns
+    dels = ch.filter(F.col("_change_type") == "delete").collect()
+    assert [r["id"] for r in dels] == [2]
