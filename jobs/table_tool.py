@@ -11,6 +11,7 @@
         [--key doc_id] [--text-col text] [--dry-run]
     python jobs/table_tool.py <table_dir> vacuum [--grace-sec N]
     python jobs/table_tool.py <table_dir> checkpoint [--expire-manifests]
+    python jobs/table_tool.py <table_dir> index [--key doc_id] [--n-bits N]
 
 ``info``/``history``/``evolve``/``vacuum``/``checkpoint`` are
 metadata-only (no Spark session — they run instantly against the
@@ -47,7 +48,7 @@ def main(argv=None) -> int:
     p.add_argument("table")
     p.add_argument("command", choices=["info", "history", "compact",
                                        "evolve", "delete", "dedup",
-                                       "vacuum", "checkpoint"])
+                                       "vacuum", "checkpoint", "index"])
     p.add_argument("--add", action="append", default=[],
                    metavar="NAME:TYPE",
                    help="evolve: add a column (Spark type string, e.g. "
@@ -66,15 +67,28 @@ def main(argv=None) -> int:
                    help="vacuum: only remove orphan dirs whose newest "
                         "mtime is older than this (default 72h; 0 only "
                         "when no writer is live)")
+    p.add_argument("--n-bits", type=int, default=1 << 17,
+                   help="index: bits per file bitmap (default 128Ki = "
+                        "16 KB; ~10x max rows/file for ~1%% fp)")
     p.add_argument("--expire-manifests", action="store_true",
                    help="checkpoint: also remove the per-commit "
                         "manifest files the checkpoint folded (log "
                         "cleanup; keep them when external tooling "
                         "tails raw manifests)")
+    p.add_argument("--retain-last", type=int, default=8,
+                   help="checkpoint cleanup: always keep this many of "
+                        "the newest folded manifests (torn-listing "
+                        "shield for racing writers; 0 only when no "
+                        "writer is live)")
     p.add_argument("--rebucket", type=int, default=None, metavar="N",
                    help="compact: partition-spec evolution — rewrite "
                         "the table under N buckets (cluster grew; see "
                         "IceliteTable.compact rebucket_to)")
+    p.add_argument("--sort", default=None, metavar="COL[,COL...]",
+                   help="compact: re-cluster rows inside each bucket "
+                        "during the rewrite so min/max file stats get "
+                        "tight enough to skip files (Iceberg "
+                        "rewrite_data_files sort order)")
     args = p.parse_args(argv)
 
     from mini_html_parser_spark.plans.icelite import IceliteTable
@@ -142,7 +156,8 @@ def main(argv=None) -> int:
         return 0
 
     if args.command == "checkpoint":
-        rep = t.checkpoint(expire_manifests=args.expire_manifests)
+        rep = t.checkpoint(expire_manifests=args.expire_manifests,
+                           retain_last=args.retain_last)
         print(json.dumps({
             "table": args.table,
             "checkpoint": rep,
@@ -159,6 +174,11 @@ def main(argv=None) -> int:
     # process.
     spark = build_session(app_name=f"icelite-{args.command}")
     spark.sparkContext.setLogLevel("ERROR")
+
+    if args.command == "index":
+        rep = t.index_keys(spark, col=args.key, n_bits=args.n_bits)
+        print(json.dumps({"table": args.table, "key": args.key, **rep}))
+        return 0
 
     if args.command == "delete":
         if not args.keys_parquet:
@@ -202,7 +222,11 @@ def main(argv=None) -> int:
         }))
         return 0
 
-    manifest = t.compact(spark, rebucket_to=args.rebucket)
+    manifest = t.compact(
+        spark,
+        rebucket_to=args.rebucket,
+        sort_within_buckets=(args.sort.split(",") if args.sort else None),
+    )
     print(json.dumps({
         "table": args.table,
         "compacted": manifest is not None,
@@ -210,6 +234,7 @@ def main(argv=None) -> int:
         "rows": manifest["total_rows"] if manifest else None,
         "folded": (manifest or {}).get("metrics", {}).get("compacted_snapshots"),
         "rebucketed_to": args.rebucket,
+        "sorted_by": args.sort or None,
     }))
     return 0
 

@@ -70,3 +70,71 @@ def pack_sequences(
         .withColumn("offset_in_seq", (start % budget).cast("long"))
         .withColumn("n_seqs_spanned", (last_seq - seq_id + 1).cast("long"))
     )
+
+
+def pack_interleaved(
+    df: DataFrame,
+    budget: int,
+    media_cost: int = 32,
+    part_col: str = "source",
+    order_col: str = "doc_id",
+    spans_col: str = "spans",
+) -> DataFrame:
+    """Interleaved MULTIMODAL packing — the MM analogue of
+    :func:`pack_sequences` over the interleaved text+media document
+    shape (``spans: array<struct<kind,text,media_ref,offset>>``, the
+    BASELINE input_hint row): a media span costs a fixed
+    ``media_cost`` tokens (the vision-adapter's per-image token
+    budget, e.g. 32 learned queries), a text span its whitespace
+    token count, and spans are ATOMIC — an image token block is never
+    split across sequences, so every span belongs wholly to the
+    sequence where its first token lands (documents still straddle
+    boundaries span-by-span, preserving reading order).  A span whose
+    tokens would cross the boundary OVERFLOWS its sequence by up to
+    ``cost − 1`` tokens (the loader pads or truncates); the
+    alternative — restart-at-boundary bin packing — needs sequential
+    prefix state and is deliberately not what a relational layout
+    computes.
+
+    Output: one row per span — ``part_col``, ``order_col``,
+    ``span_pos`` (document order), ``kind``, ``text``, ``media_ref``,
+    ``n_tokens``, ``seq_id`` (0-based per ``part_col`` value),
+    ``offset_in_seq``.
+
+    100-TB shape: one ``posexplode`` (zero shuffle) + the SAME single
+    per-``part_col`` window shuffle as :func:`pack_sequences` — no
+    global sort; each loader-consumable partition value lays out
+    independently inside its task.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    ex = df.select(
+        part_col,
+        order_col,
+        F.posexplode(spans_col).alias("span_pos", "_sp"),
+    ).withColumn(
+        "n_tokens",
+        F.when(F.col("_sp.kind") == "media", F.lit(int(media_cost)))
+        .otherwise(F.size(F.split(F.trim(F.col("_sp.text")), WS_RE)))
+        .cast("long"),
+    )
+    # ROWS frame + (order_col, span_pos) ordering: span_pos breaks
+    # intra-document ties deterministically; see pack_sequences for
+    # why the default RANGE frame would overlap tied rows
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(order_col, "span_pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return ex.select(
+        part_col,
+        order_col,
+        "span_pos",
+        F.col("_sp.kind").alias("kind"),
+        F.col("_sp.text").alias("text"),
+        F.col("_sp.media_ref").alias("media_ref"),
+        "n_tokens",
+        F.floor(start / budget).cast("long").alias("seq_id"),
+        (start % budget).cast("long").alias("offset_in_seq"),
+    )

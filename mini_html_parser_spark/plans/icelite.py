@@ -77,9 +77,28 @@ def _bounds_may_satisfy(lo, hi, op, vals) -> bool:
         if op == "between":
             a, b = vals
             return (lo is None or lo <= b) and (hi is None or hi >= a)
+        if op == "in":
+            return any(
+                (lo is None or lo <= v) and (hi is None or v <= hi)
+                for v in vals
+            )
     except TypeError:
         return True
     return True  # unknown operator: never prune
+
+
+def _bloom_might_contain(bm: bytes, m: int, k: int, h1: int, h2: int) -> bool:
+    """Driver-side membership probe against one file's bitmap — the
+    exact mirror of the executor-side build in :meth:`index_keys`
+    (same double-hashing positions over the same JVM xxhash64 pair;
+    the Python arithmetic masks to uint64 to match numpy's wrap)."""
+    u1 = h1 & 0xFFFFFFFFFFFFFFFF
+    u2 = h2 & 0xFFFFFFFFFFFFFFFF
+    for i in range(k):
+        pos = ((u1 + i * u2) & 0xFFFFFFFFFFFFFFFF) % m
+        if not bm[pos >> 3] & (1 << (pos & 7)):
+            return False
+    return True
 
 
 def _file_may_match(stats: dict | None, prune, rename: dict) -> bool:
@@ -202,7 +221,9 @@ class IceliteTable:
             snaps = [s for s in snaps if s["sequence"] >= floor]
         return snaps
 
-    def checkpoint(self, expire_manifests: bool = False) -> dict | None:
+    def checkpoint(
+        self, expire_manifests: bool = False, retain_last: int = 8
+    ) -> dict | None:
         """Fold the active manifest list into ONE metadata file
         (``_icelite/ckpt-{seq:06d}.json``) so :meth:`snapshots` reads
         the checkpoint plus only strictly-newer manifests — Delta's
@@ -224,6 +245,18 @@ class IceliteTable:
         a reader racing the removal re-lists and finds the checkpoint
         (the same retry contract as compact()'s removal loop).  Leave
         False when external tooling still tails raw manifests.
+
+        Cleanup always RETAINS the newest ``retain_last`` folded
+        manifests (default 8).  Sequence arbitration rides os.link
+        against ``snap-{seq}.json`` names: a writer whose directory
+        listing was torn by concurrent link+unlink could miss BOTH the
+        new checkpoint and a just-removed manifest, then re-claim that
+        expired sequence — and its commit would be shadowed by the
+        checkpoint.  The retention window means a collision would need
+        a view ``retain_last`` commits stale, not one torn listing
+        (the same reasoning as Delta's checkpoint + retained JSON
+        log; on object stores the tip belongs to a real catalog —
+        the same seam as :meth:`_commit_manifest`).
 
         Returns ``{"sequence": S, "count": n}`` or None for an empty
         table."""
@@ -252,7 +285,7 @@ class IceliteTable:
                 except FileNotFoundError:
                     pass
         if expire_manifests:
-            for s in snaps:
+            for s in snaps[:-retain_last] if retain_last else snaps:
                 p = os.path.join(
                     self.manifest_dir, f"snap-{s['sequence']:06d}.json"
                 )
@@ -426,6 +459,7 @@ class IceliteTable:
         snaps: list[dict],
         buckets: set[int] | None = None,
         prune: list[tuple] | None = None,
+        file_filter=None,
     ) -> DataFrame | None:
         """One scan per DISTINCT schema version among ``snaps`` (not
         per snapshot — plan size stays O(schema versions), which is
@@ -474,6 +508,8 @@ class IceliteTable:
                         fstats.get(os.path.relpath(f, self.path)), prune, rename
                     )
                 ]
+            if file_filter is not None:
+                files = [f for f in files if file_filter(f)]
             if files:
                 by_schema.setdefault(sid, []).extend(files)
         if not by_schema:
@@ -561,12 +597,13 @@ class IceliteTable:
         snaps: list[dict],
         buckets: set[int] | None = None,
         prune: list[tuple] | None = None,
+        file_filter=None,
     ) -> DataFrame | None:
         """One flat scan over the data files of ``snaps`` — schema-aware
         when the table tracks schemas — with manifest-level bucket and
         column-stats file pruning.  Returns None when no file
         survives."""
-        sdf = self._read_with_schema(spark, snaps, buckets, prune)
+        sdf = self._read_with_schema(spark, snaps, buckets, prune, file_filter)
         if sdf is not None:
             return sdf
         keep = {f"bucket={b}" for b in buckets} if buckets is not None else None
@@ -586,6 +623,8 @@ class IceliteTable:
                         fstats.get(os.path.relpath(f, self.path)), prune, {}
                     )
                 ]
+            if file_filter is not None:
+                fs = [f for f in fs if file_filter(f)]
             files.extend(fs)
         if not files:
             return None
@@ -681,6 +720,7 @@ class IceliteTable:
         snaps: list[dict],
         buckets: set[int] | None = None,
         prune: list[tuple] | None = None,
+        file_filter=None,
     ) -> DataFrame | None:
         """Scan ``snaps`` with equality deletes applied.  An equality
         delete at sequence D retracts matching rows from data at
@@ -699,7 +739,7 @@ class IceliteTable:
             groups.setdefault(sig, []).append(s)
         parts = []
         for sig in sorted(groups):
-            df = self._scan_snaps(spark, groups[sig], buckets, prune)
+            df = self._scan_snaps(spark, groups[sig], buckets, prune, file_filter)
             if df is None:
                 continue
             if sig:
@@ -779,7 +819,10 @@ class IceliteTable:
                 raise FileNotFoundError(
                     f"icelite table {self.path}: no data for buckets {sorted(buckets)}"
                 )
-        out = self._read_snaps(spark, snaps, buckets, prune)
+        out = self._read_snaps(
+            spark, snaps, buckets, prune,
+            self._bloom_file_filter(spark, prune),
+        )
         if out is not None:
             return out
         # no data files at all (fully-deleted table after compaction,
@@ -1171,6 +1214,7 @@ class IceliteTable:
         spark,
         rebucket_to: int | None = None,
         key_col: str = "doc_id",
+        sort_within_buckets: list[str] | None = None,
     ) -> dict | None:
         """Rewrite all committed snapshots into one (the analogue of
         Iceberg's ``rewrite_data_files`` + snapshot expiry).
@@ -1203,8 +1247,8 @@ class IceliteTable:
           bucket shortcut would silently drop pending docs).
         """
         snaps = self.snapshots()
-        if len(snaps) <= 1 and rebucket_to is None:
-            return None
+        if len(snaps) <= 1 and rebucket_to is None and not sort_within_buckets:
+            return None  # nothing to fold and no re-layout requested
         full = self.read(spark)
         layout = self.partitioning()
         bucket_col = "bucket"
@@ -1229,9 +1273,33 @@ class IceliteTable:
         data_dir = os.path.join(
             self.path, "data", f"snap-{snap_n}-{uuid.uuid4().hex[:8]}"
         )
-        full.repartition(bucket_col).write.partitionBy(bucket_col).mode(
-            "overwrite"
-        ).parquet(data_dir)
+        if sort_within_buckets:
+            # re-CLUSTER during the rewrite (Iceberg rewrite_data_files
+            # with a sort order): unsorted ingest interleaves the whole
+            # value range into every file, so read(prune=...) keeps
+            # everything.  A plain one-file-per-bucket rewrite can't
+            # help — sorting INSIDE a single file never changes its
+            # min/max — so the rewrite RANGE-partitions on
+            # (bucket, sort cols): each output file covers one tight
+            # contiguous slice of the sort column within its bucket
+            # (≈ shuffle-partitions files table-wide), which is what
+            # makes the recorded bounds selective.  The Bloom key
+            # index sidecar goes stale (old file names) — stale
+            # entries are inert (unindexed files are never pruned);
+            # re-run index_keys after a compact to restore
+            # point-lookup skips.
+            cols = [F.col(bucket_col)] + [F.col(c) for c in sort_within_buckets]
+            # explicit partition count: an un-sized range repartition
+            # is AQE-coalescible (small inputs collapse to one file and
+            # the clustering silently evaporates); shuffle-partitions
+            # is the session's statement of intended write parallelism
+            n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            out = full.repartitionByRange(
+                n_parts, *cols
+            ).sortWithinPartitions(*cols)
+        else:
+            out = full.repartition(bucket_col)
+        out.write.partitionBy(bucket_col).mode("overwrite").parquet(data_dir)
 
         # a fully-deleted table compacts to ZERO data files (the write
         # above emits only _SUCCESS): still publish the compacted
@@ -1374,6 +1442,178 @@ class IceliteTable:
             shutil.rmtree(full, ignore_errors=True)
             report["removed"].append(name)
         return report
+
+    # ---- per-file key Bloom index (round 6) ----------------------------------
+    #
+    # Point lookups (`doc_id IN (...)`) are the one access pattern
+    # min/max file stats cannot prune: high-cardinality ids interleave
+    # across every file, so each file's [lo, hi] spans the whole key
+    # space and nothing skips.  A small per-FILE Bloom filter over the
+    # key column (Iceberg's puffin blobs / Delta's bloom index) turns a
+    # takedown audit on a 10^12-doc table from a corpus scan into a
+    # read of the handful of files whose bitmap might contain the key.
+
+    def _key_index_paths(self, col: str) -> tuple[str, str]:
+        return (
+            os.path.join(self.manifest_dir, f"bloomidx-{col}.json"),
+            os.path.join(self.manifest_dir, f"bloomidx-{col}"),
+        )
+
+    def index_keys(
+        self, spark, col: str = "doc_id", n_bits: int = 1 << 17, k: int = 5
+    ) -> dict:
+        """Build or INCREMENTALLY refresh the per-file Bloom index over
+        ``col``: one bitmap per data file (default 16 KB — size
+        ``n_bits ≈ 10×`` the max rows per file for ~1% false
+        positives), built distributed in one pass over the not-yet-
+        indexed snapshots (JVM ``xxhash64`` pair per row, bitmaps
+        assembled per file in ``applyInPandas`` — only (file, 16 KB)
+        rows ever reach the sidecar).  The sidecar is parquet under
+        ``_icelite/bloomidx-<col>/`` plus a params json; re-running
+        after new commits indexes ONLY the new snapshots' files.
+
+        Pruning stays a SUPERSET guarantee by construction: a file
+        absent from the index (not yet refreshed, or written under a
+        later rename) is always kept, and Bloom filters have no false
+        negatives.  After renaming ``col`` itself, build a fresh index
+        under the new name (the old sidecar keys no files the renamed
+        read asks about — stale entries are inert, never wrong).
+
+        Returns ``{"indexed_files": new, "total_files": all}``."""
+        meta_path, idx_dir = self._key_index_paths(col)
+        m, kk = (int(n_bits) + 7) & ~7, int(k)
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            m, kk = meta["n_bits"], meta["k"]  # params fixed at creation
+        snaps = self._data_manifests(self.snapshots())
+        done: set[str] = set()
+        if os.path.isdir(idx_dir):
+            done = {
+                r["f"]
+                for r in spark.read.parquet(idx_dir).select("f").collect()
+            }
+        total = 0
+        todo_snaps = []
+        for s in snaps:
+            fs = self._snapshot_files(s)
+            total += len(fs)
+            missing = [
+                f for f in fs
+                if "/".join(os.path.normpath(f).split(os.sep)[-3:]) not in done
+            ]
+            if missing:
+                todo_snaps.append(s)
+        if not todo_snaps:
+            return {"indexed_files": 0, "total_files": total}
+        scan = self._scan_snaps(spark, todo_snaps)
+        hashes = scan.select(
+            F.xxhash64(F.col(col)).alias("h1"),
+            F.xxhash64(F.col(col), F.lit(1)).alias("h2"),
+            F.regexp_extract(
+                F.input_file_name(), r"([^/]+/[^/]+/[^/]+)$", 1
+            ).alias("f"),
+        )
+
+        def _group_bitmap(key, pdf):
+            import numpy as np
+            import pandas as pd
+
+            bits = np.zeros(m // 8, dtype=np.uint8)
+            h1 = pdf["h1"].to_numpy().astype(np.uint64)
+            h2 = pdf["h2"].to_numpy().astype(np.uint64)
+            for i in range(kk):
+                pos = (h1 + np.uint64(i) * h2) % np.uint64(m)
+                np.bitwise_or.at(
+                    bits,
+                    (pos >> np.uint64(3)).astype(np.int64),
+                    np.left_shift(
+                        np.uint8(1), (pos & np.uint64(7)).astype(np.uint8)
+                    ),
+                )
+            return pd.DataFrame({"f": [key[0]], "bm": [bits.tobytes()]})
+
+        new_bitmaps = hashes.groupBy("f").applyInPandas(
+            _group_bitmap, "f string, bm binary"
+        )
+        # a re-scan of a todo snapshot re-emits ALREADY-indexed files
+        # (snapshot granularity): drop them before appending so the
+        # sidecar never holds two bitmaps for one file
+        if done:
+            done_df = spark.createDataFrame(
+                [(x,) for x in sorted(done)], "f string"
+            )
+            new_bitmaps = new_bitmaps.join(
+                F.broadcast(done_df), on="f", how="left_anti"
+            )
+        new_bitmaps.write.mode("append").parquet(idx_dir)
+        n_new = spark.read.parquet(idx_dir).count() - len(done)
+        if not os.path.exists(meta_path):
+            tmp = meta_path + f".{uuid.uuid4().hex}.tmp"
+            with open(tmp, "w") as f:
+                json.dump({"col": col, "n_bits": m, "k": kk}, f)
+            os.replace(tmp, meta_path)
+        return {"indexed_files": int(n_new), "total_files": total}
+
+    def _bloom_file_filter(self, spark, prune):
+        """Planning-time file filter for ``(col, "in", v1, ...)``
+        predicates backed by a key index — None when no such
+        predicate/index pair exists.  Literal values are hashed by
+        the SAME JVM xxhash64 as the build (one driver-local job over
+        a handful of rows — exact parity by construction, no Python
+        reimplementation to drift).  Unindexed files always pass."""
+        preds = [
+            p for p in (prune or [])
+            if p[1] == "in" and os.path.exists(self._key_index_paths(p[0])[0])
+        ]
+        if not preds:
+            return None
+        schema = self.current_schema()
+        col_types = {
+            f["name"]: f["type"] for f in (schema or {}).get("fields", [])
+        }
+        checks = []
+        for col, _op, *vals in preds:
+            meta_path, idx_dir = self._key_index_paths(col)
+            with open(meta_path) as f:
+                meta = json.load(f)
+            m, kk = meta["n_bits"], meta["k"]
+            bitmaps = {
+                r["f"]: bytes(r["bm"])
+                for r in spark.read.parquet(idx_dir).collect()
+            }
+            # xxhash64 is TYPE-sensitive (int32 and int64 of the same
+            # value hash differently): cast the literals to the
+            # column's declared type so driver probes hash exactly
+            # like the build-side scan did
+            v = F.col("v")
+            if col in col_types:
+                v = v.cast(col_types[col])
+            hs = (
+                spark.createDataFrame([(x,) for x in vals], ["v"])
+                .select(
+                    F.xxhash64(v).alias("h1"),
+                    F.xxhash64(v, F.lit(1)).alias("h2"),
+                )
+                .collect()
+            )
+            pairs = [(r["h1"], r["h2"]) for r in hs]
+            checks.append((bitmaps, m, kk, pairs))
+
+        def keep(path: str) -> bool:
+            suffix = "/".join(os.path.normpath(path).split(os.sep)[-3:])
+            for bitmaps, m, kk, pairs in checks:
+                bm = bitmaps.get(suffix)
+                if bm is None:
+                    continue  # unindexed file: never prune
+                if not any(
+                    _bloom_might_contain(bm, m, kk, h1, h2)
+                    for h1, h2 in pairs
+                ):
+                    return False
+            return True
+
+        return keep
 
     # ---- row-level deletes (VERDICT r5 #1) -----------------------------------
     def commit_delete(

@@ -2824,6 +2824,128 @@ SELECT doc_id, text, lang FROM documents
 """
 
 
+def q_pack_interleaved(spark, sf_dir):
+    """Interleaved multimodal sequence packing (round 6): documents
+    are rebuilt as the BASELINE input_hint row shape — an ordered
+    span array [text-half₁, image, text-half₂] — and packed into
+    256-token training sequences where an image costs a fixed 32
+    vision-adapter tokens and spans are ATOMIC (an image token block
+    never splits across sequences).  One posexplode + ONE
+    per-language window shuffle (the pack_sequences scale shape); the
+    oracle restates the construction and the running-sum layout
+    relationally."""
+    from .operators.packing import pack_interleaved
+
+    docs = _docs(spark, sf_dir)
+    h = F.floor(F.length("text") / 2).cast("int")
+    inter = docs.select(
+        "doc_id",
+        "lang",
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.col("text").substr(F.lit(1), h).alias("text"),
+                F.lit("").alias("media_ref"),
+                F.lit(0).cast("int").alias("offset"),
+            ),
+            F.struct(
+                F.lit("media").alias("kind"),
+                F.lit("").alias("text"),
+                F.concat(
+                    F.lit("media://img/"), F.col("doc_id").cast("string")
+                ).alias("media_ref"),
+                F.lit(1).cast("int").alias("offset"),
+            ),
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.col("text").substr(h + 1, F.length("text")).alias("text"),
+                F.lit("").alias("media_ref"),
+                F.lit(2).cast("int").alias("offset"),
+            ),
+        ).alias("spans"),
+    )
+    out = pack_interleaved(
+        inter, budget=256, media_cost=32, part_col="lang"
+    ).select(
+        "lang", "doc_id", "span_pos", "kind", "media_ref",
+        "n_tokens", "seq_id", "offset_in_seq",
+    )
+    return out
+
+
+ORACLE_PACK_INTERLEAVED = r"""
+WITH halves AS (
+  SELECT doc_id, lang,
+         substr(text, 1, CAST(floor(length(text) / 2) AS INTEGER)) AS t1,
+         substr(text, CAST(floor(length(text) / 2) AS INTEGER) + 1) AS t2
+  FROM documents
+), spans AS (
+  SELECT doc_id, lang, 0 AS span_pos, 'text' AS kind, '' AS media_ref,
+         CAST(len(string_split_regex(trim(t1), '[ \t\n\r\f\x0b]+'))
+              AS BIGINT) AS n_tokens
+  FROM halves
+  UNION ALL
+  SELECT doc_id, lang, 1, 'media',
+         'media://img/' || CAST(doc_id AS VARCHAR), CAST(32 AS BIGINT)
+  FROM halves
+  UNION ALL
+  SELECT doc_id, lang, 2, 'text', '',
+         CAST(len(string_split_regex(trim(t2), '[ \t\n\r\f\x0b]+'))
+              AS BIGINT)
+  FROM halves
+), cum AS (
+  SELECT *,
+         SUM(n_tokens) OVER (
+           PARTITION BY lang ORDER BY doc_id, span_pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) - n_tokens AS start
+  FROM spans
+)
+SELECT lang, doc_id, span_pos, kind, media_ref, n_tokens,
+       CAST(floor(start / 256) AS BIGINT) AS seq_id,
+       CAST(start % 256 AS BIGINT) AS offset_in_seq
+FROM cum
+"""
+
+
+def q_icelite_point_lookup(spark, sf_dir):
+    """Per-file key Bloom index (round 6): the corpus is committed
+    across 16 hash buckets (high-cardinality ids interleave into
+    every file, so min/max file stats can never skip anything),
+    ``index_keys`` builds one small bitmap per data file in a single
+    distributed pass, and ``read(prune=[("doc_id","in",...)])`` drops
+    every file whose bitmap provably lacks ALL probed keys at the
+    MANIFEST level.  Pruning is a superset guarantee (unindexed and
+    false-positive files survive) and the residual IN filter makes
+    the result exact — identical to the relational lookup the oracle
+    states.  The file-list shrink itself is pinned in pytest."""
+    import shutil
+    import tempfile
+
+    from .plans.icelite import IceliteTable
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+    tmp = tempfile.mkdtemp(prefix="icelite_ptlookup_q_")
+    try:
+        t = IceliteTable(os.path.join(tmp, "tbl"))
+        bucket = F.pmod(F.xxhash64("doc_id"), F.lit(16)).cast("int")
+        t.commit_append(docs.withColumn("bucket", bucket))
+        t.index_keys(spark, col="doc_id")
+        out = (
+            t.read(spark, prune=[("doc_id", "in", 7, 123, 401)])
+            .filter(F.col("doc_id").isin(7, 123, 401))
+            .select("doc_id", "text", "lang")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+ORACLE_ICELITE_POINT_LOOKUP = """
+SELECT doc_id, text, lang FROM documents WHERE doc_id IN (7, 123, 401)
+"""
+
+
 def q_icelite_changelog(spark, sf_dir):
     """CDC changelog scan (round 6): the corpus is committed in two
     halves (evens at sequence 0, odds at sequence 1), ``doc_id % 10
@@ -2904,17 +3026,20 @@ FROM documents WHERE doc_id % 10 = 4
 # Round-6 rotation (VERDICT r5 #5): the 22-entry r5 tail
 # (events/multimodal/dedup_substring/quality families — last
 # driver-recorded r04, judge-green via check_oracles.py in r5)
-# rotates back into the window, led by the eight NEW round-6 entries
-# (icelite_changelog, icelite_delete_read, icelite_stats_prune,
-# semantic_dedup, dsir_select, icelite_rebucket_resume,
-# dedup_paragraphs, dedup_neardup_incremental).  The entries the r05 driver sweep just
+# rotates back into the window, led by the ten NEW round-6 entries
+# (pack_interleaved, icelite_point_lookup, icelite_changelog,
+# icelite_delete_read, icelite_stats_prune, semantic_dedup,
+# dsir_select, icelite_rebucket_resume, dedup_paragraphs,
+# dedup_neardup_incremental).  The entries the r05 driver sweep just
 # recorded green move toward the tail; every tail entry additionally
 # has an independent pytest and a full check_oracles.py re-run each
 # round.
-# Authoritative count this round: 83 queries, 83 oracles (no
+# Authoritative count this round: 85 queries, 85 oracles (no
 # rows-only entries) — COVERAGE.md carries the same number.
 QUERIES = {
     # NEW this round (insert-at-top rule)
+    "pack_interleaved": q_pack_interleaved,
+    "icelite_point_lookup": q_icelite_point_lookup,
     "icelite_changelog": q_icelite_changelog,
     "icelite_delete_read": q_icelite_delete_read,
     "icelite_stats_prune": q_icelite_stats_prune,
@@ -3010,6 +3135,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "pack_interleaved": ORACLE_PACK_INTERLEAVED,
+    "icelite_point_lookup": ORACLE_ICELITE_POINT_LOOKUP,
     "icelite_changelog": ORACLE_ICELITE_CHANGELOG,
     "icelite_delete_read": ORACLE_ICELITE_DELETE,
     "icelite_stats_prune": ORACLE_ICELITE_PRUNE,

@@ -880,22 +880,34 @@ def test_checkpoint_expire_manifests_and_recheckpoint(spark, tmp_path):
     t = IceliteTable(str(tmp_path / "t"))
     for i in range(4):
         t.commit_append(_df(spark, i * 10, (i + 1) * 10))
-    t.checkpoint(expire_manifests=True)
+    # retain_last=0 is the no-live-writers maintenance mode (same
+    # caller contract as vacuum(grace_sec=0)); the default retention
+    # window is what shields racing writers from torn listings
+    t.checkpoint(expire_manifests=True, retain_last=0)
     names = _os.listdir(t.manifest_dir)
     assert not any(n.startswith("snap-") for n in names)
     assert t.read(spark).count() == 40
 
     t.commit_append(_df(spark, 40, 50))  # sequences continue past ckpt
     assert [s["sequence"] for s in t.snapshots()] == [0, 1, 2, 3, 4]
-    t.checkpoint(expire_manifests=True)
+    t.checkpoint(expire_manifests=True, retain_last=0)
     ckpts = [n for n in _os.listdir(t.manifest_dir) if n.startswith("ckpt-")]
     assert ckpts == ["ckpt-000004.json"]
+
+    # default retention: a fresh expire keeps the newest manifests
+    t.commit_append(_df(spark, 50, 60))
+    t.commit_append(_df(spark, 60, 70))
+    t.checkpoint(expire_manifests=True)   # retain_last=8 > 2 folded
+    names = _os.listdir(t.manifest_dir)
+    assert sorted(n for n in names if n.startswith("snap-")) == [
+        "snap-000005.json", "snap-000006.json"
+    ]
 
     # compact over a checkpoint-backed history: floor supersedes the
     # ckpt's folded entries, reads stay exact
     t.compact(spark)
     assert len(t.snapshots()) == 1
-    assert t.read(spark).count() == 50
+    assert t.read(spark).count() == 70
 
 
 def test_auto_checkpoint_every(spark, tmp_path):

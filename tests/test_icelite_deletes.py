@@ -614,3 +614,112 @@ def test_read_changes_survives_rename(spark, tmp_path):
     assert "id" in ch.columns and "doc_id" not in ch.columns
     dels = ch.filter(F.col("_change_type") == "delete").collect()
     assert [r["id"] for r in dels] == [2]
+
+
+# ---------------------------------------------------------------------------
+# per-file key Bloom index: point-lookup file skipping (round 6)
+# ---------------------------------------------------------------------------
+
+def test_key_index_prunes_point_lookup_files(spark, tmp_path):
+    """doc_id IN (...) pruning: min/max can't skip interleaved ids,
+    the Bloom index can — the planned file list shrinks to the files
+    that might hold the keys, and the residual filter keeps the
+    result exact."""
+    t = IceliteTable(str(tmp_path / "t"))
+    # bucket = doc_id % 8 -> each file holds ids of one residue class
+    t.commit_append(_df(spark, 0, 400, n_buckets=8))
+    rep = t.index_keys(spark, col="doc_id")
+    assert rep["indexed_files"] == rep["total_files"] == 8
+
+    full = t.read(spark)
+    pruned = t.read(spark, prune=[("doc_id", "in", 5, 13)])
+    # ids 5 and 13 are both ≡5 (mod 8): one file (plus Bloom fp ≈ 0)
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    assert len(pruned.inputFiles()) <= 2
+    got = sorted(
+        r["doc_id"]
+        for r in pruned.filter(F.col("doc_id").isin(5, 13)).collect()
+    )
+    assert got == [5, 13]
+
+
+def test_key_index_unindexed_files_always_kept(spark, tmp_path):
+    """Superset guarantee: files committed AFTER the index was built
+    are not in the sidecar and must never be pruned; a refresh then
+    indexes ONLY the new snapshot and tightens the plan."""
+    t = IceliteTable(str(tmp_path / "t"))
+    t.commit_append(_df(spark, 0, 100, n_buckets=4))
+    t.index_keys(spark, col="doc_id")
+    t.commit_append(_df(spark, 100, 200, n_buckets=4))  # unindexed
+
+    # 150 lives only in the unindexed snapshot: must survive pruning
+    pruned = t.read(spark, prune=[("doc_id", "in", 150)])
+    got = [
+        r["doc_id"]
+        for r in pruned.filter(F.col("doc_id") == 150).collect()
+    ]
+    assert got == [150]
+    # the unindexed snapshot's files are all kept
+    assert len(pruned.inputFiles()) >= 4
+
+    rep = t.index_keys(spark, col="doc_id")   # incremental refresh
+    assert rep["indexed_files"] == 4 and rep["total_files"] == 8
+    tighter = t.read(spark, prune=[("doc_id", "in", 150)])
+    assert len(tighter.inputFiles()) < len(pruned.inputFiles())
+    assert [
+        r["doc_id"]
+        for r in tighter.filter(F.col("doc_id") == 150).collect()
+    ] == [150]
+
+
+def test_key_index_string_column(spark, tmp_path):
+    """String keys hash through the same JVM xxhash64 path; literal
+    probes are cast to the column's declared type (int32 vs int64
+    would otherwise hash differently and silently mis-prune)."""
+    t = IceliteTable(str(tmp_path / "t"))
+    df = _df(spark, 0, 64, n_buckets=4).withColumn(
+        "url", F.concat(F.lit("https://ex.com/p/"), F.col("doc_id"))
+    )
+    t.commit_append(df)
+    t.index_keys(spark, col="url", n_bits=1 << 12)
+
+    pruned = t.read(
+        spark, prune=[("url", "in", "https://ex.com/p/17")]
+    )
+    assert len(pruned.inputFiles()) < 4
+    assert pruned.filter(
+        F.col("url") == "https://ex.com/p/17"
+    ).count() == 1
+    # absent key: every indexed file drops, result is empty
+    miss = t.read(spark, prune=[("url", "in", "https://ex.com/p/999")])
+    assert miss.filter(F.col("url") == "https://ex.com/p/999").count() == 0
+
+
+def test_compact_sort_clusters_for_stats_pruning(spark, tmp_path):
+    """compact(sort_within_buckets=[col]) is the Iceberg sort-order
+    rewrite: before it, every file spans the whole value range and
+    prune keeps everything; after it, files cover tight contiguous
+    slices and a selective BETWEEN drops most of the plan — results
+    identical either way."""
+    t = IceliteTable(str(tmp_path / "t"))
+    df = _df(spark, 0, 800, n_buckets=4).withColumn(
+        "n_chars", F.pmod(F.xxhash64("doc_id"), F.lit(10_000)).cast("int")
+    )
+    t.commit_append(df)
+
+    before = t.read(spark, prune=[("n_chars", "between", 100, 200)])
+    n_before = len(before.inputFiles())
+    assert n_before == 4  # interleaved values: nothing skippable
+
+    t.compact(spark, sort_within_buckets=["n_chars"])
+    after = t.read(spark, prune=[("n_chars", "between", 100, 200)])
+    assert len(after.inputFiles()) < len(t.read(spark).inputFiles())
+    got = sorted(
+        r["doc_id"]
+        for r in after.filter(F.col("n_chars").between(100, 200)).collect()
+    )
+    want = sorted(
+        r["doc_id"]
+        for r in df.filter(F.col("n_chars").between(100, 200)).collect()
+    )
+    assert got == want and len(got) > 0

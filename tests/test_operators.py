@@ -1942,3 +1942,48 @@ def test_neardup_against_broadcast_batch_plan(spark):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_pack_interleaved_atomic_media_and_layout(spark):
+    """Hand-computed interleaved layout: text costs its whitespace
+    token count, media a fixed cost, spans are atomic (a media block
+    starting near the boundary overflows its sequence instead of
+    splitting), and the running layout is per-part_col."""
+    from mini_html_parser_spark.operators.packing import pack_interleaved
+
+    def span(kind, text="", ref=""):
+        return (kind, text, ref, 0)
+
+    rows = [
+        # doc 0: 6 text tokens, image(4), 2 text tokens  -> cum 6,10,12
+        ("s", 0, [span("text", "a b c d e f"), span("media", ref="m0"),
+                  span("text", "g h")]),
+        # doc 1: 3 text tokens -> starts at 12; image starts at 15
+        # (budget 16: atomic media overflows seq 0 by 3 tokens)
+        ("s", 1, [span("text", "x y z"), span("media", ref="m1"),
+                  span("text", "tail")]),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "source string, doc_id long, spans array<struct<"
+        "kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    out = pack_interleaved(df, budget=16, media_cost=4).collect()
+    got = {
+        (r["doc_id"], r["span_pos"]): (
+            r["n_tokens"], r["seq_id"], r["offset_in_seq"]
+        )
+        for r in out
+    }
+    assert got == {
+        (0, 0): (6, 0, 0),
+        (0, 1): (4, 0, 6),
+        (0, 2): (2, 0, 10),
+        (1, 0): (3, 0, 12),
+        (1, 1): (4, 0, 15),   # atomic: starts in seq 0, overflows
+        (1, 2): (1, 1, 3),    # next span continues where tokens end
+    }
+    # media rows carry the ref, text rows the text
+    kinds = {(r["doc_id"], r["span_pos"]): (r["kind"], r["media_ref"])
+             for r in out}
+    assert kinds[(1, 1)] == ("media", "m1")
