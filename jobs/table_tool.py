@@ -12,10 +12,13 @@
     python jobs/table_tool.py <table_dir> vacuum [--grace-sec N]
     python jobs/table_tool.py <table_dir> checkpoint [--expire-manifests]
     python jobs/table_tool.py <table_dir> index [--key doc_id] [--n-bits N]
+    python jobs/table_tool.py <table_dir> tag --name v1.0 [--snapshot ID]
+    python jobs/table_tool.py <table_dir> tags
+    python jobs/table_tool.py <table_dir> delete-tag --name v1.0
 
-``info``/``history``/``evolve``/``vacuum``/``checkpoint`` are
-metadata-only (no Spark session — they run instantly against the
-manifests);
+``info``/``history``/``evolve``/``vacuum``/``checkpoint``/``tag``/
+``tags``/``delete-tag`` are metadata-only (no Spark session — they
+run instantly against the manifests);
 ``compact``/``delete``/``dedup`` build a local session.  Every
 command prints one JSON line, mirroring extract_job's report
 contract.
@@ -48,7 +51,12 @@ def main(argv=None) -> int:
     p.add_argument("table")
     p.add_argument("command", choices=["info", "history", "compact",
                                        "evolve", "delete", "dedup",
-                                       "vacuum", "checkpoint", "index"])
+                                       "vacuum", "checkpoint", "index",
+                                       "tag", "tags", "delete-tag"])
+    p.add_argument("--name", default=None,
+                   help="tag/delete-tag: release name (e.g. v1.0)")
+    p.add_argument("--snapshot", default=None,
+                   help="tag: snapshot id to pin (default: current tip)")
     p.add_argument("--add", action="append", default=[],
                    metavar="NAME:TYPE",
                    help="evolve: add a column (Spark type string, e.g. "
@@ -153,6 +161,27 @@ def main(argv=None) -> int:
     if args.command == "vacuum":
         rep = t.vacuum(grace_sec=args.grace_sec)
         print(json.dumps({"table": args.table, **rep}))
+        return 0
+
+    if args.command == "tag":
+        if not args.name:
+            p.error("tag requires --name")
+        rec = t.tag(args.name, snapshot_id=args.snapshot)
+        print(json.dumps({"table": args.table, **rec}))
+        return 0
+
+    if args.command == "tags":
+        print(json.dumps({"table": args.table, "tags": t.tags()}))
+        return 0
+
+    if args.command == "delete-tag":
+        if not args.name:
+            p.error("delete-tag requires --name")
+        print(json.dumps({
+            "table": args.table,
+            "deleted": t.delete_tag(args.name),
+            "name": args.name,
+        }))
         return 0
 
     if args.command == "checkpoint":

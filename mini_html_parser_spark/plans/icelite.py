@@ -285,7 +285,14 @@ class IceliteTable:
                 except FileNotFoundError:
                     pass
         if expire_manifests:
+            # tag-pinned manifests must survive as FILES: a later
+            # post-compact checkpoint folds only the active view, so
+            # content that lived solely in this checkpoint would
+            # become unreachable for tagged reads
+            pinned = {s["sequence"] for s in self._pinned_manifests()}
             for s in snaps[:-retain_last] if retain_last else snaps:
+                if s["sequence"] in pinned:
+                    continue
                 p = os.path.join(
                     self.manifest_dir, f"snap-{s['sequence']:06d}.json"
                 )
@@ -555,6 +562,132 @@ class IceliteTable:
                 return p
         return None
 
+    # ---- tags: named immutable refs (Iceberg refs; round 6) -----------------
+    #
+    # The dataset-RELEASE primitive: ``tag("v1.0")`` pins the exact
+    # corpus state a model was trained on.  A tag is a tiny metadata
+    # file; while it exists, (a) compact() keeps every manifest at or
+    # below the highest tagged sequence on disk (floor-hidden from the
+    # ACTIVE view, so current reads are untouched), and (b) vacuum()
+    # treats tag-pinned data dirs as referenced — so ``read(tag=...)``
+    # reproduces the release byte-for-byte for as long as the tag
+    # lives.  delete_tag() unpins; the next compact/vacuum cycle
+    # reclaims.  Exactly Iceberg's expire-snapshots-respects-refs
+    # contract, in the single-filesystem seam.
+
+    def tags(self) -> dict[str, dict]:
+        """Active tags: name → {snapshot_id, sequence, created_at}."""
+        out: dict[str, dict] = {}
+        if not os.path.isdir(self.manifest_dir):
+            return out
+        for name in os.listdir(self.manifest_dir):
+            if name.startswith("tag-") and name.endswith(".json"):
+                try:
+                    with open(os.path.join(self.manifest_dir, name)) as f:
+                        t = json.load(f)
+                except FileNotFoundError:
+                    continue  # concurrent delete_tag
+                out[t["name"]] = t
+        return out
+
+    def tag(self, name: str, snapshot_id: str | None = None) -> dict:
+        """Create an immutable named reference (default: current tip).
+        Refuses to overwrite — a release name must never silently move
+        (delete_tag first to re-cut a release)."""
+        if "/" in name or name.startswith("."):
+            raise ValueError(f"invalid tag name {name!r}")
+        snaps = self.snapshots()
+        if not snaps:
+            raise FileNotFoundError(
+                f"icelite table {self.path} has no snapshots to tag"
+            )
+        if snapshot_id is None:
+            target = snaps[-1]
+        else:
+            match = [s for s in snaps if s["snapshot_id"] == snapshot_id]
+            if not match:
+                raise KeyError(
+                    f"icelite table {self.path}: snapshot {snapshot_id!r} "
+                    "not found among active snapshots"
+                )
+            target = match[0]
+        import time as _time
+
+        rec = {
+            "name": name,
+            "snapshot_id": target["snapshot_id"],
+            "sequence": target["sequence"],
+            "created_at": _time.time(),
+        }
+        tmp = os.path.join(
+            self.manifest_dir, f".tag-{name}-{uuid.uuid4().hex}.json.tmp"
+        )
+        with open(tmp, "w") as f:
+            json.dump(rec, f, indent=2)
+        target_path = os.path.join(self.manifest_dir, f"tag-{name}.json")
+        try:
+            os.link(tmp, target_path)
+        except FileExistsError:
+            os.remove(tmp)
+            raise FileExistsError(
+                f"icelite table {self.path}: tag {name!r} already exists "
+                "(releases are immutable; delete_tag first to re-cut)"
+            )
+        os.remove(tmp)
+        return rec
+
+    def delete_tag(self, name: str) -> bool:
+        """Unpin a release.  Its manifests and data dirs become
+        reclaimable by the NEXT compact/vacuum cycle."""
+        try:
+            os.remove(os.path.join(self.manifest_dir, f"tag-{name}.json"))
+            return True
+        except FileNotFoundError:
+            return False
+
+    def _all_manifests(self) -> list[dict]:
+        """Every manifest on disk or folded into the newest checkpoint,
+        floor filter NOT applied — the raw history tag resolution walks
+        (pinned manifests below a compaction floor are invisible to
+        snapshots() but still resolvable here)."""
+        if not os.path.isdir(self.manifest_dir):
+            return []
+        by_seq: dict[int, dict] = {}
+        names = os.listdir(self.manifest_dir)
+        ckpts = [
+            (s, n) for n in names
+            if (s := self._name_seq(n, "ckpt-")) is not None
+        ]
+        if ckpts:
+            _seq, name = max(ckpts)
+            try:
+                with open(os.path.join(self.manifest_dir, name)) as f:
+                    for s in json.load(f)["snapshots"]:
+                        by_seq[s["sequence"]] = s
+            except FileNotFoundError:
+                pass
+        for n in names:
+            seq = self._name_seq(n, "snap-")
+            if seq is None:
+                continue
+            try:
+                with open(os.path.join(self.manifest_dir, n)) as f:
+                    by_seq[seq] = json.load(f)
+            except FileNotFoundError:
+                continue
+        return [by_seq[k] for k in sorted(by_seq)]
+
+    def _pinned_manifests(self) -> list[dict]:
+        """Manifests a tag keeps alive: everything at or below the
+        highest tagged sequence (a tag's state is the full chain below
+        it, minus whatever an OLDER compaction floor already folded —
+        that floor's manifest is itself in the chain)."""
+        tags = self.tags()
+        if not tags:
+            return []
+        hi = max(t["sequence"] for t in tags.values())
+        return [s for s in self._all_manifests() if s["sequence"] <= hi]
+
     # ---- read / resume -----------------------------------------------------
     def _snapshot_files(self, snap: dict) -> list[str]:
         """Data files of one snapshot — from the manifest when recorded
@@ -761,6 +894,7 @@ class IceliteTable:
         buckets: set[int] | None = None,
         as_of_snapshot: str | None = None,
         prune: list[tuple] | None = None,
+        tag: str | None = None,
     ) -> DataFrame:
         """All committed rows as ONE scan.
 
@@ -796,6 +930,36 @@ class IceliteTable:
         Plan size is constant in the number of snapshots; see
         BENCH/PLANS.md for the measured 200-snapshot plan-build times.
         """
+        if tag is not None:
+            # tagged release: resolve through the RAW history (tag-
+            # pinned manifests may sit below a later compaction floor
+            # and are invisible to snapshots()), then apply any floor
+            # INSIDE the tag's own chain (a compaction the release
+            # itself was cut after legitimately supersedes below it)
+            if as_of_snapshot is not None:
+                raise ValueError("pass either tag or as_of_snapshot, not both")
+            rec = self.tags().get(tag)
+            if rec is None:
+                raise KeyError(
+                    f"icelite table {self.path}: no tag {tag!r}"
+                )
+            chain = [
+                s for s in self._all_manifests()
+                if s["sequence"] <= rec["sequence"]
+            ]
+            floor = max(
+                (s["sequence"] for s in chain if s.get("compacted")),
+                default=None,
+            )
+            if floor is not None:
+                chain = [s for s in chain if s["sequence"] >= floor]
+            out = self._read_snaps(spark, chain, buckets, prune)
+            if out is None:
+                raise FileNotFoundError(
+                    f"icelite table {self.path}: tag {tag!r} resolves to "
+                    "no data files"
+                )
+            return out
         snaps = self.snapshots()
         if not snaps:
             raise FileNotFoundError(f"icelite table {self.path} has no snapshots")
@@ -1006,6 +1170,59 @@ class IceliteTable:
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
+
+    def consume_changes(self, spark, consumer_id: str):
+        """AT-LEAST-ONCE changelog consumption — the polling-consumer
+        loop around :meth:`read_changes` that a downstream job (index
+        maintenance, a feature store, a replica) runs per cycle:
+
+            changes, ack = table.consume_changes(spark, "my-indexer")
+            if changes is not None:
+                ... process ...
+                ack()        # durably advance AFTER processing
+
+        Returns ``(changes_df, ack)``; ``changes_df`` is None when
+        the consumer is already at the tip (``ack`` is then a no-op).
+        Progress lives in ``_icelite/consumer-<id>.json`` and is
+        advanced by atomic ``os.replace`` only when ``ack()`` runs —
+        a crash mid-processing replays the same window, so consumers
+        key idempotent writes on ``(_commit_snapshot_id, ...)``
+        (exactly the stream_batch_id replay-skip rule the streaming
+        icelite sink uses).
+
+        A consumer that lags past a ``compact()`` gets the documented
+        KeyError from read_changes (its checkpointed snapshot was
+        expired); recovery is a full re-sync, same as any CDC reader
+        below the retention floor."""
+        if "/" in consumer_id or consumer_id.startswith("."):
+            raise ValueError(f"invalid consumer id {consumer_id!r}")
+        pos_path = os.path.join(
+            self.manifest_dir, f"consumer-{consumer_id}.json"
+        )
+        after = None
+        if os.path.exists(pos_path):
+            with open(pos_path) as f:
+                after = json.load(f)["snapshot_id"]
+        tip = self.current_snapshot()
+        if tip is None or tip["snapshot_id"] == after:
+            return None, (lambda: None)
+        changes = self.read_changes(
+            spark, after_snapshot=after, until_snapshot=tip["snapshot_id"]
+        )
+
+        def ack(_tip=tip):
+            tmp = pos_path + f".{uuid.uuid4().hex}.tmp"
+            with open(tmp, "w") as f:
+                json.dump(
+                    {
+                        "snapshot_id": _tip["snapshot_id"],
+                        "sequence": _tip["sequence"],
+                    },
+                    f,
+                )
+            os.replace(tmp, pos_path)
+
+        return changes, ack
 
     def requires_exact_resume(self) -> bool:
         """True once the table has ever been re-bucketed (partition-spec
@@ -1364,8 +1581,17 @@ class IceliteTable:
 
             shutil.rmtree(data_dir, ignore_errors=True)
             return None
-        # the new manifest is durable; superseded manifests can go
+        # the new manifest is durable; superseded manifests can go —
+        # except tag-PINNED ones (a tagged release needs its full
+        # manifest chain to stay resolvable; see the tags section).
+        # Cut tags BEFORE compacting — a tag racing this removal loop
+        # from another process can lose; tags and maintenance belong
+        # to the same operational actor, like Iceberg's ref updates
+        # going through the catalog.
+        pinned = {s["sequence"] for s in self._pinned_manifests()}
         for s in snaps:
+            if s["sequence"] in pinned:
+                continue
             old = os.path.join(self.manifest_dir, f"snap-{s['sequence']:06d}.json")
             if os.path.exists(old):
                 os.remove(old)
@@ -1405,7 +1631,10 @@ class IceliteTable:
         if not os.path.isdir(data_root):
             return report
         referenced: set[str] = set()
-        for s in self.snapshots():
+        # tag-pinned manifests (below a compaction floor but kept
+        # alive by a release tag) reference data dirs too — vacuum
+        # must treat a tagged release's files as live
+        for s in self.snapshots() + self._pinned_manifests():
             dd = s.get("data_dir")
             if dd:
                 referenced.add(os.path.basename(os.path.normpath(dd)))

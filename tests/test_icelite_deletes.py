@@ -723,3 +723,129 @@ def test_compact_sort_clusters_for_stats_pruning(spark, tmp_path):
         for r in df.filter(F.col("n_chars").between(100, 200)).collect()
     )
     assert got == want and len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# tags (dataset releases) + CDC consumer (round 6)
+# ---------------------------------------------------------------------------
+
+def test_tag_reproduces_release_through_compaction(spark, tmp_path):
+    """tag('v1') pins the exact corpus state (appends + deletes) and
+    keeps reproducing it byte-for-byte after later appends AND after a
+    compact() that expires the untagged history; delete_tag unpins and
+    the next vacuum reclaims."""
+    import os as _os
+
+    t = IceliteTable(str(tmp_path / "t"))
+    t.commit_append(_df(spark, 0, 50))
+    t.commit_delete(_keys(spark, [7, 9]))
+    rec = t.tag("v1")
+    assert rec["sequence"] == 1
+
+    t.commit_append(_df(spark, 50, 80))
+    t.compact(spark)  # folds the history v1 points into
+
+    # current view: everything minus the takedowns
+    assert t.read(spark).count() == 78
+    # tagged release: the exact v1 state, still resolvable below the floor
+    v1 = t.read(spark, tag="v1")
+    assert v1.count() == 48
+    assert v1.filter(F.col("doc_id").isin(7, 9)).count() == 0
+    assert v1.filter(F.col("doc_id") >= 50).count() == 0
+
+    # vacuum with zero grace keeps the tagged release's data dirs
+    t.vacuum(grace_sec=0)
+    assert t.read(spark, tag="v1").count() == 48
+
+    # unpin: the release's dirs become orphans and vacuum reclaims
+    assert t.delete_tag("v1")
+    rep = t.vacuum(grace_sec=0)
+    assert rep["removed"]
+    with pytest.raises(KeyError, match="no tag"):
+        t.read(spark, tag="v1")
+    assert t.read(spark).count() == 78  # current view untouched
+
+
+def test_tag_survives_checkpoint_expire(spark, tmp_path):
+    """checkpoint(expire_manifests) must keep tag-pinned manifest
+    FILES: a later post-compact checkpoint folds only the active view,
+    so pinned content living solely in the old checkpoint would become
+    unreachable."""
+    import os as _os
+
+    t = IceliteTable(str(tmp_path / "t"))
+    for i in range(5):
+        t.commit_append(_df(spark, i * 10, (i + 1) * 10))
+    t.tag("rel", snapshot_id=t.snapshots()[2]["snapshot_id"])  # seq 2
+    t.checkpoint(expire_manifests=True, retain_last=0)
+    names = set(_os.listdir(t.manifest_dir))
+    # pinned chain 0..2 kept as files, 3..4 expired into the ckpt
+    assert {"snap-000000.json", "snap-000001.json",
+            "snap-000002.json"} <= names
+    assert "snap-000003.json" not in names
+    assert t.read(spark, tag="rel").count() == 30
+    assert t.read(spark).count() == 50
+
+    t.commit_append(_df(spark, 50, 60))
+    t.compact(spark)
+    t.checkpoint(expire_manifests=True, retain_last=0)
+    assert t.read(spark, tag="rel").count() == 30
+    assert t.read(spark).count() == 60
+
+
+def test_tag_immutability_and_cli(spark, tmp_path, capsys):
+    import json as _json
+    import os as _os
+    import sys as _sys
+
+    jobs_dir = _os.path.join(_os.path.dirname(__file__), "..", "jobs")
+    _sys.path.insert(0, jobs_dir)
+    try:
+        import table_tool
+    finally:
+        _sys.path.remove(jobs_dir)
+
+    tbl = str(tmp_path / "t")
+    t = IceliteTable(tbl)
+    t.commit_append(_df(spark, 0, 10))
+
+    def run(*argv):
+        assert table_tool.main(list(argv)) == 0
+        return _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    rec = run(tbl, "tag", "--name", "v1.0")
+    assert rec["sequence"] == 0
+    with pytest.raises(FileExistsError, match="immutable"):
+        t.tag("v1.0")
+    listed = run(tbl, "tags")
+    assert set(listed["tags"]) == {"v1.0"}
+    assert run(tbl, "delete-tag", "--name", "v1.0")["deleted"] is True
+    assert run(tbl, "tags")["tags"] == {}
+
+
+def test_consume_changes_at_least_once(spark, tmp_path):
+    """Polling CDC consumer: unacked windows replay; acked windows
+    advance; at the tip the consumer gets None."""
+    t = IceliteTable(str(tmp_path / "t"))
+    t.commit_append(_df(spark, 0, 10))
+
+    ch, ack = t.consume_changes(spark, "idx")
+    assert ch is not None and ch.count() == 10   # genesis window
+    # crash before ack: the SAME window replays
+    ch2, ack2 = t.consume_changes(spark, "idx")
+    assert ch2.count() == 10
+    ack2()
+
+    ch3, _ = t.consume_changes(spark, "idx")
+    assert ch3 is None                            # at the tip
+
+    t.commit_delete(_keys(spark, [3]))
+    t.commit_append(_df(spark, 10, 12))
+    ch4, ack4 = t.consume_changes(spark, "idx")
+    rows = ch4.collect()
+    assert sorted(
+        (r["_change_type"], r["doc_id"]) for r in rows
+    ) == [("delete", 3), ("insert", 10), ("insert", 11)]
+    ack4()
+    ch5, _ = t.consume_changes(spark, "idx")
+    assert ch5 is None
