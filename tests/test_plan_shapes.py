@@ -212,3 +212,69 @@ def test_icelite_stats_prune_shrinks_scan_file_index(spark, tmp_path):
         == full.filter(F.col("score") >= 3000).count()
         == 400
     )
+
+
+def test_read_changes_plan_broadcast_file_map(spark, tmp_path):
+    """CDC changelog scale invariants (round 6): insert attribution is
+    ONE flat scan joined to a BROADCAST file→snapshot map — the corpus
+    bytes never shuffle to learn which snapshot wrote them, and the
+    plan stays constant-size in snapshot count."""
+    from pyspark.sql import functions as F
+
+    from mini_html_parser_spark.plans.icelite import IceliteTable
+
+    t = IceliteTable(str(tmp_path / "t"))
+    for lo in (0, 100, 200):
+        t.commit_append(
+            spark.range(lo, lo + 100).select(
+                F.col("id").alias("doc_id"),
+                F.concat(F.lit("x-"), F.col("id")).alias("text"),
+                F.pmod(F.col("id"), F.lit(4)).cast("int").alias("bucket"),
+            )
+        )
+    plan = _plan(t.read_changes(spark))
+    assert "BroadcastHashJoin" in plan, plan
+    # the ONLY exchange is the broadcast of the tiny file map
+    assert "Exchange" not in plan.replace("BroadcastExchange", "BX"), plan
+
+
+def test_pack_interleaved_single_window_exchange(spark, sf_exists):
+    """Interleaved MM packing: one posexplode (narrow) + ONE window
+    exchange on the loader partition column — never a global sort."""
+    from mini_html_parser_spark.queries import q_pack_interleaved
+
+    plan = _plan(q_pack_interleaved(spark, SF))
+    n_exchanges = plan.replace("BroadcastExchange", "BX").count("Exchange")
+    assert n_exchanges == 1, plan
+    assert "Sort" in plan  # the per-partition window sort...
+    assert "rangepartitioning" not in plan.lower(), plan  # ...not global
+
+
+def test_tag_read_plan_stays_flat(spark, tmp_path):
+    """A tagged-release read below the compaction floor is the same
+    zero-exchange flat scan + broadcast anti-join shape as a current
+    read — pinning history must not change the plan class."""
+    from pyspark.sql import functions as F
+
+    from mini_html_parser_spark.plans.icelite import IceliteTable
+
+    t = IceliteTable(str(tmp_path / "t"))
+    df = spark.range(0, 100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("x-"), F.col("id")).alias("text"),
+        F.pmod(F.col("id"), F.lit(4)).cast("int").alias("bucket"),
+    )
+    t.commit_append(df)
+    t.commit_delete(spark.createDataFrame([(5,)], "doc_id bigint"))
+    t.tag("v1")
+    t.commit_append(
+        spark.range(100, 150).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("y-"), F.col("id")).alias("text"),
+            F.pmod(F.col("id"), F.lit(4)).cast("int").alias("bucket"),
+        )
+    )
+    t.compact(spark)
+    plan = _plan(t.read(spark, tag="v1"))
+    assert "Exchange" not in plan.replace("BroadcastExchange", "BX"), plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
