@@ -15,10 +15,14 @@
     python jobs/table_tool.py <table_dir> tag --name v1.0 [--snapshot ID]
     python jobs/table_tool.py <table_dir> tags
     python jobs/table_tool.py <table_dir> delete-tag --name v1.0
+    python jobs/table_tool.py <table_dir> create-branch --name wap
+    python jobs/table_tool.py <table_dir> publish-branch --name wap
+    python jobs/table_tool.py <table_dir> delete-branch --name wap
+    python jobs/table_tool.py <table_dir> branches
 
 ``info``/``history``/``evolve``/``vacuum``/``checkpoint``/``tag``/
-``tags``/``delete-tag`` are metadata-only (no Spark session — they
-run instantly against the manifests);
+``tags``/``delete-tag`` and the branch commands are metadata-only
+(no Spark session — they run instantly against the manifests);
 ``compact``/``delete``/``dedup`` build a local session.  Every
 command prints one JSON line, mirroring extract_job's report
 contract.
@@ -52,7 +56,9 @@ def main(argv=None) -> int:
     p.add_argument("command", choices=["info", "history", "compact",
                                        "evolve", "delete", "dedup",
                                        "vacuum", "checkpoint", "index",
-                                       "tag", "tags", "delete-tag"])
+                                       "tag", "tags", "delete-tag",
+                                       "create-branch", "publish-branch",
+                                       "delete-branch", "branches"])
     p.add_argument("--name", default=None,
                    help="tag/delete-tag: release name (e.g. v1.0)")
     p.add_argument("--snapshot", default=None,
@@ -182,6 +188,24 @@ def main(argv=None) -> int:
             "deleted": t.delete_tag(args.name),
             "name": args.name,
         }))
+        return 0
+
+    if args.command in ("create-branch", "publish-branch", "delete-branch"):
+        if not args.name:
+            p.error(f"{args.command} requires --name")
+        if args.command == "create-branch":
+            print(json.dumps({"table": args.table, **t.create_branch(args.name)}))
+        elif args.command == "publish-branch":
+            print(json.dumps({"table": args.table, **t.publish_branch(args.name)}))
+        else:
+            print(json.dumps({
+                "table": args.table, "deleted": t.delete_branch(args.name),
+                "name": args.name,
+            }))
+        return 0
+
+    if args.command == "branches":
+        print(json.dumps({"table": args.table, "branches": t.branches()}))
         return 0
 
     if args.command == "checkpoint":

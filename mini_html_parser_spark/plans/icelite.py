@@ -128,6 +128,10 @@ class IceliteTable:
     def __init__(self, path: str):
         self.path = path
         self.manifest_dir = os.path.join(path, "_icelite")
+        # branches re-point manifests while SHARING the main table's
+        # schema space (see IceliteBranch) — everything schema reads
+        # through schema_dir, never manifest_dir directly
+        self.schema_dir = self.manifest_dir
 
     # ---- manifest plumbing -------------------------------------------------
     @staticmethod
@@ -329,12 +333,12 @@ class IceliteTable:
     # schema-id override.
 
     def schemas(self) -> list[dict]:
-        if not os.path.isdir(self.manifest_dir):
+        if not os.path.isdir(self.schema_dir):
             return []
         out = []
-        for name in sorted(os.listdir(self.manifest_dir)):
+        for name in sorted(os.listdir(self.schema_dir)):
             if name.startswith("schema-") and name.endswith(".json"):
-                with open(os.path.join(self.manifest_dir, name)) as f:
+                with open(os.path.join(self.schema_dir, name)) as f:
                     out.append(json.load(f))
         return out
 
@@ -349,11 +353,11 @@ class IceliteTable:
         never see a partial file.  A LOSER gets the winner's content
         back — callers must compare/validate against the return value
         rather than assume their own schema was registered."""
-        os.makedirs(self.manifest_dir, exist_ok=True)
+        os.makedirs(self.schema_dir, exist_ok=True)
         k = schema["schema_id"]
-        target = os.path.join(self.manifest_dir, f"schema-{k:06d}.json")
+        target = os.path.join(self.schema_dir, f"schema-{k:06d}.json")
         tmp = os.path.join(
-            self.manifest_dir, f".schema-{k}-{uuid.uuid4().hex}.json.tmp"
+            self.schema_dir, f".schema-{k}-{uuid.uuid4().hex}.json.tmp"
         )
         with open(tmp, "w") as f:
             json.dump(schema, f, indent=2)
@@ -687,6 +691,144 @@ class IceliteTable:
             return []
         hi = max(t["sequence"] for t in tags.values())
         return [s for s in self._all_manifests() if s["sequence"] <= hi]
+
+    # ---- branches: write-audit-publish (Iceberg branch refs; round 6) -------
+    #
+    # The WAP pattern for SAFE corpus updates: stage risky commits
+    # (a new dedup pass, a re-crawl, a filter change) on a branch,
+    # AUDIT the branch's read view with the usual quality checks, then
+    # PUBLISH atomically-per-manifest as a fast-forward — or discard.
+    # Readers of main never observe unaudited data.  A branch is a
+    # manifest namespace (`_icelite/branch-<name>/`) sharing main's
+    # data dir and schema space; its base history is pinned by an
+    # internal tag, so main may compact freely while the branch lives.
+
+    def create_branch(self, name: str) -> dict:
+        """Fork a branch at the current tip.  The fork point is pinned
+        with an internal tag (``__branch-<name>``), which is what
+        keeps the base history resolvable under main's compaction and
+        keeps vacuum off the base data dirs.  Fails if the branch (or
+        a tag colliding with its pin) already exists."""
+        rec = self.tag(f"__branch-{name}")
+        bdir = os.path.join(self.manifest_dir, f"branch-{name}")
+        os.makedirs(bdir)
+        meta = {
+            "name": name,
+            "fork_sequence": rec["sequence"],
+            "fork_snapshot_id": rec["snapshot_id"],
+        }
+        with open(os.path.join(bdir, "branch.json"), "w") as f:
+            json.dump(meta, f, indent=2)
+        return meta
+
+    def branches(self) -> list[str]:
+        if not os.path.isdir(self.manifest_dir):
+            return []
+        return sorted(
+            n[len("branch-"):]
+            for n in os.listdir(self.manifest_dir)
+            if n.startswith("branch-")
+            and os.path.isdir(os.path.join(self.manifest_dir, n))
+        )
+
+    def branch(self, name: str) -> "IceliteBranch":
+        bdir = os.path.join(self.manifest_dir, f"branch-{name}")
+        meta_path = os.path.join(bdir, "branch.json")
+        if not os.path.exists(meta_path):
+            raise KeyError(f"icelite table {self.path}: no branch {name!r}")
+        with open(meta_path) as f:
+            meta = json.load(f)
+        return IceliteBranch(self.path, meta)
+
+    def publish_branch(self, name: str) -> dict:
+        """PUBLISH (WAP step 3): fast-forward main to the branch tip by
+        linking the branch's manifests into main at their own
+        sequences.  Requires main's tip to still be the fork point —
+        if main advanced, publishing would interleave unaudited
+        orderings, so it raises instead (cut a fresh branch from the
+        new tip and re-stage; merge/rebase is deliberately out of
+        scope).  Each link is atomic and the linked prefix is always a
+        valid history, so a crash mid-publish leaves a readable main
+        and a RE-RUN of publish completes idempotently (identical
+        content at an existing target is skipped).  On success the
+        branch namespace and its fork pin are removed."""
+        br = self.branch(name)
+        own = br._own_manifests()
+        published = 0
+        # fast-forward check against main's HISTORY, not its manifest
+        # files: a compact() both advances the tip and removes the
+        # superseded files, so "target file exists" can never be the
+        # conflict signal.  Anything above the fork that is not our
+        # own already-linked prefix (crashed publish re-run) means
+        # main advanced — publishing would interleave unaudited
+        # orderings or vanish below a compaction floor.
+        own_ids = {s["snapshot_id"] for s in own}
+        foreign = [
+            s for s in self._all_manifests()
+            if s["sequence"] > br.fork_sequence
+            and s["snapshot_id"] not in own_ids
+        ]
+        if foreign:
+            raise RuntimeError(
+                f"icelite table {self.path}: cannot publish branch "
+                f"{name!r} — main advanced past the fork point "
+                "(fast-forward only; cut a fresh branch from the new "
+                "tip and re-stage)"
+            )
+        for s in own:
+            src = os.path.join(
+                br.manifest_dir, f"snap-{s['sequence']:06d}.json"
+            )
+            target = os.path.join(
+                self.manifest_dir, f"snap-{s['sequence']:06d}.json"
+            )
+            try:
+                os.link(src, target)
+                published += 1
+            except FileExistsError:
+                with open(target) as f:
+                    if json.load(f).get("snapshot_id") != s["snapshot_id"]:
+                        raise RuntimeError(
+                            f"icelite table {self.path}: publish of branch "
+                            f"{name!r} lost sequence {s['sequence']} to a "
+                            "concurrent commit; main is unchanged beyond "
+                            "the already-linked prefix"
+                        )
+        self.delete_branch(name)
+        return {"published": published, "branch": name}
+
+    def delete_branch(self, name: str) -> bool:
+        """Discard a branch (WAP audit failed, or post-publish
+        cleanup): its manifests vanish, the fork pin is released, and
+        the next vacuum reclaims the branch's orphaned data dirs."""
+        import shutil
+
+        bdir = os.path.join(self.manifest_dir, f"branch-{name}")
+        existed = os.path.isdir(bdir)
+        shutil.rmtree(bdir, ignore_errors=True)
+        self.delete_tag(f"__branch-{name}")
+        return existed
+
+    def _branch_manifests(self) -> list[dict]:
+        """Every live branch's own manifests — data they reference is
+        LIVE for vacuum even though main's snapshot view never sees
+        it."""
+        out: list[dict] = []
+        if not os.path.isdir(self.manifest_dir):
+            return out
+        for name in os.listdir(self.manifest_dir):
+            full = os.path.join(self.manifest_dir, name)
+            if not (name.startswith("branch-") and os.path.isdir(full)):
+                continue
+            for n in os.listdir(full):
+                if self._name_seq(n, "snap-") is None:
+                    continue
+                try:
+                    with open(os.path.join(full, n)) as f:
+                        out.append(json.load(f))
+                except FileNotFoundError:
+                    continue
+        return out
 
     # ---- read / resume -----------------------------------------------------
     def _snapshot_files(self, snap: dict) -> list[str]:
@@ -1632,9 +1774,14 @@ class IceliteTable:
             return report
         referenced: set[str] = set()
         # tag-pinned manifests (below a compaction floor but kept
-        # alive by a release tag) reference data dirs too — vacuum
-        # must treat a tagged release's files as live
-        for s in self.snapshots() + self._pinned_manifests():
+        # alive by a release tag) reference data dirs too, and so do
+        # live branches' staged commits — vacuum must treat both as
+        # live
+        for s in (
+            self.snapshots()
+            + self._pinned_manifests()
+            + self._branch_manifests()
+        ):
             dd = s.get("data_dir")
             if dd:
                 referenced.add(os.path.basename(os.path.normpath(dd)))
@@ -2093,3 +2240,77 @@ class IceliteTable:
             if tail >= auto_checkpoint_every:
                 self.checkpoint()
         return manifest
+
+
+class IceliteBranch(IceliteTable):
+    """A write-audit-publish STAGING view of an :class:`IceliteTable`
+    (Iceberg branch ref): commits land in the branch's own manifest
+    namespace while reads see base-history-up-to-the-fork plus the
+    branch's commits — main's readers never observe staged data.  The
+    base history is pinned by the fork tag (``__branch-<name>``), so
+    main may compact/checkpoint/vacuum freely while the branch lives.
+
+    Shares main's data directory (uuid-suffixed dirs never collide)
+    and schema space (WAP audits DATA; schema evolution happens on
+    main).  Everything riding ``snapshots()`` — read, time travel,
+    read_changes, consume_changes, filter_pending, commit_append,
+    commit_delete, merge — works on the merged view unchanged.
+    Maintenance (compact/checkpoint/vacuum/tags) belongs to main:
+    publish first."""
+
+    def __init__(self, path: str, meta: dict):
+        super().__init__(path)
+        self.branch_name = meta["name"]
+        self.fork_sequence = meta["fork_sequence"]
+        self.fork_snapshot_id = meta["fork_snapshot_id"]
+        self._main = IceliteTable(path)
+        self.manifest_dir = os.path.join(
+            self._main.manifest_dir, f"branch-{meta['name']}"
+        )
+        # schema space stays main's (see class docstring)
+        self.schema_dir = self._main.manifest_dir
+
+    def _own_manifests(self) -> list[dict]:
+        """The branch's staged commits only (no base history)."""
+        out = []
+        for n in sorted(os.listdir(self.manifest_dir)):
+            if self._name_seq(n, "snap-") is None:
+                continue
+            with open(os.path.join(self.manifest_dir, n)) as f:
+                out.append(json.load(f))
+        out.sort(key=lambda s: s["sequence"])
+        return out
+
+    def snapshots(self) -> list[dict]:
+        base = [
+            s for s in self._main._all_manifests()
+            if s["sequence"] <= self.fork_sequence
+        ]
+        floor = max(
+            (s["sequence"] for s in base if s.get("compacted")), default=None
+        )
+        if floor is not None:
+            base = [s for s in base if s["sequence"] >= floor]
+        return base + self._own_manifests()
+
+    def compact(self, *a, **k):
+        raise NotImplementedError(
+            "compaction belongs to main — publish or discard the branch first"
+        )
+
+    def checkpoint(self, *a, **k):
+        raise NotImplementedError(
+            "metadata checkpointing belongs to main's namespace"
+        )
+
+    def vacuum(self, *a, **k):
+        raise NotImplementedError(
+            "vacuum runs on main (it already treats live branches' data "
+            "as referenced)"
+        )
+
+    def tag(self, *a, **k):
+        raise NotImplementedError("tags belong to main — publish first")
+
+    def create_branch(self, *a, **k):
+        raise NotImplementedError("branches do not nest")

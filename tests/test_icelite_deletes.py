@@ -849,3 +849,92 @@ def test_consume_changes_at_least_once(spark, tmp_path):
     ack4()
     ch5, _ = t.consume_changes(spark, "idx")
     assert ch5 is None
+
+
+# ---------------------------------------------------------------------------
+# branches: write-audit-publish (round 6)
+# ---------------------------------------------------------------------------
+
+def test_branch_write_audit_publish(spark, tmp_path):
+    """WAP: staged commits (append + takedown) are invisible to main's
+    readers until publish; publish fast-forwards main and removes the
+    branch namespace + fork pin."""
+    from mini_html_parser_spark.plans.icelite import IceliteTable
+
+    t = IceliteTable(str(tmp_path / "t"))
+    t.commit_append(_df(spark, 0, 40))
+    t.create_branch("wap")
+    b = t.branch("wap")
+    b.commit_append(_df(spark, 40, 60))
+    b.commit_delete(_keys(spark, [3]))
+
+    # audit view: base + staged; main: unchanged
+    assert b.read(spark).count() == 59
+    assert t.read(spark).count() == 40
+    assert t.branches() == ["wap"]
+
+    rep = t.publish_branch("wap")
+    assert rep["published"] == 2
+    after = t.read(spark)
+    assert after.count() == 59
+    assert after.filter(F.col("doc_id") == 3).count() == 0
+    assert t.branches() == [] and t.tags() == {}
+    # sequences stayed gapless through the fast-forward
+    assert [s["sequence"] for s in t.snapshots()] == [0, 1, 2]
+
+
+def test_branch_discard_under_main_compaction(spark, tmp_path):
+    """A live branch keeps reading its fork state while main compacts
+    past it (the fork tag pins base history); main advancing refuses a
+    publish (fast-forward only); discard releases the pin and vacuum
+    reclaims the staged data."""
+    from mini_html_parser_spark.plans.icelite import IceliteTable
+
+    t = IceliteTable(str(tmp_path / "t"))
+    t.commit_append(_df(spark, 0, 20))
+    t.create_branch("exp")
+    b = t.branch("exp")
+    b.commit_append(_df(spark, 20, 30))
+
+    # main moves on: new commit + compact (expires the fork's history
+    # from the ACTIVE view; the branch pin keeps it resolvable)
+    t.commit_append(_df(spark, 100, 105))
+    t.compact(spark)
+    assert t.read(spark).count() == 25
+    assert b.read(spark).count() == 30          # fork base + staged
+    t.vacuum(grace_sec=0)
+    assert b.read(spark).count() == 30          # staged data is live
+
+    with pytest.raises(RuntimeError, match="fast-forward only"):
+        t.publish_branch("exp")
+
+    assert t.delete_branch("exp")
+    rep = t.vacuum(grace_sec=0)
+    assert rep["removed"]                        # staged dirs reclaimed
+    assert t.read(spark).count() == 25
+
+
+def test_branch_publish_crash_rerun_is_idempotent(spark, tmp_path):
+    """A publish that crashed after linking a prefix re-runs to
+    completion: identical already-linked targets are skipped, the rest
+    link, main ends at the branch tip."""
+    import os as _os
+
+    from mini_html_parser_spark.plans.icelite import IceliteTable
+
+    t = IceliteTable(str(tmp_path / "t"))
+    t.commit_append(_df(spark, 0, 10))
+    t.create_branch("wap")
+    b = t.branch("wap")
+    b.commit_append(_df(spark, 10, 20))
+    b.commit_append(_df(spark, 20, 30))
+
+    first = b._own_manifests()[0]
+    _os.link(
+        _os.path.join(b.manifest_dir, f"snap-{first['sequence']:06d}.json"),
+        _os.path.join(t.manifest_dir, f"snap-{first['sequence']:06d}.json"),
+    )
+    rep = t.publish_branch("wap")
+    assert rep["published"] == 1                 # only the missing one
+    assert t.read(spark).count() == 30
+    assert [s["sequence"] for s in t.snapshots()] == [0, 1, 2]

@@ -193,16 +193,27 @@ def _checkpointer(path: str, rounds: int, expire: bool, out_q) -> None:
     active manifest list into a ckpt file; with ``expire`` it also
     removes the folded per-commit manifests (log cleanup) — the
     hostile mode, since readers and writers must then find history
-    through the checkpoint alone."""
+    through the checkpoint alone.  Time-bounded rather than
+    round-bounded: a fixed round count can burn out before the first
+    writer even commits (liveness flake), while the race under test
+    needs the checkpointer ALIVE throughout the writers' window."""
+    import time
+
     t = IceliteTable(path)
     done = 0
-    for _ in range(rounds):
+    deadline = time.monotonic() + 8.0
+    spins = 0
+    while time.monotonic() < deadline and spins < rounds * 50:
+        spins += 1
         try:
             rep = t.checkpoint(expire_manifests=expire)
         except RuntimeError:
             continue  # mid-removal scan contention: documented retry
         if rep is not None:
             done += 1
+        if done >= rounds:
+            break
+        time.sleep(0.002)  # every round: an empty table must not spin out
     out_q.put(("checkpointer", done))
 
 
