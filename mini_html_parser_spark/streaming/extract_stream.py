@@ -257,7 +257,9 @@ def span_rate_monitor(extracted: DataFrame, window: str = "10 seconds") -> DataF
     )
 
 
-def icelite_batch_writer(table_path: str, n_buckets: int = 64):
+def icelite_batch_writer(
+    table_path: str, n_buckets: int = 64, branch: str | None = None
+):
     """The per-micro-batch commit function behind
     :func:`start_icelite_sink`, exposed for direct testing.
 
@@ -287,7 +289,17 @@ def icelite_batch_writer(table_path: str, n_buckets: int = 64):
     state = {"loaded": False}
 
     def write_batch(df: DataFrame, batch_id: int) -> None:
-        table = IceliteTable(table_path)
+        # ``branch`` = streaming WRITE-AUDIT-PUBLISH: micro-batches
+        # stage on the branch (invisible to main's readers), an
+        # out-of-band audit reads the branch, publish_branch
+        # fast-forwards.  The replay-skip set below is loaded from the
+        # branch's MERGED view, so it keeps working across restarts
+        # either side of a publish.
+        table = (
+            IceliteTable(table_path).branch(branch)
+            if branch
+            else IceliteTable(table_path)
+        )
         if not state["loaded"]:
             for s in table.snapshots():
                 m = s.get("metrics") or {}
@@ -466,6 +478,7 @@ def start_icelite_sink(
     checkpoint_dir: str,
     n_buckets: int = 64,
     available_now: bool = True,
+    branch: str | None = None,
 ):
     """Continuous ingest INTO the snapshot table layer: the streaming
     analogue of ``run_extraction_job`` — each micro-batch becomes one
@@ -477,7 +490,7 @@ def start_icelite_sink(
     appends concurrently."""
     writer = (
         extracted.writeStream.foreachBatch(
-            icelite_batch_writer(table_path, n_buckets)
+            icelite_batch_writer(table_path, n_buckets, branch=branch)
         )
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")

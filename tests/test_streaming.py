@@ -476,3 +476,54 @@ def test_streaming_corpus_dedup_beyond_ttl(spark, tmp_path):
         for r in final.select("doc_id", "text").collect()
     }
     assert got == want
+
+
+def test_streaming_wap_branch_sink(spark, tmp_path):
+    """Streaming write-audit-publish: micro-batches stage on an
+    icelite BRANCH (main's readers see nothing), the audit runs on the
+    branch's read view, publish fast-forwards main; a replayed batch
+    id after the publish is still a no-op through a fresh writer (the
+    replay-skip set loads from the merged view)."""
+    from mini_html_parser_spark.plans.icelite import IceliteTable
+    from mini_html_parser_spark.streaming.extract_stream import (
+        extract_stream, icelite_batch_writer, read_document_stream,
+        start_icelite_sink,
+    )
+
+    inp = str(tmp_path / "in")
+    tbl = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+
+    # main starts with an audited base
+    t = IceliteTable(tbl)
+    base = extract_stream(
+        spark.createDataFrame(generate_pandas(4, seed=42, start=100),
+                              schema=DOCUMENTS_SCHEMA)
+    )
+    # batch id 999: ids live in ONE replay-skip space per table, and
+    # the real stream below starts at id 0
+    icelite_batch_writer(tbl, n_buckets=8)(base, 999)
+    assert t.read(spark).count() == 4
+
+    t.create_branch("ingest")
+    _write_input(spark, inp, 0, 8)
+    q = start_icelite_sink(
+        extract_stream(read_document_stream(spark, inp)), tbl, ckpt,
+        n_buckets=8, branch="ingest",
+    )
+    q.awaitTermination(120)
+
+    b = t.branch("ingest")
+    assert t.read(spark).count() == 4          # main: unaudited rows hidden
+    assert b.read(spark).count() == 12         # audit view: base + staged
+    staged_id = b.snapshots()[-1]["metrics"]["stream_batch_id"]
+
+    t.publish_branch("ingest")
+    assert t.read(spark).count() == 12
+    assert t.branches() == []
+
+    # post-publish crash-replay of the staged batch id: no-op
+    docs = spark.createDataFrame(generate_pandas(8, seed=42, start=0),
+                                 schema=DOCUMENTS_SCHEMA)
+    icelite_batch_writer(tbl, n_buckets=8)(extract_stream(docs), staged_id)
+    assert t.read(spark).count() == 12
