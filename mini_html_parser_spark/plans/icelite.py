@@ -751,7 +751,10 @@ class IceliteTable:
         valid history, so a crash mid-publish leaves a readable main
         and a RE-RUN of publish completes idempotently (identical
         content at an existing target is skipped).  On success the
-        branch namespace and its fork pin are removed."""
+        branch namespace and its fork pin are removed — stop any
+        stream still staging onto the branch FIRST (publish snapshots
+        the branch's manifest list once; commits racing the removal
+        are discarded with the namespace)."""
         br = self.branch(name)
         own = br._own_manifests()
         published = 0
