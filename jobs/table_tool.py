@@ -19,6 +19,9 @@
     python jobs/table_tool.py <table_dir> publish-branch --name wap
     python jobs/table_tool.py <table_dir> delete-branch --name wap
     python jobs/table_tool.py <table_dir> branches
+    python jobs/table_tool.py <table_dir> rollback --snapshot ID
+    python jobs/table_tool.py <table_dir> partitions
+    python jobs/table_tool.py <table_dir> files
 
 ``info``/``history``/``evolve``/``vacuum``/``checkpoint``/``tag``/
 ``tags``/``delete-tag`` and the branch commands are metadata-only
@@ -58,7 +61,8 @@ def main(argv=None) -> int:
                                        "vacuum", "checkpoint", "index",
                                        "tag", "tags", "delete-tag",
                                        "create-branch", "publish-branch",
-                                       "delete-branch", "branches"])
+                                       "delete-branch", "branches",
+                                       "rollback", "partitions", "files"])
     p.add_argument("--name", default=None,
                    help="tag/delete-tag: release name (e.g. v1.0)")
     p.add_argument("--snapshot", default=None,
@@ -161,6 +165,35 @@ def main(argv=None) -> int:
             "table": args.table,
             "schema_id": schema["schema_id"],
             "columns": [f"{f['name']}:{f['type']}" for f in schema["fields"]],
+        }))
+        return 0
+
+    if args.command == "rollback":
+        if not args.snapshot:
+            p.error("rollback requires --snapshot (the id to restore)")
+        rb = t.rollback(args.snapshot, metrics={"via": "table_tool"})
+        print(json.dumps({
+            "table": args.table,
+            "sequence": rb["sequence"],
+            "snapshot_id": rb["snapshot_id"],
+            "rollback_to": rb["rollback_to"],
+            "rollback_to_id": rb["rollback_to_id"],
+        }))
+        return 0
+
+    if args.command == "partitions":
+        print(json.dumps({
+            "table": args.table,
+            "partitions": t.partitions_summary(),
+        }))
+        return 0
+
+    if args.command == "files":
+        files = t.files_summary()
+        print(json.dumps({
+            "table": args.table,
+            "n_files": len(files),
+            "files": files,
         }))
         return 0
 

@@ -223,7 +223,29 @@ class IceliteTable:
         )
         if floor is not None:
             snaps = [s for s in snaps if s["sequence"] >= floor]
-        return snaps
+        return self._apply_rollbacks(snaps)
+
+    @staticmethod
+    def _apply_rollbacks(snaps: list[dict]) -> list[dict]:
+        """Fold ``rollback`` manifests into the live chain: a rollback
+        at sequence R targeting sequence T truncates every snapshot in
+        (T, R) from the view — the state becomes exactly "as of T",
+        and later commits build on that (Iceberg's
+        ``rollback_to_snapshot``).  The rollback manifest itself stays
+        in the chain (it owns its sequence and carries no files), so
+        the next commit's sequence is still strictly increasing.
+        Processed in ascending order: a later rollback legally
+        truncates an earlier one (rolling back a rollback restores
+        nothing by itself — its target is resolved against the chain
+        as it stood when it committed, which ascending replay
+        reproduces)."""
+        live: list[dict] = []
+        for s in snaps:
+            tgt = s.get("rollback_to")
+            if tgt is not None:
+                live = [x for x in live if x["sequence"] <= tgt]
+            live.append(s)
+        return live
 
     def checkpoint(
         self, expire_manifests: bool = False, retain_last: int = 8
@@ -566,6 +588,125 @@ class IceliteTable:
                 return p
         return None
 
+    # ---- metadata tables (Iceberg history/files/partitions) ------------------
+    #
+    # Operational introspection as QUERYABLE DataFrames, like SELECTing
+    # Iceberg's `db.tbl.history` / `.files` / `.partitions`: what a
+    # maintenance job, a cost dashboard, or an ingest monitor reads.
+    # All three are built driver-side from the manifests (metadata is
+    # tiny relative to data) and handed to Spark as local frames — no
+    # data file is opened.
+
+    @staticmethod
+    def _snapshot_kind(s: dict) -> str:
+        if s.get("rollback_to") is not None:
+            return "rollback"
+        if s.get("compacted"):
+            return "compaction"
+        if s.get("delete_files") and s.get("data_files"):
+            return "merge"
+        if s.get("delete_files"):
+            return "delete"
+        return "append"
+
+    def history_df(self, spark) -> DataFrame:
+        """One row per ACTIVE snapshot (the live chain — truncated and
+        superseded history excluded, same view as :meth:`read`):
+        sequence, id/parent lineage, commit kind, row/file/delete
+        counters, schema id."""
+        rows = [
+            (
+                int(s["sequence"]),
+                s["snapshot_id"],
+                s.get("parent_id"),
+                self._snapshot_kind(s),
+                int(s.get("total_rows") or 0),
+                len(s.get("data_files") or []),
+                int(s.get("delete_count") or 0),
+                s.get("schema_id"),
+            )
+            for s in self.snapshots()
+        ]
+        return spark.createDataFrame(
+            rows,
+            "sequence bigint, snapshot_id string, parent_id string, "
+            "kind string, total_rows bigint, n_data_files int, "
+            "delete_count bigint, schema_id int",
+        )
+
+    @staticmethod
+    def _file_bucket(rel: str) -> int | None:
+        for part in rel.split(os.sep):
+            if part.startswith("bucket="):
+                return int(part[len("bucket="):])
+        return None
+
+    def files_summary(self) -> list[dict]:
+        """Metadata-only census of LIVE data files (one dict per file:
+        table-relative path, owning snapshot, lineage bucket) — no
+        Spark session, no storage listing.  The CLI prints this;
+        :meth:`files_df` wraps it as a DataFrame."""
+        out = []
+        for s in self.snapshots():
+            for f in self._snapshot_files(s):
+                rel = os.path.relpath(f, self.path)
+                out.append({
+                    "file": rel,
+                    "sequence": int(s["sequence"]),
+                    "snapshot_id": s["snapshot_id"],
+                    "bucket": self._file_bucket(rel),
+                })
+        return out
+
+    def partitions_summary(self) -> list[dict]:
+        """Per-bucket lineage summary (metadata-only): rows AS WRITTEN
+        (the manifests' additive counters — equality deletes are not
+        netted out, same as Iceberg's partitions table counting
+        data-file rows), file count, and how many snapshots touched
+        the bucket.  The skew report for a 100-TB table costs a
+        metadata fold, not a scan."""
+        rows_by_bucket: dict[int, int] = {}
+        snaps_by_bucket: dict[int, int] = {}
+        files_by_bucket: dict[int, int] = {}
+        for s in self.snapshots():
+            for b, n in (s.get("bucket_rows") or {}).items():
+                bi = int(b)
+                rows_by_bucket[bi] = rows_by_bucket.get(bi, 0) + int(n)
+                snaps_by_bucket[bi] = snaps_by_bucket.get(bi, 0) + 1
+            for f in self._snapshot_files(s):
+                bi = self._file_bucket(os.path.relpath(f, self.path))
+                if bi is not None:
+                    files_by_bucket[bi] = files_by_bucket.get(bi, 0) + 1
+        return [
+            {
+                "bucket": b,
+                "rows": rows_by_bucket[b],
+                "n_files": files_by_bucket.get(b, 0),
+                "n_snapshots": snaps_by_bucket.get(b, 0),
+            }
+            for b in sorted(rows_by_bucket)
+        ]
+
+    def files_df(self, spark) -> DataFrame:
+        """:meth:`files_summary` as a queryable DataFrame."""
+        return spark.createDataFrame(
+            [
+                (r["file"], r["sequence"], r["snapshot_id"], r["bucket"])
+                for r in self.files_summary()
+            ],
+            "file string, sequence bigint, snapshot_id string, bucket int",
+        )
+
+    def partitions_df(self, spark) -> DataFrame:
+        """:meth:`partitions_summary` as a queryable DataFrame."""
+        return spark.createDataFrame(
+            [
+                (r["bucket"], r["rows"], r["n_files"], r["n_snapshots"])
+                for r in self.partitions_summary()
+            ],
+            "bucket int, rows bigint, n_files int, n_snapshots int",
+        )
+
     # ---- tags: named immutable refs (Iceberg refs; round 6) -----------------
     #
     # The dataset-RELEASE primitive: ``tag("v1.0")`` pins the exact
@@ -648,6 +789,70 @@ class IceliteTable:
             return True
         except FileNotFoundError:
             return False
+
+    # ---- rollback: undo a bad commit (Iceberg rollback_to_snapshot) ----------
+    def rollback(self, to_snapshot_id: str, metrics: dict | None = None) -> dict:
+        """Make ``to_snapshot_id``'s state current again — the
+        bad-commit recovery primitive (a poisoned crawl batch, a
+        mis-configured extraction run): METADATA-ONLY, no data moves,
+        no rewrite.  Commits a ``rollback`` manifest whose
+        ``rollback_to`` sequence truncates every later snapshot from
+        the live view (see :meth:`_apply_rollbacks`); subsequent
+        commits build on the restored state.
+
+        Contracts (each pinned in tests/test_icelite.py):
+
+        - the target must be ACTIVE (time travel to a truncated
+          snapshot raises, same as post-``compact()`` expiry — this is
+          a documented divergence from Iceberg, where rolled-back
+          snapshots stay time-travelable until expire);
+        - the rollback wins its sequence through the normal optimistic
+          arbitration, so a concurrent append that lands between
+          validation and the link is truncated too (last-writer-wins,
+          exactly a catalog ``rollback``'s behavior);
+        - CDC consumers checkpointed INSIDE the truncated range get
+          the documented KeyError from read_changes → full re-sync
+          (Delta's post-RESTORE contract); consumers at-or-below the
+          target, or ones that only poll after the rollback, stay
+          consistent — truncated snapshots emit no events, and genesis
+          replay still reproduces ``read()``;
+        - a later ``compact()`` folds the rollback away and removes
+          the truncated manifests (their data dirs become orphans for
+          ``vacuum``); tags cut BEFORE the rollback keep reading the
+          pre-rollback bytes (their chain predates the rollback
+          manifest), tags cut after embed it."""
+        snaps = self.snapshots()
+        target = next(
+            (s for s in snaps if s["snapshot_id"] == to_snapshot_id), None
+        )
+        if target is None:
+            raise KeyError(
+                f"icelite table {self.path}: snapshot {to_snapshot_id!r} is "
+                "not an active snapshot (never existed, expired by "
+                "compact(), or already truncated by an earlier rollback)"
+            )
+        tip = snaps[-1]
+        if target["snapshot_id"] == tip["snapshot_id"]:
+            raise ValueError(
+                f"icelite table {self.path}: {to_snapshot_id!r} is already "
+                "the current snapshot — nothing to roll back"
+            )
+        manifest = {
+            "sequence": tip["sequence"] + 1,
+            "snapshot_id": uuid.uuid4().hex,
+            "parent_id": tip["snapshot_id"],
+            "data_files": [],
+            "bucket_rows": {},
+            "total_rows": 0,
+            "rollback_to": target["sequence"],
+            "rollback_to_id": target["snapshot_id"],
+            "metrics": {**(metrics or {}), "rolled_back_from": tip["sequence"]},
+            "partitioning": target.get("partitioning"),
+        }
+        schema = self.current_schema()
+        if schema is not None:
+            manifest["schema_id"] = schema["schema_id"]
+        return self._commit_manifest(manifest)
 
     def _all_manifests(self) -> list[dict]:
         """Every manifest on disk or folded into the newest checkpoint,
@@ -1098,6 +1303,10 @@ class IceliteTable:
             )
             if floor is not None:
                 chain = [s for s in chain if s["sequence"] >= floor]
+            # rollbacks the release was cut AFTER are part of its state
+            # (a tag cut BEFORE a rollback has no rollback manifest in
+            # its chain and keeps reading the pre-rollback bytes)
+            chain = self._apply_rollbacks(chain)
             out = self._read_snaps(spark, chain, buckets, prune)
             if out is None:
                 raise FileNotFoundError(
@@ -1734,12 +1943,20 @@ class IceliteTable:
         # to the same operational actor, like Iceberg's ref updates
         # going through the catalog.
         pinned = {s["sequence"] for s in self._pinned_manifests()}
-        for s in snaps:
-            if s["sequence"] in pinned:
+        # remove every superseded ON-DISK manifest below the compacted
+        # sequence, not just the folded live list: snapshots truncated
+        # by a rollback are invisible to the view but their files (and
+        # crash leftovers of an earlier removal loop) would otherwise
+        # linger forever — after this commit, everything below snap_n
+        # is superseded by construction
+        for name in os.listdir(self.manifest_dir):
+            s_old = self._name_seq(name, "snap-")
+            if s_old is None or s_old >= snap_n or s_old in pinned:
                 continue
-            old = os.path.join(self.manifest_dir, f"snap-{s['sequence']:06d}.json")
-            if os.path.exists(old):
-                os.remove(old)
+            try:
+                os.remove(os.path.join(self.manifest_dir, name))
+            except FileNotFoundError:
+                pass
         return manifest
 
     def vacuum(
@@ -2294,7 +2511,9 @@ class IceliteBranch(IceliteTable):
         )
         if floor is not None:
             base = [s for s in base if s["sequence"] >= floor]
-        return base + self._own_manifests()
+        # rollbacks at-or-below the fork are part of the pinned base
+        # state; the branch itself cannot roll back (see rollback())
+        return self._apply_rollbacks(base) + self._own_manifests()
 
     def compact(self, *a, **k):
         raise NotImplementedError(
@@ -2317,3 +2536,9 @@ class IceliteBranch(IceliteTable):
 
     def create_branch(self, *a, **k):
         raise NotImplementedError("branches do not nest")
+
+    def rollback(self, *a, **k):
+        raise NotImplementedError(
+            "rollback belongs to main — a branch stages NEW commits only; "
+            "to drop staged work, delete_branch() and re-stage"
+        )

@@ -3100,6 +3100,98 @@ FROM documents WHERE doc_id % 10 = 4
 """
 
 
+def q_icelite_rollback(spark, sf_dir):
+    """Snapshot rollback (round 6, Iceberg ``rollback_to_snapshot``):
+    two thirds of the corpus is committed, then a POISONED batch of
+    the remaining third (corrupted text); ``rollback()`` truncates the
+    bad commit as pure metadata — no rewrite — and the corrected third
+    is re-ingested on top of the restored state.  If the rollback
+    failed to truncate, the poisoned rows would survive and the row
+    count would double on the final third; the oracle states the
+    corrected end state relationally."""
+    import shutil
+    import tempfile
+
+    from .plans.icelite import IceliteTable
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+    tmp = tempfile.mkdtemp(prefix="icelite_rollback_q_")
+    try:
+        t = IceliteTable(os.path.join(tmp, "tbl"))
+        bucket = F.pmod(F.col("doc_id"), F.lit(8)).cast("int")
+        good = t.commit_append(
+            docs.filter(F.col("doc_id") % 3 != 0).withColumn("bucket", bucket)
+        )
+        t.commit_append(  # the poisoned crawl batch
+            docs.filter(F.col("doc_id") % 3 == 0)
+            .select(
+                "doc_id",
+                F.concat(F.lit("POISON "), F.col("text")).alias("text"),
+                "lang",
+            )
+            .withColumn("bucket", bucket)
+        )
+        t.rollback(good["snapshot_id"])
+        t.commit_append(  # corrected re-ingest on the restored state
+            docs.filter(F.col("doc_id") % 3 == 0)
+            .select(
+                "doc_id",
+                F.concat(F.lit("v2: "), F.col("text")).alias("text"),
+                "lang",
+            )
+            .withColumn("bucket", bucket)
+        )
+        out = t.read(spark).select("doc_id", "text", "lang")
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+ORACLE_ICELITE_ROLLBACK = """
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'v2: ' || text ELSE text END AS text,
+       lang
+FROM documents
+"""
+
+
+def q_icelite_partitions_meta(spark, sf_dir):
+    """Metadata tables (round 6, Iceberg's ``partitions``): the corpus
+    is committed under a ``doc_id % 8`` bucket layout and the
+    per-bucket lineage summary is read back from the MANIFESTS alone —
+    no data file is opened (the skew report a 100-TB maintenance job
+    runs).  ``compact=True`` commits exactly one file per non-empty
+    bucket, so ``n_files``/``n_snapshots`` are deterministic; the
+    oracle restates the per-bucket row counts relationally."""
+    import shutil
+    import tempfile
+
+    from .plans.icelite import IceliteTable
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+    tmp = tempfile.mkdtemp(prefix="icelite_parts_q_")
+    try:
+        t = IceliteTable(os.path.join(tmp, "tbl"))
+        bucket = F.pmod(F.col("doc_id"), F.lit(8)).cast("int")
+        t.commit_append(docs.withColumn("bucket", bucket))
+        out = t.partitions_df(spark).select(
+            "bucket", "rows", "n_files", "n_snapshots"
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+ORACLE_ICELITE_PARTITIONS = """
+SELECT CAST(doc_id % 8 AS INTEGER) AS bucket,
+       COUNT(*) AS rows,
+       1 AS n_files,
+       1 AS n_snapshots
+FROM documents
+GROUP BY 1
+"""
+
+
 # =========================================================================
 # Registry
 # =========================================================================
@@ -3114,18 +3206,22 @@ FROM documents WHERE doc_id % 10 = 4
 # Round-6 rotation (VERDICT r5 #5): the 22-entry r5 tail
 # (events/multimodal/dedup_substring/quality families — last
 # driver-recorded r04, judge-green via check_oracles.py in r5)
-# rotates back into the window, led by the twelve NEW round-6 entries
-# (icelite_wap, icelite_tag_release, pack_interleaved, icelite_point_lookup,
-# icelite_changelog, icelite_delete_read, icelite_stats_prune,
-# semantic_dedup, dsir_select, icelite_rebucket_resume,
+# rotates back into the window, led by the fourteen NEW round-6 entries
+# (icelite_rollback, icelite_partitions_meta, icelite_wap,
+# icelite_tag_release, pack_interleaved,
+# icelite_point_lookup, icelite_changelog, icelite_delete_read,
+# icelite_stats_prune, semantic_dedup, dsir_select,
+# icelite_rebucket_resume,
 # dedup_paragraphs, dedup_neardup_incremental).  The entries the r05 driver sweep just
 # recorded green move toward the tail; every tail entry additionally
 # has an independent pytest and a full check_oracles.py re-run each
 # round.
-# Authoritative count this round: 87 queries, 87 oracles (no
+# Authoritative count this round: 89 queries, 89 oracles (no
 # rows-only entries) — COVERAGE.md carries the same number.
 QUERIES = {
     # NEW this round (insert-at-top rule)
+    "icelite_rollback": q_icelite_rollback,
+    "icelite_partitions_meta": q_icelite_partitions_meta,
     "icelite_wap": q_icelite_wap,
     "icelite_tag_release": q_icelite_tag_release,
     "pack_interleaved": q_pack_interleaved,
@@ -3225,6 +3321,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "icelite_rollback": ORACLE_ICELITE_ROLLBACK,
+    "icelite_partitions_meta": ORACLE_ICELITE_PARTITIONS,
     "icelite_wap": ORACLE_ICELITE_WAP,
     "icelite_tag_release": ORACLE_ICELITE_TAG,
     "pack_interleaved": ORACLE_PACK_INTERLEAVED,
