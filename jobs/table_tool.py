@@ -107,6 +107,11 @@ def main(argv=None) -> int:
                         "during the rewrite so min/max file stats get "
                         "tight enough to skip files (Iceberg "
                         "rewrite_data_files sort order)")
+    p.add_argument("--zorder", default=None, metavar="COL,COL[,COL]",
+                   help="compact: multi-dimension re-cluster by "
+                        "interleaved-bit z-value over numeric columns "
+                        "so file stats prune on ANY of them (mutually "
+                        "exclusive with --sort)")
     args = p.parse_args(argv)
 
     from mini_html_parser_spark.plans.icelite import IceliteTable
@@ -312,6 +317,7 @@ def main(argv=None) -> int:
         spark,
         rebucket_to=args.rebucket,
         sort_within_buckets=(args.sort.split(",") if args.sort else None),
+        zorder=(args.zorder.split(",") if args.zorder else None),
     )
     print(json.dumps({
         "table": args.table,
@@ -321,6 +327,7 @@ def main(argv=None) -> int:
         "folded": (manifest or {}).get("metrics", {}).get("compacted_snapshots"),
         "rebucketed_to": args.rebucket,
         "sorted_by": args.sort or None,
+        "zordered_by": args.zorder or None,
     }))
     return 0
 

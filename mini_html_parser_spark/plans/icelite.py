@@ -1780,12 +1780,66 @@ class IceliteTable:
             return manifest
 
     # ---- maintenance ---------------------------------------------------------
+    @staticmethod
+    def _zorder_expr(df: DataFrame, cols: list[str]):
+        """Interleaved-bit (Morton) z-value over numeric columns — the
+        clustering key of an Iceberg ``rewrite_data_files`` z-order.
+        Each column is mapped to a fixed-width code by min/max
+        normalization (ONE column-pruned agg pass; nulls sort low,
+        clamped at the edges so out-of-sample values can never corrupt
+        the code), then the codes' bits are interleaved
+        least-significant-first.  Entirely JVM-side expressions
+        (shift/and/or inside whole-stage codegen) — no Python touches
+        a row.  Bit width shrinks with column count so the interleave
+        never reaches the bigint sign bit (which would invert the
+        range order).
+
+        Min/max (not quantile) normalization keeps the transform
+        monotone per column — required for the pruning guarantee —
+        at the cost of selectivity under heavy skew; for skewed
+        columns, prefer single-column ``sort_within_buckets``."""
+        numeric = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+        types = dict(df.dtypes)
+        for c in cols:
+            if c not in types:
+                raise ValueError(f"zorder column {c!r} not in {sorted(types)}")
+            if types[c] not in numeric:
+                raise ValueError(
+                    f"zorder column {c!r} has type {types[c]} — z-ordering "
+                    "needs a numeric column (min/max normalization must be "
+                    "order-preserving); cast timestamps/dates to long first"
+                )
+        k = len(cols)
+        bits = min(16, 62 // k)
+        top = (1 << bits) - 1
+        stats = df.agg(
+            *[F.min(c).cast("double").alias(f"mn_{i}") for i, c in enumerate(cols)],
+            *[F.max(c).cast("double").alias(f"mx_{i}") for i, c in enumerate(cols)],
+        ).first()
+        z = F.lit(0).cast("bigint")
+        for j, c in enumerate(cols):
+            mn, mx = stats[f"mn_{j}"], stats[f"mx_{j}"]
+            if mn is None or mx is None or mx <= mn:
+                continue  # constant or all-null column: contributes 0
+            norm = (
+                F.coalesce(F.col(c).cast("double"), F.lit(mn)) - F.lit(mn)
+            ) / F.lit(mx - mn)
+            code = F.least(
+                F.lit(top),
+                F.greatest(F.lit(0), F.floor(norm * top)),
+            ).cast("bigint")
+            for i in range(bits):
+                bit = F.shiftright(code, i).bitwiseAND(F.lit(1))
+                z = z.bitwiseOR(F.shiftleft(bit, i * k + j))
+        return z
+
     def compact(
         self,
         spark,
         rebucket_to: int | None = None,
         key_col: str = "doc_id",
         sort_within_buckets: list[str] | None = None,
+        zorder: list[str] | None = None,
     ) -> dict | None:
         """Rewrite all committed snapshots into one (the analogue of
         Iceberg's ``rewrite_data_files`` + snapshot expiry).
@@ -1816,9 +1870,25 @@ class IceliteTable:
           switches from bucket-level skip-if-done to the doc-exact
           anti-join (see :meth:`requires_exact_resume` for why the
           bucket shortcut would silently drop pending docs).
+
+        ``sort_within_buckets`` re-clusters on ONE dimension;
+        ``zorder`` (mutually exclusive) interleaves the bits of
+        several numeric columns (:meth:`_zorder_expr`) so min/max
+        file stats prune on ANY of them — the multi-predicate
+        workload's layout (Iceberg's z-order rewrite).
         """
+        if zorder and sort_within_buckets:
+            raise ValueError(
+                "pass either sort_within_buckets (single-dimension "
+                "clustering) or zorder (multi-dimension), not both"
+            )
         snaps = self.snapshots()
-        if len(snaps) <= 1 and rebucket_to is None and not sort_within_buckets:
+        if (
+            len(snaps) <= 1
+            and rebucket_to is None
+            and not sort_within_buckets
+            and not zorder
+        ):
             return None  # nothing to fold and no re-layout requested
         full = self.read(spark)
         layout = self.partitioning()
@@ -1844,7 +1914,24 @@ class IceliteTable:
         data_dir = os.path.join(
             self.path, "data", f"snap-{snap_n}-{uuid.uuid4().hex[:8]}"
         )
-        if sort_within_buckets:
+        if zorder:
+            # multi-dimension re-cluster (Iceberg rewrite_data_files
+            # with a z-order): a single-column sort makes files
+            # skippable on THAT column only; interleaving the bits of
+            # k normalized columns gives every file a tight hyper-box
+            # in k-space, so min/max pruning skips on ANY of them.
+            # Same range-partition + explicit-count rules as the sort
+            # branch below (an un-sized range shuffle is
+            # AQE-coalescible and the clustering would evaporate).
+            zv = self._zorder_expr(full, zorder)
+            n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            out = (
+                full.withColumn("__zv", zv)
+                .repartitionByRange(n_parts, F.col(bucket_col), F.col("__zv"))
+                .sortWithinPartitions(bucket_col, "__zv")
+                .drop("__zv")
+            )
+        elif sort_within_buckets:
             # re-CLUSTER during the rewrite (Iceberg rewrite_data_files
             # with a sort order): unsorted ingest interleaves the whole
             # value range into every file, so read(prune=...) keeps

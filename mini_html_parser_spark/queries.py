@@ -3192,6 +3192,45 @@ GROUP BY 1
 """
 
 
+def q_icelite_zorder_prune(spark, sf_dir):
+    """Z-order rewrite + multi-dimension file skipping (round 6,
+    Iceberg rewrite_data_files z-order): the corpus is committed
+    unsorted, re-clustered by the interleaved-bit z-value over
+    ``(doc_id, n_chars)``, and then read under BOTH predicates with
+    manifest-level stats pruning — each dimension's window drops
+    files on its own (pinned in pytest); the residual row filter
+    makes the result exact, identical to the plain relational filter
+    the oracle states."""
+    import shutil
+    import tempfile
+
+    from .plans.icelite import IceliteTable
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "lang", "n_chars")
+    tmp = tempfile.mkdtemp(prefix="icelite_zorder_q_")
+    try:
+        t = IceliteTable(os.path.join(tmp, "tbl"))
+        bucket = F.pmod(F.xxhash64("doc_id"), F.lit(4)).cast("int")
+        t.commit_append(docs.withColumn("bucket", bucket))
+        t.compact(spark, zorder=["doc_id", "n_chars"])
+        pruned = t.read(
+            spark,
+            prune=[("doc_id", "<=", 200), ("n_chars", ">=", 500)],
+        )
+        out = pruned.filter(
+            (F.col("doc_id") <= 200) & (F.col("n_chars") >= 500)
+        ).select("doc_id", "lang", "n_chars")
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+ORACLE_ICELITE_ZORDER = """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE doc_id <= 200 AND n_chars >= 500
+"""
+
+
 # =========================================================================
 # Registry
 # =========================================================================
@@ -3206,8 +3245,9 @@ GROUP BY 1
 # Round-6 rotation (VERDICT r5 #5): the 22-entry r5 tail
 # (events/multimodal/dedup_substring/quality families — last
 # driver-recorded r04, judge-green via check_oracles.py in r5)
-# rotates back into the window, led by the fourteen NEW round-6 entries
-# (icelite_rollback, icelite_partitions_meta, icelite_wap,
+# rotates back into the window, led by the fifteen NEW round-6 entries
+# (icelite_rollback, icelite_partitions_meta, icelite_zorder_prune,
+# icelite_wap,
 # icelite_tag_release, pack_interleaved,
 # icelite_point_lookup, icelite_changelog, icelite_delete_read,
 # icelite_stats_prune, semantic_dedup, dsir_select,
@@ -3216,12 +3256,13 @@ GROUP BY 1
 # recorded green move toward the tail; every tail entry additionally
 # has an independent pytest and a full check_oracles.py re-run each
 # round.
-# Authoritative count this round: 89 queries, 89 oracles (no
+# Authoritative count this round: 90 queries, 90 oracles (no
 # rows-only entries) — COVERAGE.md carries the same number.
 QUERIES = {
     # NEW this round (insert-at-top rule)
     "icelite_rollback": q_icelite_rollback,
     "icelite_partitions_meta": q_icelite_partitions_meta,
+    "icelite_zorder_prune": q_icelite_zorder_prune,
     "icelite_wap": q_icelite_wap,
     "icelite_tag_release": q_icelite_tag_release,
     "pack_interleaved": q_pack_interleaved,
@@ -3323,6 +3364,7 @@ QUERIES = {
 ORACLES = {
     "icelite_rollback": ORACLE_ICELITE_ROLLBACK,
     "icelite_partitions_meta": ORACLE_ICELITE_PARTITIONS,
+    "icelite_zorder_prune": ORACLE_ICELITE_ZORDER,
     "icelite_wap": ORACLE_ICELITE_WAP,
     "icelite_tag_release": ORACLE_ICELITE_TAG,
     "pack_interleaved": ORACLE_PACK_INTERLEAVED,

@@ -725,6 +725,56 @@ def test_compact_sort_clusters_for_stats_pruning(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_compact_zorder_prunes_on_every_dimension(spark, tmp_path):
+    """compact(zorder=[x, y]) is the Iceberg z-order rewrite: a
+    single-column sort makes files skippable on that column ONLY
+    (files span the full range of every other column); interleaving
+    the bits of both normalized columns gives each file a tight
+    hyper-box, so a selective window on EITHER dimension drops files
+    from the plan — and results stay identical to the plain filter."""
+    t = IceliteTable(str(tmp_path / "t"))
+    df = (
+        _df(spark, 0, 3000, n_buckets=2)
+        .withColumn(
+            "x", F.pmod(F.xxhash64("doc_id"), F.lit(10_000)).cast("int")
+        )
+        .withColumn(
+            "y",
+            F.pmod(
+                F.xxhash64(F.concat(F.col("doc_id").cast("string"), F.lit("y"))),
+                F.lit(10_000),
+            ).cast("int"),
+        )
+    )
+    t.commit_append(df)
+
+    # unsorted ingest: every file spans both full ranges, nothing skips
+    assert len(
+        t.read(spark, prune=[("x", "between", 0, 900)]).inputFiles()
+    ) == 2
+
+    t.compact(spark, zorder=["x", "y"])
+    total = len(t.read(spark).inputFiles())
+    assert total > 4  # the range shuffle spread the rewrite
+    for col in ("x", "y"):
+        pruned = t.read(spark, prune=[(col, "between", 0, 900)])
+        assert 0 < len(pruned.inputFiles()) < total, col
+        got = sorted(
+            r["doc_id"]
+            for r in pruned.filter(F.col(col).between(0, 900)).collect()
+        )
+        want = sorted(
+            r["doc_id"] for r in df.filter(F.col(col).between(0, 900)).collect()
+        )
+        assert got == want and len(got) > 0, col
+
+    # guard rails: non-numeric and conflicting-mode requests refuse
+    with pytest.raises(ValueError, match="numeric"):
+        t.compact(spark, zorder=["text"])
+    with pytest.raises(ValueError, match="not both"):
+        t.compact(spark, zorder=["x"], sort_within_buckets=["y"])
+
+
 # ---------------------------------------------------------------------------
 # tags (dataset releases) + CDC consumer (round 6)
 # ---------------------------------------------------------------------------
