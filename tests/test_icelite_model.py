@@ -3,15 +3,20 @@ table operations is checked after EVERY step against a plain Python
 dict model — the kind of interaction bug (delete × merge × compact ×
 tag × re-append ordering) that example-based tests miss.
 
-Model: {doc_id: text} plus a history of (op, payload) for time-travel
-and tag checks.  Invariants verified at each step:
+Model: {doc_id: text} plus a mirror of the LIVE snapshot chain
+(``hist``: snapshot_id → model state at that commit) for rollback
+targeting and time-travel checks.  Invariants verified at each step:
 
 - read() == model state;
 - a tag cut earlier still reads the model state AT THE TAG, through
-  any later compaction (pin contract);
+  any later compaction (pin contract) AND any later rollback (a tag
+  cut before a rollback has no rollback manifest in its chain);
 - replaying read_changes() from genesis reproduces read() exactly
   (after a compact the genesis window starts at the bootstrap
-  manifest, which IS the net history — same replay check applies).
+  manifest, which IS the net history; rollback-truncated snapshots
+  emit no events — same replay check applies);
+- time travel to a random live snapshot reproduces the model state
+  as of that commit.
 """
 
 import random
@@ -63,24 +68,27 @@ def test_random_op_interleaving_matches_model(spark, tmp_path):
     next_id = 0
     gen = 0
     tags: dict[str, dict[int, str]] = {}
+    hist: list[tuple[str, dict[int, str]]] = []  # live chain mirror
 
     # seed commit so every op has something to act on
     batch = [(i, f"g0-{i}") for i in range(8)]
-    t.commit_append(_frame(spark, batch))
+    seed_man = t.commit_append(_frame(spark, batch))
     model.update(batch)
     next_id = 8
+    hist.append((seed_man["snapshot_id"], dict(model)))
 
     for step in range(N_STEPS):
         op = rng.choice(
             ["append", "append", "delete", "merge", "compact", "tag",
-             "reappend"]
+             "reappend", "rollback"]
         )
         gen += 1
         if op == "append":
             batch = [(next_id + k, f"g{gen}-{next_id + k}") for k in range(5)]
             next_id += 5
-            t.commit_append(_frame(spark, batch))
+            man = t.commit_append(_frame(spark, batch))
             model.update(batch)
+            hist.append((man["snapshot_id"], dict(model)))
         elif op == "reappend":
             # re-ingest of existing ids WITHOUT retraction: duplicates
             # by design (append-only) — model as latest-wins is wrong,
@@ -90,24 +98,38 @@ def test_random_op_interleaving_matches_model(spark, tmp_path):
             if not pick:
                 continue
             batch = [(i, f"g{gen}-{i}") for i in pick]
-            t.commit_append(_frame(spark, batch))
+            man = t.commit_append(_frame(spark, batch))
             model.update(batch)
+            hist.append((man["snapshot_id"], dict(model)))
         elif op == "delete":
             live = sorted(model)
             pick = rng.sample(live, min(rng.randint(1, 4), len(live)))
-            if t.commit_delete(_keys_frame(spark, pick)) is not None:
+            man = t.commit_delete(_keys_frame(spark, pick))
+            if man is not None:
                 for i in pick:
                     model.pop(i, None)
+                hist.append((man["snapshot_id"], dict(model)))
         elif op == "merge":
             live = sorted(model)
             upd = rng.sample(live, min(2, len(live)))
             new = [next_id]
             next_id += 1
             batch = [(i, f"g{gen}-{i}") for i in upd + new]
-            t.merge(_frame(spark, batch))
+            man = t.merge(_frame(spark, batch))
             model.update(batch)
+            hist.append((man["snapshot_id"], dict(model)))
         elif op == "compact":
-            t.compact(spark)
+            man = t.compact(spark)
+            if man is not None:  # history folded to one snapshot
+                hist = [(man["snapshot_id"], dict(model))]
+        elif op == "rollback":
+            if len(hist) < 2:
+                continue
+            idx = rng.randrange(len(hist) - 1)  # any non-tip live snap
+            sid, st = hist[idx]
+            rb = t.rollback(sid)
+            model = dict(st)
+            hist = hist[: idx + 1] + [(rb["snapshot_id"], dict(model))]
         elif op == "tag":
             name = f"t{step}"
             t.tag(name)
@@ -122,6 +144,12 @@ def test_random_op_interleaving_matches_model(spark, tmp_path):
             name = rng.choice(sorted(tags))
             assert _state(t.read(spark, tag=name)) == tags[name], (
                 step, op, name,
+            )
+        # time travel to a random LIVE snapshot == model state then
+        if rng.random() < 0.4:
+            sid, st = hist[rng.randrange(len(hist))]
+            assert _state(t.read(spark, as_of_snapshot=sid)) == st, (
+                step, op, "time travel",
             )
 
     # final: every tag still reproduces its pinned state
