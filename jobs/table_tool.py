@@ -62,7 +62,8 @@ def main(argv=None) -> int:
                                        "tag", "tags", "delete-tag",
                                        "create-branch", "publish-branch",
                                        "delete-branch", "branches",
-                                       "rollback", "partitions", "files"])
+                                       "rollback", "partitions", "files",
+                                       "rewrite"])
     p.add_argument("--name", default=None,
                    help="tag/delete-tag: release name (e.g. v1.0)")
     p.add_argument("--snapshot", default=None,
@@ -108,10 +109,14 @@ def main(argv=None) -> int:
                         "tight enough to skip files (Iceberg "
                         "rewrite_data_files sort order)")
     p.add_argument("--zorder", default=None, metavar="COL,COL[,COL]",
-                   help="compact: multi-dimension re-cluster by "
-                        "interleaved-bit z-value over numeric columns "
-                        "so file stats prune on ANY of them (mutually "
-                        "exclusive with --sort)")
+                   help="compact/rewrite: multi-dimension re-cluster "
+                        "by interleaved-bit z-value over numeric "
+                        "columns so file stats prune on ANY of them "
+                        "(mutually exclusive with --sort)")
+    p.add_argument("--buckets", default=None, metavar="B[,B...]",
+                   help="rewrite: lineage buckets to partially compact "
+                        "(fold their small files + their share of the "
+                        "equality deletes; everything else untouched)")
     args = p.parse_args(argv)
 
     from mini_html_parser_spark.plans.icelite import IceliteTable
@@ -310,6 +315,27 @@ def main(argv=None) -> int:
             "table": args.table,
             "deleted_keys": manifest["delete_count"] if manifest else 0,
             "snapshot_id": manifest["snapshot_id"] if manifest else None,
+        }))
+        return 0
+
+    if args.command == "rewrite":
+        if not args.buckets:
+            p.error("rewrite requires --buckets B[,B...]")
+        manifest = t.rewrite(
+            spark,
+            buckets={int(b) for b in args.buckets.split(",")},
+            sort_within_buckets=(args.sort.split(",") if args.sort else None),
+            zorder=(args.zorder.split(",") if args.zorder else None),
+        )
+        print(json.dumps({
+            "table": args.table,
+            "rewritten": manifest is not None,
+            "snapshot_id": manifest["snapshot_id"] if manifest else None,
+            "rows": manifest["total_rows"] if manifest else None,
+            "replaced_files": (
+                len(manifest["replaces"]) if manifest else 0
+            ),
+            "buckets": args.buckets,
         }))
         return 0
 

@@ -493,6 +493,7 @@ class IceliteTable:
         buckets: set[int] | None = None,
         prune: list[tuple] | None = None,
         file_filter=None,
+        drop: dict[str, int] | None = None,
     ) -> DataFrame | None:
         """One scan per DISTINCT schema version among ``snaps`` (not
         per snapshot — plan size stays O(schema versions), which is
@@ -521,7 +522,7 @@ class IceliteTable:
         by_schema: dict[int, list[str]] = {}
         for s in snaps:
             sid = s.get("schema_id", legacy_sid)
-            files = self._snapshot_files(s)
+            files = self._live_files(s, drop)
             if keep is not None:
                 files = [
                     f for f in files
@@ -603,6 +604,8 @@ class IceliteTable:
             return "rollback"
         if s.get("compacted"):
             return "compaction"
+        if s.get("replaces") is not None:
+            return "rewrite"
         if s.get("delete_files") and s.get("data_files"):
             return "merge"
         if s.get("delete_files"):
@@ -644,11 +647,15 @@ class IceliteTable:
     def files_summary(self) -> list[dict]:
         """Metadata-only census of LIVE data files (one dict per file:
         table-relative path, owning snapshot, lineage bucket) — no
-        Spark session, no storage listing.  The CLI prints this;
-        :meth:`files_df` wraps it as a DataFrame."""
+        Spark session, no storage listing.  Files superseded by a
+        newer rewrite() are dead and excluded, same rule as the read
+        path.  The CLI prints this; :meth:`files_df` wraps it as a
+        DataFrame."""
         out = []
-        for s in self.snapshots():
-            for f in self._snapshot_files(s):
+        snaps = self.snapshots()
+        drop = self._replaced_map(snaps)
+        for s in snaps:
+            for f in self._live_files(s, drop):
                 rel = os.path.relpath(f, self.path)
                 out.append({
                     "file": rel,
@@ -665,15 +672,29 @@ class IceliteTable:
         data-file rows), file count, and how many snapshots touched
         the bucket.  The skew report for a 100-TB table costs a
         metadata fold, not a scan."""
+        snaps = self.snapshots()
+        drop = self._replaced_map(snaps)
+        # a rewrite() of bucket b supersedes EVERY older manifest's
+        # rows in b (whole-bucket granularity is what keeps the
+        # per-manifest counters attributable): count a manifest's
+        # bucket_rows[b] only when no newer rewrite covers b
+        rewrites: list[tuple[int, set[int]]] = [
+            (s["sequence"], set(s.get("rewrites_buckets") or []))
+            for s in snaps
+            if s.get("rewrites_buckets")
+        ]
         rows_by_bucket: dict[int, int] = {}
         snaps_by_bucket: dict[int, int] = {}
         files_by_bucket: dict[int, int] = {}
-        for s in self.snapshots():
+        for s in snaps:
+            seq = s["sequence"]
             for b, n in (s.get("bucket_rows") or {}).items():
                 bi = int(b)
+                if any(rs > seq and bi in rb for rs, rb in rewrites):
+                    continue
                 rows_by_bucket[bi] = rows_by_bucket.get(bi, 0) + int(n)
                 snaps_by_bucket[bi] = snaps_by_bucket.get(bi, 0) + 1
-            for f in self._snapshot_files(s):
+            for f in self._live_files(s, drop):
                 bi = self._file_bucket(os.path.relpath(f, self.path))
                 if bi is not None:
                     files_by_bucket[bi] = files_by_bucket.get(bi, 0) + 1
@@ -1061,6 +1082,35 @@ class IceliteTable:
         return [s for s in snaps if s.get("data_files") is None or s["data_files"]]
 
     @staticmethod
+    def _replaced_map(snaps: list[dict]) -> dict[str, int]:
+        """relative file path → highest sequence of a ``rewrite``
+        manifest (see :meth:`rewrite`) among ``snaps`` that supersedes
+        it.  A file is dead for a read iff a rewrite NEWER than its
+        owning snapshot replaced it — computed over exactly the
+        snapshot set being read, so time travel below a rewrite sees
+        the originals and a rolled-back rewrite stops applying for
+        free."""
+        drop: dict[str, int] = {}
+        for s in snaps:
+            for rel in s.get("replaces") or []:
+                if drop.get(rel, -1) < s["sequence"]:
+                    drop[rel] = s["sequence"]
+        return drop
+
+    def _live_files(
+        self, snap: dict, drop: dict[str, int] | None
+    ) -> list[str]:
+        """``_snapshot_files`` minus files a NEWER rewrite replaced."""
+        files = self._snapshot_files(snap)
+        if not drop:
+            return files
+        seq = snap["sequence"]
+        return [
+            f for f in files
+            if drop.get(os.path.relpath(f, self.path), -1) <= seq
+        ]
+
+    @staticmethod
     def _delete_manifests(snaps: list[dict]) -> list[dict]:
         return [s for s in snaps if s.get("delete_files")]
 
@@ -1081,18 +1131,27 @@ class IceliteTable:
         buckets: set[int] | None = None,
         prune: list[tuple] | None = None,
         file_filter=None,
+        drop: dict[str, int] | None = None,
     ) -> DataFrame | None:
         """One flat scan over the data files of ``snaps`` — schema-aware
         when the table tracks schemas — with manifest-level bucket and
-        column-stats file pruning.  Returns None when no file
-        survives."""
-        sdf = self._read_with_schema(spark, snaps, buckets, prune, file_filter)
+        column-stats file pruning, files superseded by a newer
+        ``rewrite`` excluded (``drop`` lets a caller that SPLIT the
+        snapshot set — e.g. _read_snaps' delete-signature groups —
+        supply the replacement map of the WHOLE read; computing it
+        from a subset would miss a rewrite sitting in another group).
+        Returns None when no file survives."""
+        if drop is None:
+            drop = self._replaced_map(snaps)
+        sdf = self._read_with_schema(
+            spark, snaps, buckets, prune, file_filter, drop
+        )
         if sdf is not None:
             return sdf
         keep = {f"bucket={b}" for b in buckets} if buckets is not None else None
         files: list[str] = []
         for s in snaps:
-            fs = self._snapshot_files(s)
+            fs = self._live_files(s, drop)
             if keep is not None:
                 fs = [
                     f for f in fs
@@ -1214,6 +1273,7 @@ class IceliteTable:
         unchanged.  Returns None when no data file survives."""
         data_snaps = self._data_manifests(snaps)
         del_snaps = self._delete_manifests(snaps)
+        drop = self._replaced_map(snaps)
         groups: dict[tuple, list[dict]] = {}
         for s in data_snaps:
             sig = tuple(
@@ -1222,7 +1282,9 @@ class IceliteTable:
             groups.setdefault(sig, []).append(s)
         parts = []
         for sig in sorted(groups):
-            df = self._scan_snaps(spark, groups[sig], buckets, prune, file_filter)
+            df = self._scan_snaps(
+                spark, groups[sig], buckets, prune, file_filter, drop
+            )
             if df is None:
                 continue
             if sig:
@@ -1390,6 +1452,11 @@ class IceliteTable:
         picked = [
             s for s in snaps
             if s["sequence"] > lo and (hi is None or s["sequence"] <= hi)
+            # a rewrite() is maintenance, not a logical change: its
+            # files RE-represent rows appended before the window —
+            # including it would replay old rows as new (Iceberg's
+            # incremental append scan skips replace snapshots too)
+            and not s.get("replaces")
         ]
         out = self._read_snaps(spark, picked)
         if out is not None:
@@ -1466,7 +1533,14 @@ class IceliteTable:
         window = [s for s in snaps if lo < s["sequence"] <= hi]
 
         parts: list[DataFrame] = []
-        data_snaps = self._data_manifests(window)
+        # rewrite() manifests are physical maintenance, not logical
+        # changes: skip them and scan the ORIGINAL manifests unfiltered
+        # (their replaced files still hold the identical rows), so the
+        # changelog keeps attributing every row to the snapshot that
+        # logically inserted it and replay still nets to read()
+        data_snaps = [
+            s for s in self._data_manifests(window) if not s.get("replaces")
+        ]
         if data_snaps:
             key_rows = []
             for s in data_snaps:
@@ -1833,6 +1907,56 @@ class IceliteTable:
                 z = z.bitwiseOR(F.shiftleft(bit, i * k + j))
         return z
 
+    def _clustered_for_write(
+        self,
+        spark,
+        full: DataFrame,
+        bucket_col: str,
+        sort_within_buckets: list[str] | None,
+        zorder: list[str] | None,
+    ) -> DataFrame:
+        """The rewrite-job clustering step shared by :meth:`compact`
+        and :meth:`rewrite`.
+
+        ``zorder``: multi-dimension re-cluster (Iceberg
+        rewrite_data_files with a z-order) — a single-column sort
+        makes files skippable on THAT column only; interleaving the
+        bits of k normalized columns gives every file a tight
+        hyper-box in k-space, so min/max pruning skips on ANY of them.
+
+        ``sort_within_buckets``: single-dimension re-cluster (sort
+        order rewrite) — unsorted ingest interleaves the whole value
+        range into every file, so read(prune=...) keeps everything; a
+        plain one-file-per-bucket rewrite can't help (sorting INSIDE
+        one file never changes its min/max), so the rewrite
+        RANGE-partitions on (bucket, sort cols) and each output file
+        covers one tight contiguous slice.
+
+        Both branches use an EXPLICIT partition count: an un-sized
+        range repartition is AQE-coalescible (small inputs collapse to
+        one file and the clustering silently evaporates);
+        shuffle-partitions is the session's statement of intended
+        write parallelism.  The Bloom key index sidecar goes stale
+        after any rewrite (old file names) — stale entries are inert
+        (unindexed files are never pruned); re-run index_keys to
+        restore point-lookup skips."""
+        if zorder:
+            zv = self._zorder_expr(full, zorder)
+            n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            return (
+                full.withColumn("__zv", zv)
+                .repartitionByRange(n_parts, F.col(bucket_col), F.col("__zv"))
+                .sortWithinPartitions(bucket_col, "__zv")
+                .drop("__zv")
+            )
+        if sort_within_buckets:
+            cols = [F.col(bucket_col)] + [F.col(c) for c in sort_within_buckets]
+            n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            return full.repartitionByRange(
+                n_parts, *cols
+            ).sortWithinPartitions(*cols)
+        return full.repartition(bucket_col)
+
     def compact(
         self,
         spark,
@@ -1914,49 +2038,9 @@ class IceliteTable:
         data_dir = os.path.join(
             self.path, "data", f"snap-{snap_n}-{uuid.uuid4().hex[:8]}"
         )
-        if zorder:
-            # multi-dimension re-cluster (Iceberg rewrite_data_files
-            # with a z-order): a single-column sort makes files
-            # skippable on THAT column only; interleaving the bits of
-            # k normalized columns gives every file a tight hyper-box
-            # in k-space, so min/max pruning skips on ANY of them.
-            # Same range-partition + explicit-count rules as the sort
-            # branch below (an un-sized range shuffle is
-            # AQE-coalescible and the clustering would evaporate).
-            zv = self._zorder_expr(full, zorder)
-            n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-            out = (
-                full.withColumn("__zv", zv)
-                .repartitionByRange(n_parts, F.col(bucket_col), F.col("__zv"))
-                .sortWithinPartitions(bucket_col, "__zv")
-                .drop("__zv")
-            )
-        elif sort_within_buckets:
-            # re-CLUSTER during the rewrite (Iceberg rewrite_data_files
-            # with a sort order): unsorted ingest interleaves the whole
-            # value range into every file, so read(prune=...) keeps
-            # everything.  A plain one-file-per-bucket rewrite can't
-            # help — sorting INSIDE a single file never changes its
-            # min/max — so the rewrite RANGE-partitions on
-            # (bucket, sort cols): each output file covers one tight
-            # contiguous slice of the sort column within its bucket
-            # (≈ shuffle-partitions files table-wide), which is what
-            # makes the recorded bounds selective.  The Bloom key
-            # index sidecar goes stale (old file names) — stale
-            # entries are inert (unindexed files are never pruned);
-            # re-run index_keys after a compact to restore
-            # point-lookup skips.
-            cols = [F.col(bucket_col)] + [F.col(c) for c in sort_within_buckets]
-            # explicit partition count: an un-sized range repartition
-            # is AQE-coalescible (small inputs collapse to one file and
-            # the clustering silently evaporates); shuffle-partitions
-            # is the session's statement of intended write parallelism
-            n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-            out = full.repartitionByRange(
-                n_parts, *cols
-            ).sortWithinPartitions(*cols)
-        else:
-            out = full.repartition(bucket_col)
+        out = self._clustered_for_write(
+            spark, full, bucket_col, sort_within_buckets, zorder
+        )
         out.write.partitionBy(bucket_col).mode("overwrite").parquet(data_dir)
 
         # a fully-deleted table compacts to ZERO data files (the write
@@ -2044,6 +2128,123 @@ class IceliteTable:
                 os.remove(os.path.join(self.manifest_dir, name))
             except FileNotFoundError:
                 pass
+        return manifest
+
+    def rewrite(
+        self,
+        spark,
+        buckets,
+        sort_within_buckets: list[str] | None = None,
+        zorder: list[str] | None = None,
+    ) -> dict | None:
+        """PARTIAL compaction (Iceberg ``rewrite_data_files`` with a
+        filter): rewrite only the chosen lineage buckets — folding
+        their small files and their share of the equality deletes —
+        while every other bucket's files stay untouched.  At 100 TB
+        this is the only maintenance that works: a full :meth:`compact`
+        rewrites the corpus to fold one hot bucket's fragmentation.
+
+        Mechanism: one ``rewrite`` manifest carries the new files PLUS
+        ``replaces`` (the exact live files it supersedes).  The read
+        path drops a file iff a NEWER rewrite among the snapshots being
+        read replaced it (:meth:`_replaced_map`), so:
+
+        - reads at/after the rewrite see the new files; time travel
+          BELOW it sees the originals (their manifests stay active);
+        - a rollback that truncates the rewrite restores the originals
+          for free (the drop map is computed per read);
+        - :meth:`read_incremental` and :meth:`read_changes` SKIP
+          rewrite manifests — maintenance is not a logical change
+          (Iceberg's incremental scan skips replace snapshots), and
+          CDC keeps attributing rows to their logically-inserting
+          snapshot by scanning the original manifests unfiltered;
+        - rewritten rows carry the rewrite's sequence, so the active
+          deletes folded into them (all at lower sequences) stop
+          applying exactly when they became redundant; deletes
+          committed AFTER the rewrite apply normally;
+        - original files stay on disk referenced by their manifests
+          (time travel) until a full compact() supersedes the history
+          and vacuum() reclaims them — Iceberg's expire-then-clean
+          contract.
+
+        Granularity is whole buckets: per-manifest bucket_rows
+        counters stay attributable (see :meth:`partitions_summary`).
+        Commits with ``require_parent`` — a concurrent DELETE between
+        the rewrite's read and its commit would be silently folded-out
+        for the rewritten rows, so any history advance aborts (returns
+        None), same contract as compact().
+
+        Returns the committed manifest, or None when the buckets have
+        no live files or the commit lost the race."""
+        if zorder and sort_within_buckets:
+            raise ValueError(
+                "pass either sort_within_buckets or zorder, not both"
+            )
+        snaps = self.snapshots()
+        if not snaps:
+            raise FileNotFoundError(
+                f"icelite table {self.path} has no snapshots"
+            )
+        buckets = {int(b) for b in buckets}
+        if not buckets:
+            raise ValueError("rewrite needs at least one bucket")
+        drop = self._replaced_map(snaps)
+        replaced: list[str] = []
+        for s in self._data_manifests(snaps):
+            for f in self._live_files(s, drop):
+                rel = os.path.relpath(f, self.path)
+                if self._file_bucket(rel) in buckets:
+                    replaced.append(rel)
+        if not replaced:
+            return None  # nothing live in those buckets
+        full = self.read(spark, buckets=buckets)  # deletes folded
+        parent = snaps[-1]
+        snap_n = parent["sequence"] + 1
+        data_dir = os.path.join(
+            self.path, "data", f"snap-{snap_n}-{uuid.uuid4().hex[:8]}"
+        )
+        out = self._clustered_for_write(
+            spark, full, "bucket", sort_within_buckets, zorder
+        )
+        out.write.partitionBy("bucket").mode("overwrite").parquet(data_dir)
+        has_data = os.path.isdir(data_dir) and any(
+            name.startswith("bucket=") for name in os.listdir(data_dir)
+        )
+        if has_data:
+            written = spark.read.option("basePath", data_dir).parquet(data_dir)
+            rows = written.groupBy("bucket").count().collect()
+            bucket_rows = {str(r["bucket"]): r["count"] for r in rows}
+            data_files = self._list_data_files(data_dir)
+        else:
+            # every row of the chosen buckets was deleted: a zero-file
+            # rewrite still folds the dead files out of the read
+            import shutil
+
+            shutil.rmtree(data_dir, ignore_errors=True)
+            bucket_rows, data_files = {}, []
+        manifest = {
+            "sequence": snap_n,
+            "snapshot_id": uuid.uuid4().hex,
+            "parent_id": parent["snapshot_id"],
+            "data_files": data_files,
+            "bucket_rows": bucket_rows,
+            "total_rows": int(sum(bucket_rows.values())),
+            "replaces": sorted(set(replaced)),
+            "rewrites_buckets": sorted(buckets),
+            "metrics": {"rewritten_files": len(set(replaced))},
+            "partitioning": parent.get("partitioning"),
+            "file_stats": self._try_file_stats(data_files),
+        }
+        if has_data:
+            manifest["data_dir"] = data_dir
+        cur_schema = self.current_schema()
+        if cur_schema is not None:
+            manifest["schema_id"] = cur_schema["schema_id"]
+        if self._commit_manifest(manifest, require_parent=True) is None:
+            import shutil
+
+            shutil.rmtree(data_dir, ignore_errors=True)
+            return None
         return manifest
 
     def vacuum(
@@ -2605,6 +2806,12 @@ class IceliteBranch(IceliteTable):
     def compact(self, *a, **k):
         raise NotImplementedError(
             "compaction belongs to main — publish or discard the branch first"
+        )
+
+    def rewrite(self, *a, **k):
+        raise NotImplementedError(
+            "rewrite (partial compaction) is maintenance and belongs to "
+            "main — publish or discard the branch first"
         )
 
     def checkpoint(self, *a, **k):

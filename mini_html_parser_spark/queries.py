@@ -3231,6 +3231,48 @@ WHERE doc_id <= 200 AND n_chars >= 500
 """
 
 
+def q_icelite_rewrite(spark, sf_dir):
+    """Partial compaction (round 6, Iceberg ``rewrite_data_files``
+    with a filter): the corpus is committed in two fragmenting halves,
+    ``doc_id % 10 == 7`` is retracted, and only buckets {0, 1} are
+    rewritten — folding their small files and THEIR share of the
+    equality delete, while the other six buckets keep their original
+    files and resolve the delete through the read-path anti-join.  At
+    100 TB this is the only maintenance shape that works (a full
+    compact rewrites the corpus to fold one hot bucket).  Either
+    physical path must produce the same logical table, which the
+    oracle states relationally."""
+    import shutil
+    import tempfile
+
+    from .plans.icelite import IceliteTable
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+    tmp = tempfile.mkdtemp(prefix="icelite_rewrite_q_")
+    try:
+        t = IceliteTable(os.path.join(tmp, "tbl"))
+        bucket = F.pmod(F.col("doc_id"), F.lit(8)).cast("int")
+        t.commit_append(
+            docs.filter(F.col("doc_id") % 2 == 0).withColumn("bucket", bucket)
+        )
+        t.commit_append(
+            docs.filter(F.col("doc_id") % 2 == 1).withColumn("bucket", bucket)
+        )
+        t.commit_delete(
+            docs.filter(F.col("doc_id") % 10 == 7).select("doc_id")
+        )
+        assert t.rewrite(spark, buckets={0, 1}) is not None
+        out = t.read(spark).select("doc_id", "text", "lang")
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+ORACLE_ICELITE_REWRITE = """
+SELECT doc_id, text, lang FROM documents WHERE doc_id % 10 <> 7
+"""
+
+
 # =========================================================================
 # Registry
 # =========================================================================
@@ -3245,8 +3287,9 @@ WHERE doc_id <= 200 AND n_chars >= 500
 # Round-6 rotation (VERDICT r5 #5): the 22-entry r5 tail
 # (events/multimodal/dedup_substring/quality families — last
 # driver-recorded r04, judge-green via check_oracles.py in r5)
-# rotates back into the window, led by the fifteen NEW round-6 entries
+# rotates back into the window, led by the sixteen NEW round-6 entries
 # (icelite_rollback, icelite_partitions_meta, icelite_zorder_prune,
+# icelite_rewrite,
 # icelite_wap,
 # icelite_tag_release, pack_interleaved,
 # icelite_point_lookup, icelite_changelog, icelite_delete_read,
@@ -3256,13 +3299,14 @@ WHERE doc_id <= 200 AND n_chars >= 500
 # recorded green move toward the tail; every tail entry additionally
 # has an independent pytest and a full check_oracles.py re-run each
 # round.
-# Authoritative count this round: 90 queries, 90 oracles (no
+# Authoritative count this round: 91 queries, 91 oracles (no
 # rows-only entries) — COVERAGE.md carries the same number.
 QUERIES = {
     # NEW this round (insert-at-top rule)
     "icelite_rollback": q_icelite_rollback,
     "icelite_partitions_meta": q_icelite_partitions_meta,
     "icelite_zorder_prune": q_icelite_zorder_prune,
+    "icelite_rewrite": q_icelite_rewrite,
     "icelite_wap": q_icelite_wap,
     "icelite_tag_release": q_icelite_tag_release,
     "pack_interleaved": q_pack_interleaved,
@@ -3365,6 +3409,7 @@ ORACLES = {
     "icelite_rollback": ORACLE_ICELITE_ROLLBACK,
     "icelite_partitions_meta": ORACLE_ICELITE_PARTITIONS,
     "icelite_zorder_prune": ORACLE_ICELITE_ZORDER,
+    "icelite_rewrite": ORACLE_ICELITE_REWRITE,
     "icelite_wap": ORACLE_ICELITE_WAP,
     "icelite_tag_release": ORACLE_ICELITE_TAG,
     "pack_interleaved": ORACLE_PACK_INTERLEAVED,

@@ -80,7 +80,7 @@ def test_random_op_interleaving_matches_model(spark, tmp_path):
     for step in range(N_STEPS):
         op = rng.choice(
             ["append", "append", "delete", "merge", "compact", "tag",
-             "reappend", "rollback"]
+             "reappend", "rollback", "rewrite"]
         )
         gen += 1
         if op == "append":
@@ -122,6 +122,14 @@ def test_random_op_interleaving_matches_model(spark, tmp_path):
             man = t.compact(spark)
             if man is not None:  # history folded to one snapshot
                 hist = [(man["snapshot_id"], dict(model))]
+        elif op == "rewrite":
+            # partial compaction: physically folds 1-2 random buckets,
+            # logically a NO-OP — model unchanged; the manifest is a
+            # legal time-travel/rollback target at the same state
+            pick = set(rng.sample(range(4), rng.randint(1, 2)))
+            man = t.rewrite(spark, buckets=pick)
+            if man is not None:
+                hist.append((man["snapshot_id"], dict(model)))
         elif op == "rollback":
             if len(hist) < 2:
                 continue
