@@ -130,7 +130,12 @@ def main(argv=None) -> int:
             "table": args.table,
             "snapshots": len(snaps),
             "current_snapshot": snaps[-1]["snapshot_id"] if snaps else None,
-            "total_rows": sum(s["total_rows"] for s in snaps),
+            # rows-as-written with superseded (rewritten) counters
+            # excluded — summing raw snapshot counters would double
+            # count after a partial rewrite()
+            "total_rows": sum(
+                p["rows"] for p in t.partitions_summary()
+            ),
             "committed_buckets": len(t.committed_buckets()),
             "partitioning": t.partitioning(),
             "schema_id": schema["schema_id"] if schema else None,
