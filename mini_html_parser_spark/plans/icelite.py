@@ -2370,7 +2370,13 @@ class IceliteTable:
             with open(meta_path) as f:
                 meta = json.load(f)
             m, kk = meta["n_bits"], meta["k"]  # params fixed at creation
-        snaps = self._data_manifests(self.snapshots())
+        live = self.snapshots()
+        # replacement map over the FULL live chain: files a rewrite()
+        # superseded are dead — enumerating them here would list them
+        # as "missing" while the scan (same drop rule) never reads
+        # them, so every refresh would re-scan those snapshots forever
+        drop = self._replaced_map(live)
+        snaps = self._data_manifests(live)
         done: set[str] = set()
         if os.path.isdir(idx_dir):
             done = {
@@ -2380,7 +2386,7 @@ class IceliteTable:
         total = 0
         todo_snaps = []
         for s in snaps:
-            fs = self._snapshot_files(s)
+            fs = self._live_files(s, drop)
             total += len(fs)
             missing = [
                 f for f in fs
@@ -2390,7 +2396,7 @@ class IceliteTable:
                 todo_snaps.append(s)
         if not todo_snaps:
             return {"indexed_files": 0, "total_files": total}
-        scan = self._scan_snaps(spark, todo_snaps)
+        scan = self._scan_snaps(spark, todo_snaps, drop=drop)
         hashes = scan.select(
             F.xxhash64(F.col(col)).alias("h1"),
             F.xxhash64(F.col(col), F.lit(1)).alias("h2"),

@@ -165,6 +165,27 @@ def test_rewrite_aborts_when_history_advances(spark, tmp_path):
     assert t.read(spark).count() == 19
 
 
+def test_rewrite_then_key_index_refresh_converges(spark, tmp_path):
+    """After a rewrite, index_keys must enumerate LIVE files only:
+    replaced files listed as 'missing' would never be scanned (the
+    build applies the same drop rule), so every refresh would re-scan
+    those snapshots forever."""
+    t = IceliteTable(str(tmp_path / "t"))
+    t.commit_append(_df(spark, 0, 40))
+    t.commit_append(_df(spark, 40, 80))
+    t.index_keys(spark, col="doc_id", n_bits=1 << 13)
+    assert t.rewrite(spark, buckets={0, 1, 2, 3}) is not None
+
+    rep = t.index_keys(spark)          # picks up the rewrite's files
+    assert rep["indexed_files"] == 4   # one new file per bucket
+    assert rep["total_files"] == 4     # live census, replaced excluded
+    rep2 = t.index_keys(spark)         # converged: nothing missing
+    assert rep2["indexed_files"] == 0
+    # point lookups stay exact through the rewrite
+    hit = t.read(spark, prune=[("doc_id", "in", 5)])
+    assert hit.filter(F.col("doc_id") == 5).count() == 1
+
+
 def test_rewrite_clustered_and_full_compact_reclaims(spark, tmp_path):
     t = IceliteTable(str(tmp_path / "t"))
     df = _df(spark, 0, 800, n_buckets=2).withColumn(
