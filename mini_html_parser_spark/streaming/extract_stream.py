@@ -258,7 +258,11 @@ def span_rate_monitor(extracted: DataFrame, window: str = "10 seconds") -> DataF
 
 
 def icelite_batch_writer(
-    table_path: str, n_buckets: int = 64, branch: str | None = None
+    table_path: str,
+    n_buckets: int = 64,
+    branch: str | None = None,
+    maintain_every: int | None = None,
+    max_files_per_bucket: int = 8,
 ):
     """The per-micro-batch commit function behind
     :func:`start_icelite_sink`, exposed for direct testing.
@@ -279,14 +283,32 @@ def icelite_batch_writer(
     argument, exactly like ``run_extraction_job``'s resume-layout
     contract, so a stream-fed table and a batch-fed table are the
     same kind of table (batch appends, resume pruning, and
-    bucket-pruned reads all stay coherent)."""
+    bucket-pruned reads all stay coherent).
+
+    ``maintain_every=N`` runs SCALE-CORRECT in-line maintenance: every
+    N committed batches, buckets whose live-file count exceeds
+    ``max_files_per_bucket`` are folded with :meth:`rewrite` — partial
+    compaction of exactly the fragmented buckets, never the
+    ``auto_compact_every`` full-table rewrite (which at 100 TB would
+    rewrite the corpus to fold one hot bucket's micro-batch files).
+    Fragmentation is measured from the manifests alone
+    (files_summary); the rewrite is content-neutral so exactly-once
+    replay is untouched, and its require_parent abort makes a race
+    with a concurrent batch append a skipped cycle, not a conflict.
+    Main-table only — maintenance belongs to main, not a WAP branch."""
     from ..pipeline import (
         GIANT_BUCKET_SPACE, GIANT_DOC_CHARS, with_salt_bucket,
     )
     from ..plans.icelite import IceliteTable
 
+    if maintain_every and branch:
+        raise ValueError(
+            "maintain_every runs rewrite() maintenance, which belongs "
+            "to main — publish the branch first (WAP audits data, it "
+            "does not run maintenance)"
+        )
     seen: set = set()
-    state = {"loaded": False}
+    state = {"loaded": False, "commits": 0}
 
     def write_batch(df: DataFrame, batch_id: int) -> None:
         # ``branch`` = streaming WRITE-AUDIT-PUBLISH: micro-batches
@@ -343,6 +365,20 @@ def icelite_batch_writer(
             is not None
         ):
             seen.add(batch_id)
+            if maintain_every:
+                state["commits"] += 1
+                if state["commits"] % maintain_every == 0:
+                    frag: dict[int, int] = {}
+                    for f in table.files_summary():
+                        b = f["bucket"]
+                        if b is not None:
+                            frag[b] = frag.get(b, 0) + 1
+                    hot = {
+                        b for b, n in frag.items()
+                        if n > max_files_per_bucket
+                    }
+                    if hot:
+                        table.rewrite(df.sparkSession, buckets=hot)
 
     return write_batch
 
@@ -479,18 +515,28 @@ def start_icelite_sink(
     n_buckets: int = 64,
     available_now: bool = True,
     branch: str | None = None,
+    maintain_every: int | None = None,
+    max_files_per_bucket: int = 8,
 ):
     """Continuous ingest INTO the snapshot table layer: the streaming
     analogue of ``run_extraction_job`` — each micro-batch becomes one
     icelite snapshot (bucket-salted, lineage-counted), giving the
     stream the table's whole read surface: time travel over ingest
     history, ``read_incremental`` for downstream daily jobs, schema
-    evolution, compaction (run ``auto_compact`` maintenance out of
-    band), and the same optimistic commit protocol if a batch job
-    appends concurrently."""
+    evolution, compaction, and the same optimistic commit protocol if
+    a batch job appends concurrently.  ``maintain_every=N`` bounds
+    micro-batch fragmentation in-line with partial rewrite()s of just
+    the hot buckets (see icelite_batch_writer) — the 100-TB-correct
+    alternative to full-table auto-compaction."""
     writer = (
         extracted.writeStream.foreachBatch(
-            icelite_batch_writer(table_path, n_buckets, branch=branch)
+            icelite_batch_writer(
+                table_path,
+                n_buckets,
+                branch=branch,
+                maintain_every=maintain_every,
+                max_files_per_bucket=max_files_per_bucket,
+            )
         )
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")

@@ -527,3 +527,57 @@ def test_streaming_wap_branch_sink(spark, tmp_path):
                                  schema=DOCUMENTS_SCHEMA)
     icelite_batch_writer(tbl, n_buckets=8)(extract_stream(docs), staged_id)
     assert t.read(spark).count() == 12
+
+
+def test_streaming_sink_inline_maintenance_bounds_fragmentation(
+    spark, tmp_path
+):
+    """maintain_every: every N committed micro-batches the writer
+    partial-rewrites exactly the buckets whose live-file count exceeds
+    the threshold — fragmentation stays bounded without the full-table
+    rewrite auto_compact implies, content stays exact, and the
+    replay-skip set (loaded from the still-active original manifests)
+    keeps exactly-once across a writer restart."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mini_html_parser_spark.plans.icelite import IceliteTable
+    from mini_html_parser_spark.streaming.extract_stream import (
+        icelite_batch_writer,
+    )
+
+    tbl = str(tmp_path / "t")
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("t-"), F.col("id")).alias("text"),
+        )
+
+    w = icelite_batch_writer(
+        tbl, n_buckets=4, maintain_every=4, max_files_per_bucket=2
+    )
+    for bid in range(8):
+        w(batch(10 * bid, 10 * (bid + 1)), bid)
+
+    t = IceliteTable(tbl)
+    got = sorted(r["doc_id"] for r in t.read(spark).collect())
+    assert got == list(range(80))  # maintenance never changed content
+    frag: dict[int, int] = {}
+    for f in t.files_summary():
+        frag[f["bucket"]] = frag.get(f["bucket"], 0) + 1
+    # unmaintained this would be 8 files per bucket (one per batch)
+    assert frag and max(frag.values()) <= 3
+    kinds = {t._snapshot_kind(s) for s in t.snapshots()}
+    assert "rewrite" in kinds
+
+    # a fresh writer (restart) still replay-skips a pre-maintenance
+    # batch id: the original manifests stay active, their recorded
+    # stream_batch_ids load into the skip set
+    w2 = icelite_batch_writer(tbl, n_buckets=4)
+    w2(batch(30, 40), 3)  # replay of batch 3
+    assert t.read(spark).count() == 80
+
+    # maintenance belongs to main, not a WAP branch
+    with pytest.raises(ValueError, match="belongs"):
+        icelite_batch_writer(tbl, branch="wap", maintain_every=2)
