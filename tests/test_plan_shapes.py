@@ -179,6 +179,37 @@ def test_icelite_delete_read_plan_broadcast_anti_join(spark, tmp_path):
     assert "LeftAnti" in deleted, deleted
 
 
+def test_icelite_rewrite_folds_anti_join_out_of_the_plan(spark, tmp_path):
+    """Partial compaction's plan-level payoff (round 6): active
+    deletes cost every read a BroadcastHashJoin LeftAnti; after
+    rewrite() folds them into the rewritten buckets' files, the read
+    plan must collapse back to the single flat zero-Exchange scan —
+    maintenance buys the plan, not just fewer files.  (Rewriting only
+    SOME buckets keeps the anti-join for the others' group; rewriting
+    all of them must eliminate it.)"""
+    from pyspark.sql import functions as F
+
+    from mini_html_parser_spark.plans.icelite import IceliteTable
+
+    t = IceliteTable(str(tmp_path / "t"))
+    df = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("x-"), F.col("id")).alias("text"),
+        F.pmod(F.col("id"), F.lit(4)).cast("int").alias("bucket"),
+    )
+    t.commit_append(df)
+    t.commit_delete(
+        spark.createDataFrame([(3,), (7,)], "doc_id bigint"), key_col="doc_id"
+    )
+    assert "BroadcastHashJoin" in _plan(t.read(spark))
+
+    assert t.rewrite(spark, buckets={0, 1, 2, 3}) is not None
+    folded = _plan(t.read(spark))
+    assert "BroadcastHashJoin" not in folded, folded
+    assert "Exchange" not in folded, folded
+    assert t.read(spark).count() == 198
+
+
 def test_icelite_stats_prune_shrinks_scan_file_index(spark, tmp_path):
     """File skipping happens at the MANIFEST level: the pruned read's
     scan never indexes the skipped files (inputFiles is the planner's
