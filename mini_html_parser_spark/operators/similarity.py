@@ -505,6 +505,78 @@ def pq_topk(
 
 
 # ---- IVF-PQ (pruned lists × compressed codes) --------------------------------
+# ---- scalar (int8) quantization ------------------------------------------
+
+def sq8_encode(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Per-vector symmetric int8 scalar quantization (FAISS
+    ScalarQuantizer QT_8bit shape): ``codes = round(x / scale)`` with
+    ``scale = max|x| / 127`` — 4× less embedding I/O than float32 at
+    ~1e-5 cosine error, the compression tier a 100-TB embedding table
+    ships to its scorer when PQ's lossier 8-32× is too coarse.  Pure
+    JVM expressions; the scale is PROJECTED to a real column before
+    the transform that references it — Catalyst does not CSE inside
+    lambda functions, an inline scale would re-evaluate array_max per
+    element (CLAUDE.md / decontam.ngrams_of_tokens).  All-zero vectors
+    take scale 1 (codes all zero) rather than dividing by zero.
+
+    Returns ``(id, sq_scale double, sq_codes array<tinyint>)``."""
+    v = F.col(vec_col).cast("array<double>")
+    raw = F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
+    staged = df.select(
+        F.col(id_col),
+        v.alias("_v"),
+        F.when(raw > 0, raw).otherwise(F.lit(1.0)).alias("sq_scale"),
+    )
+    return staged.select(
+        id_col,
+        "sq_scale",
+        F.transform(
+            F.col("_v"),
+            lambda x: F.round(x / F.col("sq_scale")).cast("tinyint"),
+        ).alias("sq_codes"),
+    )
+
+
+def sq8_topk(
+    codes_df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Cosine top-k over int8 codes against a FLOAT query (asymmetric
+    distance: the query is never quantized).  The per-vector scale
+    cancels out of the cosine — scoring needs only ``sq_codes``, so
+    the scan reads a quarter of the float path's bytes and stays
+    entirely inside whole-stage codegen (zip_with/aggregate, no
+    Python, no shuffle below the final TakeOrderedAndProject)."""
+    import math
+
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qn = math.sqrt(sum(float(x) * float(x) for x in query_vec)) or 1.0
+    c = F.col("sq_codes")
+    dot = F.aggregate(
+        F.zip_with(c, q, lambda ci, qi: ci.cast("double") * qi),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cn = F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda ci: ci.cast("double") * ci.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    scored = codes_df.select(
+        F.col(id_col),
+        F.round(
+            dot / F.when(cn > 0, cn).otherwise(F.lit(1.0)) / F.lit(qn), 6
+        ).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
 # The FAISS IndexIVFPQ composition, Spark-native: the IVF coarse
 # quantizer prunes which lists a query scans, and inside each list the
 # vectors are stored as m-byte PQ codes of their RESIDUAL to the list

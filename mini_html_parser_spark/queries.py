@@ -1180,6 +1180,40 @@ SELECT CAST(1000000 + t.i AS BIGINT) FROM range(10) t(i)
 """
 
 
+def q_similarity_sq8_topk(spark, sf_dir):
+    """Scalar int8 quantization retrieval (round 6, FAISS
+    ScalarQuantizer shape): the corpus is encoded to per-vector-scaled
+    int8 codes (4× less scan I/O than float32) and scored
+    asymmetrically against the float query — the scale cancels out of
+    the cosine, so scoring reads only the codes and stays in codegen.
+    Ten exact copies of the query quantize to its own codes (identical
+    cosine, ids tie-break), while SQ8's ~1e-5 cosine error keeps every
+    organic vector strictly below them — the top-11 is provably the
+    query + its copies (pytest additionally pins recall vs the exact
+    float path)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    id_type = emb.schema["vec_id"].dataType.simpleString()
+    copies = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(
+            F.explode(F.sequence(F.lit(1_000_000), F.lit(1_000_009))).alias("copy_id"),
+            "embedding",
+        )
+        .select(F.col("copy_id").cast(id_type).alias("vec_id"), "embedding")
+    )
+    corpus = emb.unionByName(copies)
+    codes = similarity.sq8_encode(corpus)
+    return similarity.sq8_topk(codes, qvec, k=11).select("vec_id")
+
+
+ORACLE_SIMILARITY_SQ8 = """
+SELECT CAST(0 AS BIGINT) AS vec_id
+UNION ALL
+SELECT CAST(1000000 + t.i AS BIGINT) FROM range(10) t(i)
+"""
+
+
 def q_similarity_ivfpq(spark, sf_dir):
     """IVF-PQ ANN (the FAISS IndexIVFPQ composition — VERDICT r3 #6):
     coarse lists prune the scan, residual PQ codes compress it.  The
@@ -3287,9 +3321,9 @@ SELECT doc_id, text, lang FROM documents WHERE doc_id % 10 <> 7
 # Round-6 rotation (VERDICT r5 #5): the 22-entry r5 tail
 # (events/multimodal/dedup_substring/quality families — last
 # driver-recorded r04, judge-green via check_oracles.py in r5)
-# rotates back into the window, led by the sixteen NEW round-6 entries
+# rotates back into the window, led by the seventeen NEW round-6 entries
 # (icelite_rollback, icelite_partitions_meta, icelite_zorder_prune,
-# icelite_rewrite,
+# icelite_rewrite, similarity_sq8_topk,
 # icelite_wap,
 # icelite_tag_release, pack_interleaved,
 # icelite_point_lookup, icelite_changelog, icelite_delete_read,
@@ -3299,7 +3333,7 @@ SELECT doc_id, text, lang FROM documents WHERE doc_id % 10 <> 7
 # recorded green move toward the tail; every tail entry additionally
 # has an independent pytest and a full check_oracles.py re-run each
 # round.
-# Authoritative count this round: 91 queries, 91 oracles (no
+# Authoritative count this round: 92 queries, 92 oracles (no
 # rows-only entries) — COVERAGE.md carries the same number.
 QUERIES = {
     # NEW this round (insert-at-top rule)
@@ -3307,6 +3341,7 @@ QUERIES = {
     "icelite_partitions_meta": q_icelite_partitions_meta,
     "icelite_zorder_prune": q_icelite_zorder_prune,
     "icelite_rewrite": q_icelite_rewrite,
+    "similarity_sq8_topk": q_similarity_sq8_topk,
     "icelite_wap": q_icelite_wap,
     "icelite_tag_release": q_icelite_tag_release,
     "pack_interleaved": q_pack_interleaved,
@@ -3410,6 +3445,7 @@ ORACLES = {
     "icelite_partitions_meta": ORACLE_ICELITE_PARTITIONS,
     "icelite_zorder_prune": ORACLE_ICELITE_ZORDER,
     "icelite_rewrite": ORACLE_ICELITE_REWRITE,
+    "similarity_sq8_topk": ORACLE_SIMILARITY_SQ8,
     "icelite_wap": ORACLE_ICELITE_WAP,
     "icelite_tag_release": ORACLE_ICELITE_TAG,
     "pack_interleaved": ORACLE_PACK_INTERLEAVED,

@@ -1067,6 +1067,48 @@ def test_pq_topk_planted_and_recall(spark):
     assert len(enc["pq_codes"]) == 8
 
 
+def test_sq8_topk_planted_recall_and_plan(spark):
+    """Scalar int8 quantization: exact query copies quantize to the
+    query's own codes (identical cosine, id tie-break), recall vs the
+    exact float path is near-perfect (SQ8 error ~1e-5 cosine), and the
+    scoring plan is pure codegen — no Python stage, no Exchange below
+    the TakeOrderedAndProject."""
+    from mini_html_parser_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    planted = spark.createDataFrame(
+        [(9001, q), (9002, q)], "vec_id long, embedding array<float>"
+    )
+    codes = S.sq8_encode(emb.unionByName(planted))
+    assert dict(codes.dtypes)["sq_codes"] == "array<tinyint>"  # 4x smaller
+
+    top = S.sq8_topk(codes, q, k=3)
+    assert [r["vec_id"] for r in top.collect()] == [0, 9001, 9002]
+
+    # recall vs the exact float scorer: SQ8 should reproduce the exact
+    # top-10 outright on this corpus (quantization error ~1e-5)
+    brute = [r["vec_id"] for r in S.brute_force_topk(emb, q, k=10).collect()]
+    sq = [r["vec_id"] for r in S.sq8_topk(S.sq8_encode(emb), q, k=10).collect()]
+    overlap = len(set(brute) & set(sq)) / 10
+    print(f"SQ8 recall@10: {overlap}")
+    assert overlap >= 0.9
+
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan.split("TakeOrderedAndProject")[1]
+
+    # all-zero vector: scale-1 path, no division by zero
+    zero = spark.createDataFrame(
+        [(1, [0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    z = S.sq8_encode(zero).first()
+    assert z["sq_scale"] == 1.0 and list(z["sq_codes"]) == [0, 0]
+
+
 def test_duplicated_passages_semantics(spark):
     """Substring-level exact dedup (Lee et al. 2022): maximal shared
     passages come back as exact token intervals; two separate shared
