@@ -200,3 +200,46 @@ def test_rollback_branch_interplay(spark, tmp_path):
     # ABOVE the fork (its base is pinned at the fork point)
     assert br.read(spark).count() == 30
     t.delete_branch("stage")
+
+
+def test_nested_rollbacks_checkpoint_branch_compact(spark, tmp_path):
+    """Layered interplay: a rollback OF a rollback (ascending replay
+    truncates both), metadata checkpoint with aggressive expiry over
+    the truncated history, a branch forked while the tip IS a rollback
+    manifest, and a final compact+vacuum — state stays exact at every
+    step."""
+    t = IceliteTable(str(tmp_path / "tbl"))
+    a = t.commit_append(_df(spark, 0, 10))
+    t.commit_append(_df(spark, 10, 20))
+    b_tip = t.current_snapshot()
+    t.commit_append(_df(spark, 20, 30))
+    t.rollback(b_tip["snapshot_id"])      # kills 20..30
+    t.rollback(a["snapshot_id"])          # kills 10..20 AND rollback #1
+    assert _ids(t.read(spark)) == list(range(10))
+
+    # checkpoint + expire over the truncated history: the folded live
+    # list (a + rollback#2) stays authoritative through raw-file loss
+    t.checkpoint(expire_manifests=True, retain_last=1)
+    assert _ids(t.read(spark)) == list(range(10))
+
+    d = t.commit_append(_df(spark, 30, 40))
+    assert _ids(t.read(spark)) == list(range(10)) + list(range(30, 40))
+    assert d["parent_id"] == t.snapshots()[-2]["snapshot_id"]
+
+    # fork a branch while history contains rollbacks; stage + publish
+    t.create_branch("stage")
+    br = t.branch("stage")
+    br.commit_append(_df(spark, 40, 50))
+    assert _ids(br.read(spark)) == (
+        list(range(10)) + list(range(30, 50))
+    )
+    assert _ids(t.read(spark)) == list(range(10)) + list(range(30, 40))
+    t.publish_branch("stage")
+    assert _ids(t.read(spark)) == list(range(10)) + list(range(30, 50))
+
+    # fold everything; vacuum reclaims the truncated batches' dirs
+    t.compact(spark)
+    t.vacuum(grace_sec=0)
+    assert _ids(t.read(spark)) == list(range(10)) + list(range(30, 50))
+    live = {os.path.basename(s["data_dir"]) for s in t.snapshots()}
+    assert set(os.listdir(os.path.join(t.path, "data"))) == live
