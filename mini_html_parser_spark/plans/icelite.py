@@ -728,6 +728,27 @@ class IceliteTable:
             "bucket int, rows bigint, n_files int, n_snapshots int",
         )
 
+    def register_views(self, spark, name: str) -> list[str]:
+        """Expose the table to ``spark.sql`` the way an Iceberg
+        catalog would: ``<name>`` = the current read (deletes,
+        rollbacks and rewrites resolved), plus the metadata tables as
+        ``<name>_history`` / ``<name>_files`` / ``<name>_partitions``
+        (Iceberg's ``db.tbl.history`` etc., underscore-spelled —
+        temp-view names cannot carry a dot).  Temp views are
+        plan-by-reference: ``<name>`` re-plans per query but pins the
+        snapshot list AT REGISTRATION (call again after new commits),
+        matching a catalog's point-in-time scan semantics.  Returns
+        the registered view names."""
+        views = {
+            name: self.read(spark),
+            f"{name}_history": self.history_df(spark),
+            f"{name}_files": self.files_df(spark),
+            f"{name}_partitions": self.partitions_df(spark),
+        }
+        for vname, df in views.items():
+            df.createOrReplaceTempView(vname)
+        return sorted(views)
+
     # ---- tags: named immutable refs (Iceberg refs; round 6) -----------------
     #
     # The dataset-RELEASE primitive: ``tag("v1.0")`` pins the exact

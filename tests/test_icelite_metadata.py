@@ -87,3 +87,37 @@ def test_metadata_cli_rollback_partitions_files(spark, tmp_path, capsys):
     rep = json.loads(capsys.readouterr().out.strip())
     assert rep["n_files"] == 4
     assert all(f["sequence"] == 0 for f in rep["files"])
+
+
+def test_register_views_sql_surface(spark, tmp_path):
+    """register_views: the table + its metadata tables as spark.sql
+    temp views; the data view resolves deletes/rollbacks/rewrites at
+    registration and re-registering picks up new commits."""
+    t = IceliteTable(str(tmp_path / "tbl"))
+    t.commit_append(_df(spark, 0, 40))
+    t.commit_delete(
+        _df(spark, 0, 40).filter(F.col("doc_id") < 4).select("doc_id")
+    )
+    names = t.register_views(spark, "corpus_v")
+    assert names == [
+        "corpus_v", "corpus_v_files", "corpus_v_history",
+        "corpus_v_partitions",
+    ]
+    assert spark.sql("SELECT COUNT(*) c FROM corpus_v").first()["c"] == 36
+    kinds = [
+        r["kind"]
+        for r in spark.sql(
+            "SELECT kind FROM corpus_v_history ORDER BY sequence"
+        ).collect()
+    ]
+    assert kinds == ["append", "delete"]
+    assert spark.sql(
+        "SELECT SUM(n_files) f FROM corpus_v_partitions"
+    ).first()["f"] == 4
+
+    # views pin the snapshot list at registration; re-register to see
+    # a new commit
+    t.commit_append(_df(spark, 40, 50))
+    assert spark.sql("SELECT COUNT(*) c FROM corpus_v").first()["c"] == 36
+    t.register_views(spark, "corpus_v")
+    assert spark.sql("SELECT COUNT(*) c FROM corpus_v").first()["c"] == 46
