@@ -1114,3 +1114,80 @@ def dedup_against_bloom(
         .drop("content_hash")
     )
     return definite_new.unionByName(survivors).drop("_bh1", "_bh2", "_might")
+
+
+def keep_best_in_cluster(
+    df: DataFrame,
+    cluster_col: str,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cluster retention policy: keep exactly ONE row per cluster —
+    the max ``score_col``, ties broken by min ``id_col``.
+
+    The complement to the detector operators: ``exact_dedup`` /
+    ``dedup_paragraphs`` hard-code "keep the senior (min-id) copy",
+    but production pipelines keep the BEST copy — the longest raw
+    variant, the highest quality_score, the preferred source — of each
+    duplicate cluster (the retention step in public CCNet/RefinedWeb
+    style pipelines).  ``cluster_col`` is any precomputed grouping: a
+    content hash, a :func:`dedup_clusters` component id, a minhash
+    bucket representative.
+
+    100-TB shape: ONE shuffle, and it is a partial-agg ``groupBy`` —
+    ``min(struct(-score, id, <row>))`` combines map-side, so a
+    boilerplate cluster with 10⁸ members arrives at its reducer as one
+    candidate row per upstream partition, never 10⁸ rows on one key.
+    Deliberately NOT a row_number() window: a window sorts the whole
+    hot cluster on one task (same reasoning as dedup_paragraphs).
+
+    Requires a numeric ``score_col`` (negated for the min-struct
+    trick); NaN scores never win unless the whole cluster is NaN
+    (Spark orders NaN greater than every double).  ``(cluster, id)``
+    must be unique, which makes the struct comparison total before the
+    trailing payload fields are ever consulted.
+    """
+    payload = [c for c in df.columns if c not in (cluster_col, score_col, id_col)]
+    w = F.struct(
+        (-F.col(score_col)).alias("_ns"),
+        F.col(id_col).alias(id_col),
+        F.col(score_col).alias(score_col),
+        *[F.col(c).alias(c) for c in payload],
+    )
+    best = df.groupBy(cluster_col).agg(F.min(w).alias("_w"))
+    return best.select(
+        F.col(cluster_col),
+        F.col(f"_w.{id_col}").alias(id_col),
+        F.col(f"_w.{score_col}").alias(score_col),
+        *[F.col(f"_w.{c}").alias(c) for c in payload],
+    )
+
+
+def keep_longest_normalized(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Normalized-exact dedup with a keep-LONGEST retention policy.
+
+    Clusters documents whose ``normalize_text`` canonical form
+    (lowercase, control-strip, whitespace-collapse, trim — the
+    engine-portable C4/CCNet normalization) is identical, and keeps
+    the variant with the longest RAW text — the copy that preserved
+    the most casing/formatting signal — ties to min id.  Catches the
+    re-crawl / re-render duplicates exact_dedup misses (same page,
+    different whitespace or casing).
+
+    Returns the surviving rows with the original columns of ``df``
+    (cluster key and score are internal).  Plan: zero-shuffle codegen
+    normalization projection + the single keep_best_in_cluster
+    partial-agg shuffle.
+    """
+    from . import text_analysis
+
+    normed = text_analysis.normalize_text(df, text_col=text_col)
+    scored = normed.withColumn(
+        "_cluster", F.md5(F.col("text_norm"))
+    ).withColumn("_rawlen", F.length(F.col(text_col)).cast("double"))
+    out = keep_best_in_cluster(
+        scored.drop("text_norm"), "_cluster", "_rawlen", id_col=id_col
+    )
+    return out.select(*df.columns)

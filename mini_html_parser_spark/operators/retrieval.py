@@ -1,0 +1,136 @@
+"""Sparse lexical retrieval (Okapi BM25) over a text corpus.
+
+Dense retrieval (similarity.py: brute-force / LSH / IVF / PQ / sq8)
+covers the embedding side; a training-data pipeline equally needs
+LEXICAL retrieval — benchmark-leak triage before the n-gram
+decontamination pass (decontam.py), corpus search, and hard-negative
+mining for classifier training (text_analysis.train_quality_classifier)
+all start from "which documents mention these terms".  BM25 is the
+standard scoring function (Robertson & Zaragoza 2009, "The
+Probabilistic Relevance Framework: BM25 and Beyond").
+
+Scale shape (100 TB): ``doc_terms`` is one explode + one partial-agg
+groupBy — the postings build is a single shuffle keyed on
+``(doc_id, term)`` and is built ONCE then reused across queries
+(persist it or write it to an icelite table).  A query then touches
+only the postings rows of its |q| distinct terms: the ``isin`` filter
+prunes at the scan (parquet row-group stats on ``term`` when the
+postings are stored sorted/z-ordered by term), the per-term document
+frequencies are |q| rows joined by broadcast, the corpus-level
+(N, avgdl) pair is a 1-row crossJoin (broadcast, stays lazy — no
+driver collect), and the final ranking is a TakeOrderedAndProject.
+Nothing on the query path shuffles the corpus.
+
+Scoring detail: scores are rounded to 6 decimals BEFORE ranking, in
+both this implementation and the DuckDB oracle (queries.py), so that
+cross-engine float-summation-order ULP noise cannot flip the
+boundary of the top-k set (same rule as similarity.py's cosine
+ranking).  Ties break on ascending doc id.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, functions as F
+
+from .bpe import WS_RE
+
+# IDF uses the "+1 inside the log" variant (Lucene's choice): strictly
+# positive even for terms in more than half the corpus, so a stopword
+# in the query degrades ranking instead of poisoning it with a
+# negative score.
+DEFAULT_K1 = 1.5
+DEFAULT_B = 0.75
+
+_WS_C = re.compile(WS_RE)
+
+
+def tokenize_query(query: str) -> list[str]:
+    """Driver-side query tokenization — the SAME whitespace contract
+    as the corpus side (bpe.WS_RE; trim strips spaces only, matching
+    Spark/DuckDB trim())."""
+    terms = [t for t in _WS_C.split(query.strip(" ")) if t]
+    # sorted distinct: deterministic plan text and oracle literals
+    return sorted(set(terms))
+
+
+def doc_terms(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Postings frame: one row per (doc, term) with term frequency and
+    the doc's token length.  Columns: ``<id_col>, dl, term, tf``.
+
+    ``dl`` counts split() elements exactly like token_counts'
+    ws_tokens (an all-whitespace doc yields one empty-string token in
+    BOTH engines — the established oracle-parity quirk), so BM25
+    length normalization is engine-portable.
+    """
+    toks = F.split(F.trim(F.col(text_col)), WS_RE)
+    return (
+        df.select(
+            F.col(id_col),
+            F.size(toks).cast("long").alias("dl"),
+            F.explode(toks).alias("term"),
+        )
+        # dl is functionally dependent on the id; carrying it through
+        # the groupBy key avoids a second join back to a lengths table
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+
+
+def corpus_stats(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """1-row frame ``(n_docs, avgdl)`` — kept as a lazy crossJoin side
+    (Spark broadcasts single-row aggregates), not a driver collect."""
+    toks = F.split(F.trim(F.col(text_col)), WS_RE)
+    return df.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg(F.size(toks).cast("double")).alias("avgdl"),
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query: str,
+    k: int = 10,
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """Top-k documents for ``query`` under Okapi BM25.
+
+    Pass a precomputed ``postings`` (from :func:`doc_terms`, e.g. read
+    back from an icelite table) to skip the corpus pass — the intended
+    shape for repeated queries at scale.
+    Returns ``(<id_col>, bm25)`` with bm25 rounded to 6 decimals.
+    """
+    qterms = tokenize_query(query)
+    if not qterms:
+        raise ValueError("query has no terms after whitespace tokenization")
+    if postings is None:
+        postings = doc_terms(df, text_col=text_col, id_col=id_col)
+    stats = corpus_stats(df, text_col=text_col)
+
+    hits = postings.filter(F.col("term").isin(qterms))
+    dfreq = hits.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+
+    n, avgdl = F.col("n_docs"), F.col("avgdl")
+    tf, dl = F.col("tf").cast("double"), F.col("dl").cast("double")
+    idf = F.log((n - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    score = idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+    return (
+        hits.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.round(F.sum(score), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -2029,3 +2029,101 @@ def test_pack_interleaved_atomic_media_and_layout(spark):
     kinds = {(r["doc_id"], r["span_pos"]): (r["kind"], r["media_ref"])
              for r in out}
     assert kinds[(1, 1)] == ("media", "m1")
+
+
+def test_keep_best_in_cluster_semantics(spark):
+    """Max score wins; ties break to min id; NaN never beats a real
+    score; singleton clusters pass through; payload columns survive."""
+    import math
+
+    from mini_html_parser_spark.operators import dedup as D
+
+    rows = [
+        # cluster c1: 7 wins on score
+        (1, "c1", 0.5, "a"),
+        (2, "c1", 0.9, "b"),
+        (7, "c1", 0.9, "c"),   # tie with 2 on 0.9 → 2 wins (min id)
+        # cluster c2: NaN loses to finite
+        (3, "c2", math.nan, "d"),
+        (4, "c2", 0.1, "e"),
+        # singleton
+        (5, "c3", 0.0, "f"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, cluster string, score double, payload string"
+    )
+    out = D.keep_best_in_cluster(df, "cluster", "score").orderBy("cluster")
+    got = [(r["cluster"], r["doc_id"], r["payload"]) for r in out.collect()]
+    assert got == [("c1", 2, "b"), ("c2", 4, "e"), ("c3", 5, "f")]
+
+    # plan: partial-agg groupBy (map-side combine), no window sort
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+
+
+def test_keep_longest_normalized(spark):
+    """Whitespace/case variants cluster together; the longest raw
+    variant survives, tie-break min id; unique docs pass through."""
+    from mini_html_parser_spark.operators import dedup as D
+
+    rows = [
+        (10, "Hello   world"),        # base, 13 chars
+        (11, "  hello world\t\n"),    # same normalized, 15 chars → wins len
+        (12, "\thello  world  \n"),   # same normalized, 16 chars → WINNER
+        (20, "unique document"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(r["doc_id"] for r in D.keep_longest_normalized(df).collect())
+    assert got == [12, 20]
+
+
+def test_bm25_topk_hand_computed(spark):
+    """BM25 on a 3-doc corpus against hand-derived scores (k1=1.5,
+    b=0.75, Lucene idf), and the plan shape: both stats joins
+    broadcast, ranking is a TakeOrderedAndProject, no Python stage."""
+    import math
+
+    from mini_html_parser_spark.operators import retrieval as R
+
+    docs = [
+        (1, "spark shuffle join"),          # dl=3
+        (2, "join join filter scan scan"),  # dl=5
+        (3, "parquet scan pushdown"),       # dl=3
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = R.bm25_topk(df, "join", k=3)
+    got = {r["doc_id"]: r["bm25"] for r in out.collect()}
+
+    def score(tf, dl, dfq, n=3.0, avgdl=11.0 / 3.0, k1=1.5, b=0.75):
+        idf = math.log((n - dfq + 0.5) / (dfq + 0.5) + 1.0)
+        return round(idf * tf * (k1 + 1.0) / (tf + k1 * (1 - b + b * dl / avgdl)), 6)
+
+    assert got == {1: score(1, 3, 2), 2: score(2, 5, 2)}
+    assert 3 not in got  # no query term → no row, not a zero row
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row stats crossJoin
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bm25_precomputed_postings_and_empty_query(spark):
+    """The postings-reuse seam returns identical results, and an
+    all-whitespace query is a loud error, not an empty frame."""
+    import pytest as _pytest
+
+    from mini_html_parser_spark.operators import retrieval as R
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "b c d"), (3, "c d e")],
+        "doc_id long, text string",
+    )
+    direct = R.bm25_topk(df, "b d", k=3).collect()
+    reused = R.bm25_topk(
+        df, "b d", k=3, postings=R.doc_terms(df)
+    ).collect()
+    assert direct == reused
+    with _pytest.raises(ValueError):
+        R.bm25_topk(df, "  \t ", k=3)
