@@ -13,6 +13,8 @@ components over the candidate edges).
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame, functions as F
@@ -35,7 +37,7 @@ def _bucket_pairs(
     bucket_cols: list[str],
     id_col: str,
     carry_cols: list[str] | None = None,
-    max_bucket_size: int = MAX_BUCKET_PAIRS_SIZE,
+    max_bucket_size: int | None = MAX_BUCKET_PAIRS_SIZE,
     dedupe: bool = True,
     heavy_carry: bool = False,
 ) -> DataFrame:
@@ -43,7 +45,12 @@ def _bucket_pairs(
 
     Buckets of ≤ ``max_bucket_size`` rows emit all pairs (the exact
     LSH construction); larger buckets emit representative→member star
-    edges — see MAX_BUCKET_PAIRS_SIZE.
+    edges — see MAX_BUCKET_PAIRS_SIZE.  ``max_bucket_size=None``
+    disables the star fallback entirely (all pairs at ANY bucket
+    size) — for callers whose SEMANTICS are pairwise (semantic_dedup)
+    rather than candidate-generation recall, where the caller controls
+    bucket size by construction and a silent star degradation would
+    change results, not just recall.
 
     Default shape: ONE shuffle — ``groupBy(bucket).collect_list`` then
     array expressions emit the pairs.  A self-join shape was measured
@@ -64,6 +71,8 @@ def _bucket_pairs(
     a pair can only be emitted once).
     """
     carry_cols = carry_cols or []
+    if max_bucket_size is None:
+        max_bucket_size = 1 << 62  # no star fallback: all pairs always
     if heavy_carry:
         return _bucket_pairs_join(
             bucketed, bucket_cols, id_col, carry_cols, max_bucket_size, dedupe
@@ -767,7 +776,14 @@ def dedup_paragraphs(
     paras = (
         df.select(
             F.col(id_col),
-            F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+            # re.escape: F.split takes a Java REGEX while array_join
+            # below re-joins with the LITERAL sep — an unescaped
+            # sep='|' would split between every character and reassemble
+            # garbage.  Python's escape set (punctuation only) is
+            # Java-regex-safe.
+            F.posexplode(F.split(F.col(text_col), re.escape(sep))).alias(
+                "pos", "para"
+            ),
         )
         .filter(F.length(F.trim(F.col("para"))) > 0)
     )
@@ -901,7 +917,16 @@ def neardup_against(
             )
         return w.join(cfp, "fp", "left_anti").drop("fp")
 
-    sh_new = shingle_frame(new_df, text_col, id_col, shingle_n).persist()
+    # localCheckpoint, NOT persist: this operator's stated use is a
+    # long-lived incremental-ingest loop (one call per batch), and a
+    # persist is never safely unpersistable here (the returned frame
+    # references it) — cached plans would accumulate in the
+    # CacheManager forever.  localCheckpoint blocks are GC-managed by
+    # the ContextCleaner when the frame goes out of scope (the
+    # dedup_against_bloom precedent).
+    sh_new = shingle_frame(new_df, text_col, id_col, shingle_n).localCheckpoint(
+        eager=True
+    )
     batch_bands = minhash_bands(
         new_df, text_col, id_col, num_hashes, bands, shingle_n,
         shingle_df=sh_new,
@@ -939,8 +964,25 @@ def neardup_against(
         dup_ids = cands.select(F.col("id_a").alias(id_col)).distinct()
     out = new_df.join(dup_ids, id_col, "left_anti")
     if within_batch:
-        intra = jaccard_duplicates(
-            out, threshold, text_col, id_col, num_hashes, bands, shingle_n
+        # reuse sh_new instead of re-shingling the survivors
+        # (jaccard_duplicates(out) would recompute the full
+        # shingle+minhash chain): pairs over the WHOLE batch filtered
+        # to both-endpoints-surviving are exactly the pairs among the
+        # survivors — signatures and band buckets are per-doc, so
+        # restricting the input rows restricts the candidate pairs to
+        # the same subset.
+        intra_cands = minhash_lsh_candidates(
+            new_df, text_col, id_col, num_hashes, bands, shingle_n,
+            shingle_df=sh_new,
+        )
+        intra = jaccard_verify(
+            intra_cands, None, text_col, id_col, shingle_n, threshold,
+            shingle_df=sh_new,
+        )
+        out_a = out.select(F.col(id_col).alias("id_a"))
+        out_b = out.select(F.col(id_col).alias("id_b"))
+        intra = intra.join(out_a, "id_a", "left_semi").join(
+            out_b, "id_b", "left_semi"
         )
         juniors = intra.select(F.col("id_b").alias(id_col)).distinct()
         out = out.join(juniors, id_col, "left_anti")

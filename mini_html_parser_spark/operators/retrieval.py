@@ -93,7 +93,7 @@ def corpus_stats(
 
 
 def bm25_topk(
-    df: DataFrame,
+    df: DataFrame | None,
     query: str,
     k: int = 10,
     k1: float = DEFAULT_K1,
@@ -105,16 +105,36 @@ def bm25_topk(
     """Top-k documents for ``query`` under Okapi BM25.
 
     Pass a precomputed ``postings`` (from :func:`doc_terms`, e.g. read
-    back from an icelite table) to skip the corpus pass — the intended
-    shape for repeated queries at scale.
+    back from an icelite table) to skip the corpus pass entirely —
+    the intended shape for repeated queries at scale; ``df`` may then
+    be None (nothing touches the raw corpus: even the (N, avgdl)
+    stats derive from the postings).
     Returns ``(<id_col>, bm25)`` with bm25 rounded to 6 decimals.
     """
     qterms = tokenize_query(query)
     if not qterms:
         raise ValueError("query has no terms after whitespace tokenization")
     if postings is None:
+        if df is None:
+            raise ValueError("bm25_topk needs df or postings")
         postings = doc_terms(df, text_col=text_col, id_col=id_col)
-    stats = corpus_stats(df, text_col=text_col)
+        stats = corpus_stats(df, text_col=text_col)
+    else:
+        # derive (N, avgdl) from the postings themselves — a caller
+        # who pre-built doc_terms must NOT pay a full corpus re-scan
+        # per query just for one constant pair.  Complete by
+        # construction: split() yields ≥1 element for every doc (an
+        # all-whitespace doc contributes one empty-string term), so
+        # every doc has ≥1 postings row and distinct (id, dl) is the
+        # exact doc-lengths table.
+        stats = (
+            postings.select(id_col, "dl")
+            .distinct()
+            .agg(
+                F.count(F.lit(1)).cast("double").alias("n_docs"),
+                F.avg(F.col("dl").cast("double")).alias("avgdl"),
+            )
+        )
 
     hits = postings.filter(F.col("term").isin(qterms))
     dfreq = hits.groupBy("term").agg(

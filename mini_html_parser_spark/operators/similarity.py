@@ -301,10 +301,15 @@ def semantic_dedup(
     Scale shape (100 TB): the centroid table is ``k`` rows broadcast
     against the corpus (k ~ 10⁴–10⁵ in the paper — still MBs);
     assignment is one windowed argmax per vector, no corpus shuffle
-    beyond the one groupBy(cluster) that emits intra-cluster pairs
-    via dedup._bucket_pairs — clusters above MAX_BUCKET_PAIRS_SIZE
-    fall back to star edges exactly like the LSH path, so a
-    degenerate mass-duplicate cluster never goes quadratic.
+    beyond the one join that emits intra-cluster pairs.  Pairs are
+    ALWAYS exact all-pairs within a cluster (``max_bucket_size=None``
+    — no star-edge fallback): pairwise comparison IS the SemDeDup
+    semantics, so a silent star degradation above 128 members would
+    change results, not just recall (junior-junior near-duplicate
+    pairs would never be tested; cosine is not transitive).  The
+    quadratic-control knob is ``k`` itself — the paper sizes k so
+    clusters stay ~10⁴ vectors and does exactly this full pairwise
+    pass inside each cluster.
     """
     from .dedup import _bucket_pairs
 
@@ -352,6 +357,7 @@ def semantic_dedup(
         _bucket_pairs(
             assigned, ["cluster_id"], id_col,
             carry_cols=["v"], dedupe=False, heavy_carry=True,
+            max_bucket_size=None,
         )
         .withColumn("cos", F.round(cosine_col(F.col("v_a"), F.col("v_b")), 6))
         .filter(F.col("cos") >= threshold)

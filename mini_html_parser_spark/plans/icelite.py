@@ -124,6 +124,10 @@ class IceliteTable:
     # let AQE pick the join (takedowns are tiny; post-hoc dedup of a
     # committed corpus can retract millions of keys)
     BROADCAST_DELETE_MAX = 5_000_000
+    # maintenance (compact/checkpoint/vacuum/tags) is main-only;
+    # IceliteBranch flips this so commit_append can refuse auto-
+    # maintenance kwargs BEFORE the commit is durable
+    _can_maintain = True
 
     def __init__(self, path: str):
         self.path = path
@@ -903,30 +907,55 @@ class IceliteTable:
         snapshots() but still resolvable here)."""
         if not os.path.isdir(self.manifest_dir):
             return []
-        by_seq: dict[int, dict] = {}
-        names = os.listdir(self.manifest_dir)
-        ckpts = [
-            (s, n) for n in names
-            if (s := self._name_seq(n, "ckpt-")) is not None
-        ]
-        if ckpts:
-            _seq, name = max(ckpts)
-            try:
-                with open(os.path.join(self.manifest_dir, name)) as f:
-                    for s in json.load(f)["snapshots"]:
-                        by_seq[s["sequence"]] = s
-            except FileNotFoundError:
-                pass
-        for n in names:
-            seq = self._name_seq(n, "snap-")
-            if seq is None:
-                continue
-            try:
-                with open(os.path.join(self.manifest_dir, n)) as f:
-                    by_seq[seq] = json.load(f)
-            except FileNotFoundError:
-                continue
-        return [by_seq[k] for k in sorted(by_seq)]
+        # Same torn-listing discipline as snapshots() (ADVICE r5,
+        # medium): a concurrent checkpoint()/compact() can remove a
+        # listed file between listdir and open.  Swallowing the miss
+        # would return a silently-incomplete history — and
+        # publish_branch's foreign-commit safety check and
+        # read(tag=...) both consume THIS view, so a partial answer
+        # here can wrongly pass a fast-forward conflict check.
+        # Re-list (files legitimately expired vanish from the next
+        # listing; history folded into a newer checkpoint reappears
+        # from that checkpoint) and raise if still torn.
+        import time as _time
+
+        for attempt in range(5):
+            if attempt:
+                _time.sleep(0.05 * attempt)
+            by_seq: dict[int, dict] = {}
+            names = os.listdir(self.manifest_dir)
+            complete = True
+            ckpts = [
+                (s, n) for n in names
+                if (s := self._name_seq(n, "ckpt-")) is not None
+            ]
+            if ckpts:
+                _seq, name = max(ckpts)
+                try:
+                    with open(os.path.join(self.manifest_dir, name)) as f:
+                        for s in json.load(f)["snapshots"]:
+                            by_seq[s["sequence"]] = s
+                except FileNotFoundError:
+                    complete = False  # superseded mid-scan; re-list
+            if complete:
+                for n in names:
+                    seq = self._name_seq(n, "snap-")
+                    if seq is None:
+                        continue
+                    try:
+                        with open(os.path.join(self.manifest_dir, n)) as f:
+                            by_seq[seq] = json.load(f)
+                    except FileNotFoundError:
+                        complete = False
+                        break
+            if complete:
+                return [by_seq[k] for k in sorted(by_seq)]
+        raise RuntimeError(
+            f"icelite table {self.path}: raw manifest scan still "
+            "incomplete after 5 attempts (a concurrent compact() or "
+            "checkpoint() is removing superseded metadata faster than "
+            "we can list); retry the operation"
+        )
 
     def _pinned_manifests(self) -> list[dict]:
         """Manifests a tag keeps alive: everything at or below the
@@ -955,17 +984,36 @@ class IceliteTable:
         with an internal tag (``__branch-<name>``), which is what
         keeps the base history resolvable under main's compaction and
         keeps vacuum off the base data dirs.  Fails if the branch (or
-        a tag colliding with its pin) already exists."""
-        rec = self.tag(f"__branch-{name}")
+        a tag colliding with its pin) already exists.
+
+        Ordering: mkdir FIRST (the namespace dir is the create mutex —
+        a concurrent same-name create loses here, before any tag
+        exists), then the pin tag, then the meta file.  The dir-first
+        order means no crash point can leak an INVISIBLE pin tag with
+        no branch dir (which would silently pin compaction/vacuum
+        forever and block re-creating the name); every partial state
+        keeps the dir, is visible in branches(), and is cleaned by a
+        plain delete_branch."""
         bdir = os.path.join(self.manifest_dir, f"branch-{name}")
         os.makedirs(bdir)
-        meta = {
-            "name": name,
-            "fork_sequence": rec["sequence"],
-            "fork_snapshot_id": rec["snapshot_id"],
-        }
-        with open(os.path.join(bdir, "branch.json"), "w") as f:
-            json.dump(meta, f, indent=2)
+        try:
+            rec = self.tag(f"__branch-{name}")
+            meta = {
+                "name": name,
+                "fork_sequence": rec["sequence"],
+                "fork_snapshot_id": rec["snapshot_id"],
+            }
+            with open(os.path.join(bdir, "branch.json"), "w") as f:
+                json.dump(meta, f, indent=2)
+        except BaseException:
+            # best-effort rollback of the mutex dir on a FAILED (not
+            # crashed) create; a crash instead leaves the dir, which
+            # delete_branch cleans
+            import shutil
+
+            self.delete_tag(f"__branch-{name}")
+            shutil.rmtree(bdir, ignore_errors=True)
+            raise
         return meta
 
     def branches(self) -> list[str]:
@@ -1050,13 +1098,20 @@ class IceliteTable:
     def delete_branch(self, name: str) -> bool:
         """Discard a branch (WAP audit failed, or post-publish
         cleanup): its manifests vanish, the fork pin is released, and
-        the next vacuum reclaims the branch's orphaned data dirs."""
+        the next vacuum reclaims the branch's orphaned data dirs.
+
+        Pin tag goes FIRST: a crash between the two steps then leaves
+        a visible, re-deletable branch dir (deletion intent was
+        already durable — re-run delete_branch), never an invisible
+        orphaned ``__branch-*`` tag that would pin maintenance forever
+        and block re-creating the name (mirrors create_branch's
+        dir-first ordering)."""
         import shutil
 
         bdir = os.path.join(self.manifest_dir, f"branch-{name}")
         existed = os.path.isdir(bdir)
-        shutil.rmtree(bdir, ignore_errors=True)
         self.delete_tag(f"__branch-{name}")
+        shutil.rmtree(bdir, ignore_errors=True)
         return existed
 
     def _branch_manifests(self) -> list[dict]:
@@ -2387,10 +2442,32 @@ class IceliteTable:
         Returns ``{"indexed_files": new, "total_files": all}``."""
         meta_path, idx_dir = self._key_index_paths(col)
         m, kk = (int(n_bits) + 7) & ~7, int(k)
+        # Params must be durable BEFORE any bitmap lands in the
+        # sidecar: bitmaps appended under one m but probed under
+        # another (crash between append and a late meta write, or two
+        # concurrent first builds with different n_bits) would break
+        # the Bloom no-false-negative guarantee — the probe side would
+        # PRUNE files that contain the key.  Create-exclusive via
+        # os.link (the manifest-commit arbitration): the loser adopts
+        # the winner's params before building anything.  Crash after
+        # the meta write is harmless — an empty index keeps every
+        # file unindexed-kept.
         if os.path.exists(meta_path):
             with open(meta_path) as f:
                 meta = json.load(f)
             m, kk = meta["n_bits"], meta["k"]  # params fixed at creation
+        else:
+            tmp = meta_path + f".{uuid.uuid4().hex}.tmp"
+            with open(tmp, "w") as f:
+                json.dump({"col": col, "n_bits": m, "k": kk}, f)
+            try:
+                os.link(tmp, meta_path)
+            except FileExistsError:
+                with open(meta_path) as f:
+                    meta = json.load(f)
+                m, kk = meta["n_bits"], meta["k"]
+            finally:
+                os.unlink(tmp)
         live = self.snapshots()
         # replacement map over the FULL live chain: files a rewrite()
         # superseded are dead — enumerating them here would list them
@@ -2459,11 +2536,6 @@ class IceliteTable:
             )
         new_bitmaps.write.mode("append").parquet(idx_dir)
         n_new = spark.read.parquet(idx_dir).count() - len(done)
-        if not os.path.exists(meta_path):
-            tmp = meta_path + f".{uuid.uuid4().hex}.tmp"
-            with open(tmp, "w") as f:
-                json.dump({"col": col, "n_bits": m, "k": kk}, f)
-            os.replace(tmp, meta_path)
         return {"indexed_files": int(n_new), "total_files": total}
 
     def _bloom_file_filter(self, spark, prune):
@@ -2489,10 +2561,6 @@ class IceliteTable:
             with open(meta_path) as f:
                 meta = json.load(f)
             m, kk = meta["n_bits"], meta["k"]
-            bitmaps = {
-                r["f"]: bytes(r["bm"])
-                for r in spark.read.parquet(idx_dir).collect()
-            }
             # xxhash64 is TYPE-sensitive (int32 and int64 of the same
             # value hash differently): cast the literals to the
             # column's declared type so driver probes hash exactly
@@ -2508,19 +2576,43 @@ class IceliteTable:
                 )
                 .collect()
             )
-            pairs = [(r["h1"], r["h2"]) for r in hs]
-            checks.append((bitmaps, m, kk, pairs))
+            pairs = [(int(r["h1"]), int(r["h2"])) for r in hs]
+
+            # Probe the bitmaps IN THE EXECUTORS and collect only one
+            # boolean per file: collecting the sidecar itself would
+            # pull O(n_files × bitmap_bytes) to the driver on every
+            # point-lookup read (1.6 GB at 100k files × 16 KB) — the
+            # bitmaps never need to leave the cluster.  Same probe
+            # function as before (_bloom_might_contain, cloudpickled
+            # into the closure) so build/probe math cannot drift.
+            def _might_batch(it, _m=m, _kk=kk, _pairs=tuple(pairs)):
+                import pandas as pd
+
+                for pdf in it:
+                    might = [
+                        any(
+                            _bloom_might_contain(bytes(bm), _m, _kk, h1, h2)
+                            for h1, h2 in _pairs
+                        )
+                        for bm in pdf["bm"]
+                    ]
+                    yield pd.DataFrame({"f": pdf["f"], "might": might})
+
+            flags = {
+                r["f"]: r["might"]
+                for r in spark.read.parquet(idx_dir)
+                .mapInPandas(_might_batch, "f string, might boolean")
+                .collect()
+            }
+            checks.append(flags)
 
         def keep(path: str) -> bool:
             suffix = "/".join(os.path.normpath(path).split(os.sep)[-3:])
-            for bitmaps, m, kk, pairs in checks:
-                bm = bitmaps.get(suffix)
-                if bm is None:
+            for flags in checks:
+                might = flags.get(suffix)
+                if might is None:
                     continue  # unindexed file: never prune
-                if not any(
-                    _bloom_might_contain(bm, m, kk, h1, h2)
-                    for h1, h2 in pairs
-                ):
+                if not might:
                     return False
             return True
 
@@ -2639,7 +2731,19 @@ class IceliteTable:
         N or more manifests sit above the newest checkpoint after
         this commit, :meth:`checkpoint` runs — snapshots() stays
         O(tail) for commit-heavy ingest (streaming sinks) without the
-        data rewrite a compact implies."""
+        data rewrite a compact implies.
+
+        Both auto-maintenance kwargs are refused UP FRONT on a WAP
+        branch (maintenance belongs to main — publish first): the
+        refusal must come before the commit is durable, not as a
+        NotImplementedError after it, which would kill a foreachBatch
+        sink for a commit that actually succeeded."""
+        if (auto_compact_every or auto_checkpoint_every) and not self._can_maintain:
+            raise ValueError(
+                f"icelite branch {self.path}: auto_compact_every / "
+                "auto_checkpoint_every are main-only maintenance — "
+                "publish the branch first, or commit without them"
+            )
         parent = self.current_snapshot()
         snap_n = (parent["sequence"] + 1) if parent else 0
         # uuid-suffixed data dir: concurrent writers must never share
@@ -2792,6 +2896,8 @@ class IceliteBranch(IceliteTable):
     commit_delete, merge — works on the merged view unchanged.
     Maintenance (compact/checkpoint/vacuum/tags) belongs to main:
     publish first."""
+
+    _can_maintain = False
 
     def __init__(self, path: str, meta: dict):
         super().__init__(path)

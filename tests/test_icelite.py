@@ -951,3 +951,125 @@ def test_checkpoint_cli(spark, tmp_path, capsys):
     assert rep["checkpoint"] == {"sequence": 1, "count": 2}
     assert rep["expired_manifests"] is True
     assert t.read(spark).count() == 20
+
+
+# ---- round-6 review-pass regressions ----------------------------------------
+
+
+def test_branch_auto_maintenance_refused_up_front(spark, tmp_path):
+    """Review r6 #3: auto_compact_every / auto_checkpoint_every on a
+    WAP branch must be refused BEFORE the commit is durable — not as a
+    NotImplementedError after it (which would kill a foreachBatch sink
+    for a commit that actually succeeded)."""
+    import pytest
+
+    t = IceliteTable(str(tmp_path / "tbl_bam"))
+    t.commit_append(_df(spark, 0, 20))
+    t.create_branch("wap")
+    br = t.branch("wap")
+    before = len(br.snapshots())
+    with pytest.raises(ValueError, match="main-only maintenance"):
+        br.commit_append(_df(spark, 20, 40), auto_checkpoint_every=2)
+    with pytest.raises(ValueError, match="main-only maintenance"):
+        br.commit_append(_df(spark, 20, 40), auto_compact_every=2)
+    # nothing was committed by the refused calls
+    assert len(br.snapshots()) == before
+    # and a plain staged commit still works
+    br.commit_append(_df(spark, 20, 40))
+    assert br.read(spark).count() == 40
+
+
+def test_branch_pin_never_leaks_without_dir(spark, tmp_path):
+    """Review r6 #9: no crash point in create/delete_branch may leave
+    an invisible __branch-* pin tag with no branch dir (permanent
+    compaction/vacuum pin + blocked re-create).  Orderings under test:
+    create = mkdir -> tag -> meta (failed create rolls both back);
+    delete = tag first, dir second (crashed delete is re-runnable)."""
+    import os as _os
+
+    import pytest
+
+    t = IceliteTable(str(tmp_path / "tbl_pin"))
+    # create on an EMPTY table fails at the tag step: the mutex dir
+    # must be rolled back and no pin tag may survive
+    with pytest.raises(Exception):
+        t.create_branch("early")
+    assert "early" not in t.branches()
+    assert not _os.path.exists(
+        _os.path.join(t.manifest_dir, "tag-__branch-early.json")
+    )
+
+    t.commit_append(_df(spark, 0, 20))
+    t.create_branch("wap")
+    # simulate a delete that crashed between its two steps (tag gone,
+    # dir still present): the branch stays VISIBLE and a re-run of
+    # delete_branch finishes the job
+    t.delete_tag("__branch-wap")
+    assert "wap" in t.branches()
+    assert t.delete_branch("wap") is True
+    assert "wap" not in t.branches()
+    # the name is immediately re-creatable (the old-bug state raised
+    # FileExistsError from the leaked pin here)
+    t.create_branch("wap")
+    assert "wap" in t.branches()
+    t.delete_branch("wap")
+
+
+def test_index_keys_params_durable_before_bitmaps(spark, tmp_path):
+    """Review r6 #2: the sidecar params (n_bits, k) must be durable
+    BEFORE any bitmap is appended, so a crash-then-rebuild with a
+    different n_bits default can never probe old bitmaps under a new
+    modulus (false negatives -> wrong pruning).  Also pins the
+    crashed-first-build recovery: meta present + empty sidecar is a
+    valid state that a re-run completes under the ORIGINAL params."""
+    import glob
+    import json as _json
+    import shutil
+
+    t = IceliteTable(str(tmp_path / "tbl_idx"))
+    for lo in (0, 40):
+        t.commit_append(_df(spark, lo, lo + 40, n_buckets=2))
+    r = t.index_keys(spark, "doc_id", n_bits=2048, k=3)
+    assert r["indexed_files"] > 0
+    meta_path, idx_dir = t._key_index_paths("doc_id")
+    meta = _json.load(open(meta_path))
+    assert (meta["n_bits"], meta["k"]) == (2048, 3)
+
+    # crashed-first-build state: params durable, no bitmaps yet
+    shutil.rmtree(idx_dir)
+    # a rebuild asking for DIFFERENT params must adopt the recorded ones
+    r2 = t.index_keys(spark, "doc_id", n_bits=1 << 17, k=5)
+    assert r2["indexed_files"] > 0
+    assert _json.load(open(meta_path))["n_bits"] == 2048
+
+    # and point-lookup pruning stays exact (superset guarantee intact)
+    got = sorted(
+        r["doc_id"]
+        for r in t.read(spark, prune=[("doc_id", "in", 7, 63)]).collect()
+        if r["doc_id"] in (7, 63)
+    )
+    assert got == [7, 63]
+
+
+def test_all_manifests_raises_on_persistently_torn_listing(spark, tmp_path, monkeypatch):
+    """Review r6 #4: _all_manifests must not silently return a partial
+    history when a listed manifest stays unopenable across the retry
+    budget (publish_branch's fast-forward safety check and tag reads
+    consume this view)."""
+    import os as _os
+
+    import pytest
+
+    t = IceliteTable(str(tmp_path / "tbl_torn"))
+    t.commit_append(_df(spark, 0, 10))
+    real_listdir = _os.listdir
+
+    def phantom(path):
+        names = real_listdir(path)
+        if _os.path.normpath(path) == _os.path.normpath(t.manifest_dir):
+            names = list(names) + ["snap-000099.json"]  # listed, never openable
+        return names
+
+    monkeypatch.setattr(_os, "listdir", phantom)
+    with pytest.raises(RuntimeError, match="incomplete after 5 attempts"):
+        t._all_manifests()

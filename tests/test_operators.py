@@ -2127,3 +2127,64 @@ def test_bm25_precomputed_postings_and_empty_query(spark):
     assert direct == reused
     with _pytest.raises(ValueError):
         R.bm25_topk(df, "  \t ", k=3)
+
+
+# ---- round-6 review-pass regressions ----------------------------------------
+
+
+def test_semantic_dedup_no_star_degradation_above_128(spark):
+    """Review r6 #1: clusters larger than the LSH star-edge cap (128)
+    must still test junior-junior pairs — pairwise comparison IS the
+    SemDeDup semantics (cosine is not transitive), and the DuckDB
+    oracle is full pairwise.  140-vector single cluster with an
+    identical junior pair far from the min-id representative: the
+    junior of the pair must drop."""
+    import numpy as np
+
+    from mini_html_parser_spark.operators import similarity as S
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(140, 32))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    vecs[101] = vecs[100]  # junior-junior exact pair, ids mid-cluster
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(140)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    out = S.semantic_dedup(df, k=1, threshold=0.95)
+    kept = {r["vec_id"]: r["keep"] for r in out.collect()}
+    assert len(kept) == 140
+    assert kept[100] is True      # senior of the pair survives
+    assert kept[101] is False     # junior must drop (star edges missed this)
+    # random 32-dim unit vectors: no other pair reaches 0.95
+    assert sum(1 for v in kept.values() if not v) == 1
+
+
+def test_bm25_postings_only_no_corpus(spark):
+    """Review r6 #6: with a precomputed postings frame, bm25_topk must
+    not touch the corpus at all — (N, avgdl) derive from the postings
+    (df=None works), and scores equal the direct path."""
+    from mini_html_parser_spark.operators import retrieval as R
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "b c d"), (3, "c d e")],
+        "doc_id long, text string",
+    )
+    direct = R.bm25_topk(df, "b d", k=3).collect()
+    postings_only = R.bm25_topk(None, "b d", k=3, postings=R.doc_terms(df)).collect()
+    assert direct == postings_only
+
+
+def test_dedup_paragraphs_regex_metachar_sep(spark):
+    """Review r6 #5: sep is a LITERAL separator contract — a regex
+    metacharacter sep ('|') must split on the character, not on the
+    empty-alternation regex (which splits between every char)."""
+    from mini_html_parser_spark.operators import dedup as D
+
+    df = spark.createDataFrame(
+        [(1, "shared line|unique one"), (2, "shared line|unique two")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in D.dedup_paragraphs(df, sep="|").collect()}
+    assert out[1]["text"] == "shared line|unique one"
+    assert out[2]["text"] == "unique two"
+    assert out[2]["n_dropped"] == 1
