@@ -154,3 +154,91 @@ def bm25_topk(
         .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def query_terms(
+    queries_df: DataFrame, query_col: str = "query", qid_col: str = "query_id"
+) -> DataFrame:
+    """Distinct ``(qid, term)`` rows from a query table — the same
+    whitespace contract as the corpus side, evaluated in Spark (no
+    driver tokenization: the query table may itself be large, e.g. a
+    benchmark's full eval set for leak triage)."""
+    toks = F.split(F.trim(F.col(query_col)), WS_RE)
+    return (
+        queries_df.select(F.col(qid_col), F.explode(toks).alias("term"))
+        .filter(F.length("term") > 0)
+        .distinct()
+    )
+
+
+def bm25_batch_topk(
+    df: DataFrame | None,
+    queries_df: DataFrame,
+    k: int = 10,
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_col: str = "query",
+    qid_col: str = "query_id",
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """Top-k per query for a whole TABLE of queries in ONE postings
+    pass — the lexical mirror of similarity.batch_topk (run the full
+    benchmark eval set against the corpus before a decontamination
+    pass, instead of one bm25_topk job per question).
+
+    Returns ``(qid, <id_col>, bm25, rank)`` with rank 1..k per qid,
+    scores rounded to 6 decimals BEFORE ranking (the cross-engine
+    ULP rule), ties on ascending doc id.
+
+    Scale shape: the query-term table is broadcast into the postings
+    join (a 10⁵-query eval set is a few MB of distinct terms), per-term
+    document frequencies are one small broadcast aggregate, scoring
+    shuffles only slim ``(qid, id, partial score)`` rows on one
+    groupBy, and the per-query cut is a row_number window that
+    Catalyst executes as WindowGroupLimit — each map task prunes to
+    its local top-k BEFORE the shuffle, so no query's full posting
+    list is ever sorted on one task.
+    """
+    from pyspark.sql import Window
+
+    if postings is None:
+        if df is None:
+            raise ValueError("bm25_batch_topk needs df or postings")
+        postings = doc_terms(df, text_col=text_col, id_col=id_col)
+        stats = corpus_stats(df, text_col=text_col)
+    else:
+        stats = (
+            postings.select(id_col, "dl")
+            .distinct()
+            .agg(
+                F.count(F.lit(1)).cast("double").alias("n_docs"),
+                F.avg(F.col("dl").cast("double")).alias("avgdl"),
+            )
+        )
+    qt = query_terms(queries_df, query_col=query_col, qid_col=qid_col)
+    # distinct terms once: df per term is query-independent
+    terms = qt.select("term").distinct()
+    hits = postings.join(F.broadcast(terms), "term")
+    dfreq = hits.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+
+    n, avgdl = F.col("n_docs"), F.col("avgdl")
+    tf, dl = F.col("tf").cast("double"), F.col("dl").cast("double")
+    idf = F.log((n - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    score = idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+    w = Window.partitionBy(qid_col).orderBy(
+        F.col("bm25").desc(), F.col(id_col).asc()
+    )
+    return (
+        hits.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(qt), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(qid_col, id_col)
+        .agg(F.round(F.sum(score), 6).alias("bm25"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

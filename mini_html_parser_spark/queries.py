@@ -3408,6 +3408,77 @@ LIMIT 15
 """
 
 
+def q_bm25_batch_topk(spark, sf_dir):
+    """Batched BM25: a whole query TABLE against the corpus in one
+    postings pass (retrieval.bm25_batch_topk) — the eval-set leak
+    triage shape.  Query terms and per-term df broadcast; scoring
+    shuffles slim (qid, doc, score) rows; the per-query cut executes
+    as WindowGroupLimit (map-side top-k before the shuffle)."""
+    queries_df = spark.createDataFrame(
+        [
+            (1, "hash join"),
+            (2, "window stream scan"),
+            (3, "parquet column  group"),
+        ],
+        "query_id long, query string",
+    )
+    out = retrieval.bm25_batch_topk(_docs(spark, sf_dir), queries_df, k=5)
+    return out.select("query_id", "doc_id", "bm25", "rank")
+
+
+ORACLE_BM25_BATCH = r"""
+WITH queries(query_id, query) AS (
+  VALUES (1, 'hash join'), (2, 'window stream scan'),
+         (3, 'parquet column  group')
+),
+toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\r\f\x0b]+') AS arr
+  FROM documents
+),
+dl AS (SELECT doc_id, CAST(len(arr) AS BIGINT) AS dl FROM toks),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         AVG(CAST(dl AS DOUBLE)) AS avgdl
+  FROM dl
+),
+qt AS (
+  SELECT DISTINCT query_id, term FROM (
+    SELECT query_id,
+           unnest(string_split_regex(trim(query), '[ \t\n\r\f\x0b]+')) AS term
+    FROM queries
+  ) WHERE length(term) > 0
+),
+terms AS (SELECT doc_id, unnest(arr) AS term FROM toks),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM terms
+  WHERE term IN (SELECT term FROM qt)
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+scores AS (
+  SELECT qt.query_id, tf.doc_id,
+         CAST(round(SUM(
+           ln((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+           * tf.tf * 2.5
+           / (tf.tf + 1.5 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+         ), 6) AS DOUBLE) AS bm25
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN qt USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY 1, 2
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, bm25,
+       CAST(row_number() OVER (
+         PARTITION BY query_id ORDER BY bm25 DESC, doc_id ASC
+       ) AS INTEGER) AS rank
+FROM scores
+QUALIFY rank <= 5
+"""
+
+
 def q_dedup_keep_best(spark, sf_dir):
     """Keep-BEST retention over normalized-exact duplicate clusters
     (dedup.keep_longest_normalized): plants two whitespace/case
@@ -3480,8 +3551,8 @@ QUALIFY row_number() OVER (
 # Round-6 rotation (VERDICT r5 #5): the 22-entry r5 tail
 # (events/multimodal/dedup_substring/quality families — last
 # driver-recorded r04, judge-green via check_oracles.py in r5)
-# rotates back into the window, led by the twenty NEW round-6 entries
-# (bm25_topk, dedup_keep_best,
+# rotates back into the window, led by the twenty-one NEW round-6 entries
+# (bm25_topk, bm25_batch_topk, dedup_keep_best,
 # icelite_rollback, icelite_partitions_meta, icelite_zorder_prune,
 # icelite_rewrite, similarity_sq8_topk, icelite_sql_view,
 # icelite_wap,
@@ -3493,11 +3564,12 @@ QUALIFY row_number() OVER (
 # recorded green move toward the tail; every tail entry additionally
 # has an independent pytest and a full check_oracles.py re-run each
 # round.
-# Authoritative count this round: 95 queries, 95 oracles (no
+# Authoritative count this round: 96 queries, 96 oracles (no
 # rows-only entries) — COVERAGE.md carries the same number.
 QUERIES = {
     # NEW this round (insert-at-top rule)
     "bm25_topk": q_bm25_topk,
+    "bm25_batch_topk": q_bm25_batch_topk,
     "dedup_keep_best": q_dedup_keep_best,
     "icelite_rollback": q_icelite_rollback,
     "icelite_partitions_meta": q_icelite_partitions_meta,
@@ -3605,6 +3677,7 @@ QUERIES = {
 
 ORACLES = {
     "bm25_topk": ORACLE_BM25_TOPK,
+    "bm25_batch_topk": ORACLE_BM25_BATCH,
     "dedup_keep_best": ORACLE_DEDUP_KEEP_BEST,
     "icelite_rollback": ORACLE_ICELITE_ROLLBACK,
     "icelite_partitions_meta": ORACLE_ICELITE_PARTITIONS,

@@ -2188,3 +2188,31 @@ def test_dedup_paragraphs_regex_metachar_sep(spark):
     assert out[1]["text"] == "shared line|unique one"
     assert out[2]["text"] == "unique two"
     assert out[2]["n_dropped"] == 1
+
+
+def test_bm25_batch_topk_parity_and_plan(spark):
+    """Batched BM25 must equal per-query bm25_topk exactly (same
+    rounding, same tie-break), and the plan must be broadcast-joined
+    with a WindowGroupLimit per-query cut — no SortMergeJoin, no
+    Python stage."""
+    from mini_html_parser_spark.operators import retrieval as R
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    queries = [(1, "hash join"), (2, "window stream scan")]
+    qdf = spark.createDataFrame(queries, "query_id long, query string")
+    batch = R.bm25_batch_topk(df, qdf, k=5)
+    got = {
+        qid: [(r["doc_id"], r["bm25"]) for r in batch.filter(
+            F.col("query_id") == qid).orderBy("rank").collect()]
+        for qid, _ in queries
+    }
+    for qid, q in queries:
+        single = [(r["doc_id"], r["bm25"]) for r in R.bm25_topk(df, q, k=5).collect()]
+        assert got[qid] == single, qid
+
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
