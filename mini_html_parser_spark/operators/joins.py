@@ -229,3 +229,58 @@ def _split_union(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return u, w
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bin_width: int,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Interval (range) join: every ``left`` row paired with each
+    ``right`` row whose ``[start_col, end_col)`` interval contains the
+    left row's ``point_col`` (and whose ``key_cols`` match, when
+    given).  Spark plans the naive theta-join
+    (``start <= p AND p < end``) as a BroadcastNestedLoopJoin — an
+    O(|L|·|R|) scan per partition that no AQE setting rescues once
+    both sides are large.
+
+    The scale-correct shape is BIN BUCKETING (the range-join
+    optimization Databricks exposes as a hint, built from primitives
+    here): each interval explodes into the ``bin_width``-sized bins it
+    covers (one ``F.sequence`` — pure codegen), each point lands in
+    exactly ONE bin, and the join becomes a plain shuffled EQUI-join
+    on (key?, bin) + a residual containment filter.  Each matching
+    pair meets in exactly one bin (the point's), so no dedup pass is
+    needed.  Cost: |R| × (interval_len / bin_width) exploded rows —
+    pick ``bin_width`` near the MEDIAN interval length so typical
+    intervals land in 1-2 bins; short bins inflate the right side,
+    long bins inflate the residual filter's false candidates, and both
+    degrade gracefully rather than quadratically.
+
+    Columns are numeric (cast timestamps to epoch seconds/micros
+    upstream — keeps the binning arithmetic engine-portable).  Output:
+    the left row plus the matched right row's non-key columns.
+    """
+    key_cols = key_cols or []
+    p, s, e = F.col(point_col), F.col(start_col), F.col(end_col)
+    # last covered bin: (end - 1) // w — end is exclusive, so an
+    # interval ending exactly on a bin edge must NOT claim that bin
+    bins = F.sequence(
+        F.floor(s / bin_width), F.floor((e - 1) / bin_width)
+    )
+    r_binned = right.withColumn("_bin", F.explode(bins))
+    l_binned = left.withColumn("_bin", F.floor(p / bin_width))
+    on = ["_bin", *key_cols]
+    out_cols = [
+        *[F.col(c) for c in left.columns],
+        *[F.col(c) for c in right.columns if c not in key_cols],
+    ]
+    return (
+        l_binned.join(r_binned, on)
+        .filter((s <= p) & (p < e))
+        .select(*out_cols)
+    )

@@ -3408,6 +3408,55 @@ LIMIT 15
 """
 
 
+def q_events_range_join(spark, sf_dir):
+    """Interval containment via joins.range_join (bin bucketing): each
+    event joined to the 1-hour per-user windows opened by every 97th
+    event.  The naive theta-join is a BroadcastNestedLoopJoin; the
+    binned shape is a plain shuffled equi-join on (user, 10-min bin)
+    + residual filter — each pair meets in exactly one bin, no dedup.
+    Epoch micros on both engines (unix_micros / epoch_us)."""
+    from .operators import joins
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        # ts is TIMESTAMP_NTZ; the cast adopts the session tz (UTC on
+        # this rig) so unix_micros == DuckDB epoch_us exactly
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+    )
+    win = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 97 == 0)
+        .select(
+            F.col("event_id").alias("window_id"),
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ws"),
+            (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                + F.lit(3_600_000_000)
+            ).alias("we"),
+        )
+    )
+    out = joins.range_join(
+        ev, win, "t", "ws", "we", bin_width=600_000_000, key_cols=["user_id"]
+    )
+    return out.select("event_id", "user_id", "window_id")
+
+
+ORACLE_EVENTS_RANGE_JOIN = """
+WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events),
+win AS (
+  SELECT event_id AS window_id, user_id, epoch_us(ts) AS ws,
+         epoch_us(ts) + 3600000000 AS we
+  FROM events WHERE event_id % 97 = 0
+)
+SELECT e.event_id, e.user_id, w.window_id
+FROM ev e
+JOIN win w
+  ON e.user_id = w.user_id AND w.ws <= e.t AND e.t < w.we
+"""
+
+
 def q_bm25_batch_topk(spark, sf_dir):
     """Batched BM25: a whole query TABLE against the corpus in one
     postings pass (retrieval.bm25_batch_topk) — the eval-set leak
@@ -3551,8 +3600,8 @@ QUALIFY row_number() OVER (
 # Round-6 rotation (VERDICT r5 #5): the 22-entry r5 tail
 # (events/multimodal/dedup_substring/quality families — last
 # driver-recorded r04, judge-green via check_oracles.py in r5)
-# rotates back into the window, led by the twenty-one NEW round-6 entries
-# (bm25_topk, bm25_batch_topk, dedup_keep_best,
+# rotates back into the window, led by the twenty-two NEW round-6 entries
+# (bm25_topk, bm25_batch_topk, dedup_keep_best, events_range_join,
 # icelite_rollback, icelite_partitions_meta, icelite_zorder_prune,
 # icelite_rewrite, similarity_sq8_topk, icelite_sql_view,
 # icelite_wap,
@@ -3564,12 +3613,13 @@ QUALIFY row_number() OVER (
 # recorded green move toward the tail; every tail entry additionally
 # has an independent pytest and a full check_oracles.py re-run each
 # round.
-# Authoritative count this round: 96 queries, 96 oracles (no
+# Authoritative count this round: 97 queries, 97 oracles (no
 # rows-only entries) — COVERAGE.md carries the same number.
 QUERIES = {
     # NEW this round (insert-at-top rule)
     "bm25_topk": q_bm25_topk,
     "bm25_batch_topk": q_bm25_batch_topk,
+    "events_range_join": q_events_range_join,
     "dedup_keep_best": q_dedup_keep_best,
     "icelite_rollback": q_icelite_rollback,
     "icelite_partitions_meta": q_icelite_partitions_meta,
@@ -3678,6 +3728,7 @@ QUERIES = {
 ORACLES = {
     "bm25_topk": ORACLE_BM25_TOPK,
     "bm25_batch_topk": ORACLE_BM25_BATCH,
+    "events_range_join": ORACLE_EVENTS_RANGE_JOIN,
     "dedup_keep_best": ORACLE_DEDUP_KEEP_BEST,
     "icelite_rollback": ORACLE_ICELITE_ROLLBACK,
     "icelite_partitions_meta": ORACLE_ICELITE_PARTITIONS,

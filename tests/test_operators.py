@@ -2216,3 +2216,83 @@ def test_bm25_batch_topk_parity_and_plan(spark):
     assert "WindowGroupLimit" in plan
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_range_join_semantics_and_plan(spark):
+    """range_join edge cases (point==start in, point==end out,
+    interval ending ON a bin edge claims no extra bin, multi-bin
+    spans, key isolation), randomized parity vs the naive theta-join,
+    and the plan pin: equi-join only — the naive shape's
+    BroadcastNestedLoopJoin must NOT appear."""
+    import numpy as np
+
+    from mini_html_parser_spark.operators.joins import range_join
+
+    left = spark.createDataFrame(
+        [(1, "u", 0), (2, "u", 5), (3, "u", 10), (4, "u", 15), (5, "v", 5)],
+        "pid long, k string, t long",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, "u", 0, 10),   # catches t=0,5; NOT t=10 (end exclusive)
+            (11, "u", 10, 12),  # ends on bin edge (w=4: bins 2 only)
+            (12, "u", 3, 30),   # multi-bin span
+            (13, "v", 0, 100),  # other key: only pid=5
+        ],
+        "wid long, k string, s long, e long",
+    )
+    out = range_join(left, right, "t", "s", "e", bin_width=4, key_cols=["k"])
+    got = sorted((r["pid"], r["wid"]) for r in out.collect())
+    assert got == [
+        (1, 10), (2, 10), (2, 12),
+        (3, 11), (3, 12), (4, 12), (5, 13),
+    ]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+    # randomized parity vs the naive theta-join
+    rng = np.random.default_rng(11)
+    pts = [(int(i), int(k), int(t)) for i, (k, t) in enumerate(
+        zip(rng.integers(0, 3, 200), rng.integers(0, 1000, 200)))]
+    ivs = []
+    for j in range(60):
+        s = int(rng.integers(0, 950))
+        ivs.append((j, int(rng.integers(0, 3)), s, s + int(rng.integers(1, 200))))
+    l = spark.createDataFrame(pts, "pid long, k long, t long")
+    r = spark.createDataFrame(ivs, "wid long, k long, s long, e long")
+    fast = sorted((x["pid"], x["wid"]) for x in range_join(
+        l, r, "t", "s", "e", bin_width=37, key_cols=["k"]).collect())
+    naive = sorted((x["pid"], x["wid"]) for x in l.join(
+        r, (l.k == r.k) & (r.s <= l.t) & (l.t < r.e)).collect())
+    assert fast == naive and len(fast) > 100
+
+
+def test_bm25_postings_incremental_maintenance(spark):
+    """The postings table is incrementally maintainable BY
+    CONSTRUCTION (rows are per-doc, no cross-doc state): appending
+    doc_terms(new_batch) to a stored postings frame equals a full
+    rebuild, and deletes are an anti-join on the id — the same
+    maintain-the-summary pattern as the md5/bloom/band indexes."""
+    from mini_html_parser_spark.operators import retrieval as R
+
+    old = spark.createDataFrame(
+        [(1, "spark shuffle join"), (2, "join filter scan")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(3, "parquet scan pushdown join")], "doc_id long, text string"
+    )
+    incremental = R.doc_terms(old).unionByName(R.doc_terms(new))
+    rebuilt = R.doc_terms(old.unionByName(new))
+    q = "join scan"
+    a = R.bm25_topk(None, q, k=3, postings=incremental).collect()
+    b = R.bm25_topk(None, q, k=3, postings=rebuilt).collect()
+    assert a == b and len(a) == 3
+
+    # retraction: drop doc 2's postings rows, results match a corpus
+    # that never had it
+    retracted = incremental.filter(F.col("doc_id") != 2)
+    c = R.bm25_topk(None, q, k=3, postings=retracted).collect()
+    d = R.bm25_topk(old.filter(F.col("doc_id") != 2).unionByName(new), q, k=3).collect()
+    assert c == d
