@@ -242,3 +242,56 @@ def bm25_batch_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def top_terms_per_doc(
+    df: DataFrame | None,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document keyword extraction: the top-``n`` terms by
+    smoothed TF-IDF (sklearn's ``ln((1+N)/(1+df)) + 1`` idf with a
+    ``tf/dl`` length-normalized term weight) — corpus exploration,
+    topic tagging, and cluster labeling over the same postings frame
+    BM25 queries use.
+
+    Returns ``(<id_col>, term, tfidf, rank)`` with rank 1..n per doc,
+    tfidf rounded to 6 decimals BEFORE ranking (cross-engine ULP
+    rule), ties on ascending term.
+
+    Scale shape: document frequencies are one vocabulary-sized
+    aggregate joined back on the term key (vocab is NOT broadcastable
+    at corpus scale — this is a plain co-partitioned shuffle join, and
+    the only one in the plan beyond the postings build); the per-doc
+    cut is WindowGroupLimit (map-side top-n before the shuffle).
+    """
+    if postings is None:
+        if df is None:
+            raise ValueError("top_terms_per_doc needs df or postings")
+        postings = doc_terms(df, text_col=text_col, id_col=id_col)
+    stats = (
+        postings.select(id_col, "dl")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    )
+    dfreq = postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    from pyspark.sql import Window
+
+    tf, dl = F.col("tf").cast("double"), F.col("dl").cast("double")
+    idf = F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df"))) + 1.0
+    score = tf / dl * idf
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        postings.join(dfreq, "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("tfidf", F.round(score, 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n)
+        .select(id_col, "term", "tfidf", "rank")
+    )

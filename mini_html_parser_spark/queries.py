@@ -3408,6 +3408,46 @@ LIMIT 15
 """
 
 
+def q_tfidf_top_terms(spark, sf_dir):
+    """Per-document keyword extraction: top-3 smoothed-TF-IDF terms
+    (retrieval.top_terms_per_doc).  The vocabulary df aggregate is the
+    one non-broadcast shuffle; the per-doc cut is WindowGroupLimit."""
+    out = retrieval.top_terms_per_doc(_docs(spark, sf_dir), n=3)
+    return out.select("doc_id", "term", "tfidf", "rank")
+
+
+ORACLE_TFIDF_TOP_TERMS = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\r\f\x0b]+') AS arr
+  FROM documents
+),
+dl AS (SELECT doc_id, CAST(len(arr) AS BIGINT) AS dl FROM toks),
+stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM dl),
+terms AS (SELECT doc_id, unnest(arr) AS term FROM toks),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM terms GROUP BY 1, 2
+),
+dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+sc AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(round(
+           tf.tf / dl.dl * (ln((1.0 + stats.n) / (1.0 + dfreq.df)) + 1.0),
+         6) AS DOUBLE) AS tfidf
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+)
+SELECT doc_id, term, tfidf,
+       CAST(row_number() OVER (
+         PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+       ) AS INTEGER) AS rank
+FROM sc
+QUALIFY rank <= 3
+"""
+
+
 def q_events_range_join(spark, sf_dir):
     """Interval containment via joins.range_join (bin bucketing): each
     event joined to the 1-hour per-user windows opened by every 97th
@@ -3600,8 +3640,8 @@ QUALIFY row_number() OVER (
 # Round-6 rotation (VERDICT r5 #5): the 22-entry r5 tail
 # (events/multimodal/dedup_substring/quality families — last
 # driver-recorded r04, judge-green via check_oracles.py in r5)
-# rotates back into the window, led by the twenty-two NEW round-6 entries
-# (bm25_topk, bm25_batch_topk, dedup_keep_best, events_range_join,
+# rotates back into the window, led by the twenty-three NEW round-6 entries
+# (bm25_topk, bm25_batch_topk, tfidf_top_terms, dedup_keep_best, events_range_join,
 # icelite_rollback, icelite_partitions_meta, icelite_zorder_prune,
 # icelite_rewrite, similarity_sq8_topk, icelite_sql_view,
 # icelite_wap,
@@ -3613,12 +3653,13 @@ QUALIFY row_number() OVER (
 # recorded green move toward the tail; every tail entry additionally
 # has an independent pytest and a full check_oracles.py re-run each
 # round.
-# Authoritative count this round: 97 queries, 97 oracles (no
+# Authoritative count this round: 98 queries, 98 oracles (no
 # rows-only entries) — COVERAGE.md carries the same number.
 QUERIES = {
     # NEW this round (insert-at-top rule)
     "bm25_topk": q_bm25_topk,
     "bm25_batch_topk": q_bm25_batch_topk,
+    "tfidf_top_terms": q_tfidf_top_terms,
     "events_range_join": q_events_range_join,
     "dedup_keep_best": q_dedup_keep_best,
     "icelite_rollback": q_icelite_rollback,
@@ -3728,6 +3769,7 @@ QUERIES = {
 ORACLES = {
     "bm25_topk": ORACLE_BM25_TOPK,
     "bm25_batch_topk": ORACLE_BM25_BATCH,
+    "tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
     "events_range_join": ORACLE_EVENTS_RANGE_JOIN,
     "dedup_keep_best": ORACLE_DEDUP_KEEP_BEST,
     "icelite_rollback": ORACLE_ICELITE_ROLLBACK,

@@ -2296,3 +2296,37 @@ def test_bm25_postings_incremental_maintenance(spark):
     c = R.bm25_topk(None, q, k=3, postings=retracted).collect()
     d = R.bm25_topk(old.filter(F.col("doc_id") != 2).unionByName(new), q, k=3).collect()
     assert c == d
+
+
+def test_top_terms_per_doc_hand_computed(spark):
+    """TF-IDF keyword extraction against hand-derived scores on a
+    3-doc corpus, postings-reuse parity, and the WindowGroupLimit
+    per-doc cut."""
+    import math
+
+    from mini_html_parser_spark.operators import retrieval as R
+
+    df = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "banana cherry"), (3, "cherry date")],
+        "doc_id long, text string",
+    )
+    out = R.top_terms_per_doc(df, n=1)
+    got = {r["doc_id"]: (r["term"], r["tfidf"]) for r in out.collect()}
+
+    def tfidf(tf, dl, dfq, n=3.0):
+        return round(tf / dl * (math.log((1.0 + n) / (1.0 + dfq)) + 1.0), 6)
+
+    # doc 1: apple tf=2/3 df=1 beats banana 1/3 df=2
+    assert got[1] == ("apple", tfidf(2, 3, 1))
+    # doc 3: date df=1 beats cherry df=2 at equal tf
+    assert got[3] == ("date", tfidf(1, 2, 1))
+    # doc 2: banana vs cherry both df=2, tf=1/2 -> tie, term ASC wins
+    assert got[2] == ("banana", tfidf(1, 2, 2))
+
+    reused = R.top_terms_per_doc(None, n=1, postings=R.doc_terms(df)).collect()
+    assert sorted(reused, key=lambda r: r["doc_id"]) == [
+        out.orderBy("doc_id").collect()[i] for i in range(3)
+    ]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
