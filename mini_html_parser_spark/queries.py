@@ -3408,6 +3408,66 @@ LIMIT 15
 """
 
 
+def q_icelite_matview_postings(spark, sf_dir):
+    """CDC-maintained materialized view (plans/matview.py): a BM25
+    postings table tracks the corpus through an initial load, a
+    re-crawl upsert (doc_id%10==4, merge) and a takedown delete
+    (doc_id%10==3) — three maintenance cycles driven by
+    consume_changes, each source snapshot applied as replay-skippable
+    del/ins commits.  Returns the final postings rows; the oracle
+    states doc_terms over the NET corpus relationally, so any missed
+    retraction, double-applied insert, or stale upsert row breaks the
+    hash."""
+    import shutil
+    import tempfile
+
+    from .plans.icelite import IceliteTable
+    from .plans.matview import maintain_derived, postings_transform
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="icelite_matview_q_")
+    try:
+        src = IceliteTable(os.path.join(tmp, "src"))
+        pv = IceliteTable(os.path.join(tmp, "postings"))
+        tr = postings_transform(n_buckets=8)
+        bucket = F.pmod(F.col("doc_id"), F.lit(8)).cast("int")
+        src.commit_append(docs.withColumn("bucket", bucket))
+        maintain_derived(spark, src, pv, tr)
+        recrawl = docs.filter(F.col("doc_id") % 10 == 4).select(
+            "doc_id",
+            F.concat(F.lit("recrawl: "), F.col("text")).alias("text"),
+        )
+        src.merge(recrawl.withColumn("bucket", bucket), key_col="doc_id")
+        src.commit_delete(
+            docs.filter(F.col("doc_id") % 10 == 3).select("doc_id")
+        )
+        maintain_derived(spark, src, pv, tr)
+        out = pv.read(spark).select("doc_id", "term", "tf", "dl")
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+ORACLE_ICELITE_MATVIEW = r"""
+WITH net AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id % 10 NOT IN (3, 4)
+  UNION ALL
+  SELECT doc_id, 'recrawl: ' || text FROM documents WHERE doc_id % 10 = 4
+),
+toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\r\f\x0b]+') AS arr
+  FROM net
+)
+SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf,
+       CAST(any_value(dl) AS BIGINT) AS dl
+FROM (
+  SELECT doc_id, unnest(arr) AS term, len(arr) AS dl FROM toks
+)
+GROUP BY doc_id, term
+"""
+
+
 def q_tfidf_top_terms(spark, sf_dir):
     """Per-document keyword extraction: top-3 smoothed-TF-IDF terms
     (retrieval.top_terms_per_doc).  The vocabulary df aggregate is the
@@ -3640,8 +3700,9 @@ QUALIFY row_number() OVER (
 # Round-6 rotation (VERDICT r5 #5): the 22-entry r5 tail
 # (events/multimodal/dedup_substring/quality families — last
 # driver-recorded r04, judge-green via check_oracles.py in r5)
-# rotates back into the window, led by the twenty-three NEW round-6 entries
-# (bm25_topk, bm25_batch_topk, tfidf_top_terms, dedup_keep_best, events_range_join,
+# rotates back into the window, led by the twenty-four NEW round-6 entries
+# (bm25_topk, bm25_batch_topk, tfidf_top_terms, icelite_matview_postings,
+# dedup_keep_best, events_range_join,
 # icelite_rollback, icelite_partitions_meta, icelite_zorder_prune,
 # icelite_rewrite, similarity_sq8_topk, icelite_sql_view,
 # icelite_wap,
@@ -3653,13 +3714,14 @@ QUALIFY row_number() OVER (
 # recorded green move toward the tail; every tail entry additionally
 # has an independent pytest and a full check_oracles.py re-run each
 # round.
-# Authoritative count this round: 98 queries, 98 oracles (no
+# Authoritative count this round: 99 queries, 99 oracles (no
 # rows-only entries) — COVERAGE.md carries the same number.
 QUERIES = {
     # NEW this round (insert-at-top rule)
     "bm25_topk": q_bm25_topk,
     "bm25_batch_topk": q_bm25_batch_topk,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "icelite_matview_postings": q_icelite_matview_postings,
     "events_range_join": q_events_range_join,
     "dedup_keep_best": q_dedup_keep_best,
     "icelite_rollback": q_icelite_rollback,
@@ -3770,6 +3832,7 @@ ORACLES = {
     "bm25_topk": ORACLE_BM25_TOPK,
     "bm25_batch_topk": ORACLE_BM25_BATCH,
     "tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
+    "icelite_matview_postings": ORACLE_ICELITE_MATVIEW,
     "events_range_join": ORACLE_EVENTS_RANGE_JOIN,
     "dedup_keep_best": ORACLE_DEDUP_KEEP_BEST,
     "icelite_rollback": ORACLE_ICELITE_ROLLBACK,
