@@ -966,23 +966,24 @@ def neardup_against(
     if within_batch:
         # reuse sh_new instead of re-shingling the survivors
         # (jaccard_duplicates(out) would recompute the full
-        # shingle+minhash chain): pairs over the WHOLE batch filtered
-        # to both-endpoints-surviving are exactly the pairs among the
-        # survivors — signatures and band buckets are per-doc, so
-        # restricting the input rows restricts the candidate pairs to
-        # the same subset.
+        # shingle+minhash chain) — but the LSH pass itself must run
+        # over the SURVIVOR subset of the shingle frame, not the whole
+        # batch: _bucket_pairs' >128 star-edge fallback anchors on the
+        # bucket's min id, and a full-batch bucket whose representative
+        # was removed by the cross-corpus pass (or whose survivor
+        # subset shrinks back under the cap) would lose junior-junior
+        # edges that jaccard_duplicates(out) emits (review r6 pass 2 —
+        # the same non-transitivity class as the semantic_dedup fix).
+        # Filtering the shingle frame keeps the expensive work shared
+        # and the semantics identical to the survivors-only run.
+        sh_out = sh_new.join(out.select(id_col), id_col, "left_semi")
         intra_cands = minhash_lsh_candidates(
-            new_df, text_col, id_col, num_hashes, bands, shingle_n,
-            shingle_df=sh_new,
+            out, text_col, id_col, num_hashes, bands, shingle_n,
+            shingle_df=sh_out,
         )
         intra = jaccard_verify(
             intra_cands, None, text_col, id_col, shingle_n, threshold,
-            shingle_df=sh_new,
-        )
-        out_a = out.select(F.col(id_col).alias("id_a"))
-        out_b = out.select(F.col(id_col).alias("id_b"))
-        intra = intra.join(out_a, "id_a", "left_semi").join(
-            out_b, "id_b", "left_semi"
+            shingle_df=sh_out,
         )
         juniors = intra.select(F.col("id_b").alias(id_col)).distinct()
         out = out.join(juniors, id_col, "left_anti")
@@ -1184,14 +1185,17 @@ def keep_best_in_cluster(
     hot cluster on one task (same reasoning as dedup_paragraphs).
 
     Requires a numeric ``score_col`` (negated for the min-struct
-    trick); NaN scores never win unless the whole cluster is NaN
-    (Spark orders NaN greater than every double).  ``(cluster, id)``
-    must be unique, which makes the struct comparison total before the
-    trailing payload fields are ever consulted.
+    trick); NaN and NULL scores never win unless the whole cluster is
+    unscored (NaN orders greater than every double; a NULL negation
+    would order FIRST in the min-struct, so it is coalesced to +inf —
+    an unscored copy must lose to any scored one, review r6 pass 2).
+    ``(cluster, id)`` must be unique, which makes the struct
+    comparison total before the trailing payload fields are ever
+    consulted.
     """
     payload = [c for c in df.columns if c not in (cluster_col, score_col, id_col)]
     w = F.struct(
-        (-F.col(score_col)).alias("_ns"),
+        F.coalesce(-F.col(score_col), F.lit(float("inf"))).alias("_ns"),
         F.col(id_col).alias(id_col),
         F.col(score_col).alias(score_col),
         *[F.col(c).alias(c) for c in payload],

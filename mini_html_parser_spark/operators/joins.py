@@ -267,6 +267,13 @@ def range_join(
     """
     key_cols = key_cols or []
     p, s, e = F.col(point_col), F.col(start_col), F.col(end_col)
+    # Degenerate intervals (end <= start) can never contain a point
+    # under start <= p < end, so dropping them is semantics-preserving
+    # — and MANDATORY before the sequence: Spark's two-arg F.sequence
+    # defaults to step -1 when start > stop, so one corrupted/sentinel
+    # reversed interval (e.g. end=0) would materialize a multi-million
+    # element DESCENDING bin array on an executor (review r6 pass 2).
+    right = right.filter(e > s)
     # last covered bin: (end - 1) // w — end is exclusive, so an
     # interval ending exactly on a bin edge must NOT claim that bin
     bins = F.sequence(

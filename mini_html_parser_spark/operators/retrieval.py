@@ -84,7 +84,15 @@ def corpus_stats(
     df: DataFrame, text_col: str = "text"
 ) -> DataFrame:
     """1-row frame ``(n_docs, avgdl)`` — kept as a lazy crossJoin side
-    (Spark broadcasts single-row aggregates), not a driver collect."""
+    (Spark broadcasts single-row aggregates), not a driver collect.
+
+    NULL-text rows are NOT documents: they carry no terms (explode of
+    a null token array emits nothing, so they have no postings rows
+    either), and counting them here while the postings-derived stats
+    path can't see them would make the two bm25_topk entry points
+    disagree on N — the df path filters them out so both paths compute
+    identical stats on any corpus (review r6 pass 2)."""
+    df = df.filter(F.col(text_col).isNotNull())
     toks = F.split(F.trim(F.col(text_col)), WS_RE)
     return df.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),

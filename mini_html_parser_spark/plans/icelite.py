@@ -1675,6 +1675,23 @@ class IceliteTable:
             out = out.unionByName(p)
         return out
 
+    def committed_stream_ids(self) -> set:
+        """The replay-skip identity set: every ``stream_batch_id``
+        recorded by a commit, including ids folded into
+        ``stream_batch_ids`` by compaction (the identity-not-counter
+        rule).  THE single implementation of the exactly-once fold —
+        the streaming icelite sink and matview maintenance both
+        consume this (review r6 pass 2: two hand-rolled copies would
+        have to track the compaction folding rule in lockstep).
+        Metadata-only: manifests, no data files."""
+        seen: set = set()
+        for s in self.snapshots():
+            m = s.get("metrics") or {}
+            if "stream_batch_id" in m:
+                seen.add(m["stream_batch_id"])
+            seen.update(m.get("stream_batch_ids") or [])
+        return seen
+
     def consume_changes(self, spark, consumer_id: str):
         """AT-LEAST-ONCE changelog consumption — the polling-consumer
         loop around :meth:`read_changes` that a downstream job (index

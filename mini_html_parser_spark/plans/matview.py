@@ -40,16 +40,10 @@ from .icelite import IceliteTable
 
 
 def applied_ids(derived: IceliteTable) -> set:
-    """Commit identities already applied to ``derived`` — a metadata
-    fold (manifest metrics only, no data read); compaction-safe via
-    the stream_batch_ids folding rule."""
-    seen: set = set()
-    for s in derived.snapshots():
-        m = s.get("metrics") or {}
-        if "stream_batch_id" in m:
-            seen.add(m["stream_batch_id"])
-        seen.update(m.get("stream_batch_ids") or [])
-    return seen
+    """Commit identities already applied to ``derived`` — delegates to
+    the table's single replay-skip fold (compaction-safe; shared with
+    the streaming sink)."""
+    return derived.committed_stream_ids()
 
 
 def maintain_derived(
@@ -76,46 +70,69 @@ def maintain_derived(
     changes, ack = source.consume_changes(spark, consumer_id)
     if changes is None:
         return {"snapshots_applied": 0, "at_tip": True}
+    # the loop below slices the window once per snapshot — materialize
+    # the changelog plan once (GC-managed blocks, the neardup/bloom
+    # precedent) instead of re-executing the full read_changes union
+    # per iteration
+    changes = changes.localCheckpoint(eager=True)
     seen = applied_ids(derived)
     meta_cols = ["_change_type", "_commit_sequence", "_commit_snapshot_id"]
-    # snapshot ids of the window, in sequence order (driver-side: one
-    # tiny distinct over the window's METADATA columns)
-    snaps = [
-        (r["_commit_sequence"], r["_commit_snapshot_id"])
-        for r in changes.select(meta_cols[1], meta_cols[2])
-        .distinct()
-        .collect()
-    ]
-    applied = 0
-    for _seq, sid in sorted(snaps):
-        ev = changes.filter(F.col("_commit_snapshot_id") == sid)
-        ins = ev.filter(F.col("_change_type") == "insert").drop(*meta_cols)
-        dels = ev.filter(F.col("_change_type") == "delete").drop(*meta_cols)
-        ins_keys = ins.select(key_col).distinct()
-        # pure retractions only: keys also re-inserted in this snapshot
-        # are retracted by the merge commit itself (one atomic manifest)
-        pure_del = dels.select(key_col).distinct().join(
-            ins_keys, key_col, "left_anti"
+    # window snapshots + their event-kind presence in ONE driver-side
+    # metadata aggregate, so insert-only snapshots (the commit-heavy
+    # ingest common case) never launch an empty delete-commit job
+    snaps = (
+        changes.groupBy(meta_cols[1], meta_cols[2])
+        .agg(
+            F.sum((F.col(meta_cols[0]) == "delete").cast("int")).alias("nd"),
+            F.sum((F.col(meta_cols[0]) == "insert").cast("int")).alias("ni"),
         )
+        .collect()
+    )
+    applied = 0
+    for row in sorted(snaps, key=lambda r: r[meta_cols[1]]):
+        sid, has_del, has_ins = (
+            row[meta_cols[2]], row["nd"] > 0, row["ni"] > 0,
+        )
+        ev = changes.filter(F.col("_commit_snapshot_id") == sid)
         del_id, ins_id = f"mv:{sid}:del", f"mv:{sid}:ins"
-        # an empty derived table has nothing to retract (and
-        # commit_delete on a snapshot-less table is a loud error)
-        if del_id not in seen and derived.current_snapshot() is not None:
-            snap = derived.commit_delete(
+        # skip conditions: already applied (replay), nothing to do
+        # (insert-only / delete-only snapshot — the skipped commit is
+        # empty by construction, so never recording its identity is
+        # harmless on replay), or an empty derived table (nothing to
+        # retract; commit_delete on a snapshot-less table is a loud
+        # error)
+        if (
+            del_id not in seen
+            and has_del
+            and derived.current_snapshot() is not None
+        ):
+            ins_keys = (
+                ev.filter(F.col("_change_type") == "insert")
+                .select(key_col)
+                .distinct()
+            )
+            # pure retractions only: keys also re-inserted in this
+            # snapshot are retracted by the merge commit itself (one
+            # atomic manifest)
+            pure_del = (
+                ev.filter(F.col("_change_type") == "delete")
+                .select(key_col)
+                .distinct()
+                .join(ins_keys, key_col, "left_anti")
+            )
+            if derived.commit_delete(
                 pure_del, key_col=key_col,
                 metrics={"stream_batch_id": del_id},
-            )
-            # commit_delete returns None on empty keys: record the
-            # identity anyway via the next insert commit's skip being
-            # harmless (an empty delete replayed is still empty)
-            if snap is not None:
+            ) is not None:
                 seen.add(del_id)
-        if ins_id not in seen:
-            snap = derived.merge(
+        if ins_id not in seen and has_ins:
+            ins = ev.filter(F.col("_change_type") == "insert").drop(
+                *meta_cols
+            )
+            if derived.merge(
                 transform(ins), key_col=key_col,
                 metrics={"stream_batch_id": ins_id},
-            )
-            if snap is not None:
+            ) is not None:
                 seen.add(ins_id)
         applied += 1
     ack()

@@ -323,11 +323,7 @@ def icelite_batch_writer(
             else IceliteTable(table_path)
         )
         if not state["loaded"]:
-            for s in table.snapshots():
-                m = s.get("metrics") or {}
-                if "stream_batch_id" in m:
-                    seen.add(m["stream_batch_id"])
-                seen.update(m.get("stream_batch_ids") or [])
+            seen.update(table.committed_stream_ids())
             state["loaded"] = True
         if batch_id in seen:
             return  # replay of an already-committed batch

@@ -2330,3 +2330,92 @@ def test_top_terms_per_doc_hand_computed(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---- round-6 review pass 2 regressions ---------------------------------------
+
+
+def test_keep_best_null_score_never_wins(spark):
+    """Review r6 p2 #2: a NULL score must lose to any finite score
+    (the unscored copy must not survive the cluster); an all-NULL
+    cluster falls back to min id."""
+    from mini_html_parser_spark.operators import dedup as D
+
+    df = spark.createDataFrame(
+        [(1, "c1", None, "x"), (2, "c1", 0.9, "y"),
+         (5, "c2", None, "z"), (4, "c2", None, "w")],
+        "doc_id long, cluster string, score double, payload string",
+    )
+    got = {r["cluster"]: r["doc_id"] for r in
+           D.keep_best_in_cluster(df, "cluster", "score").collect()}
+    assert got == {"c1": 2, "c2": 4}
+
+
+def test_range_join_degenerate_intervals_safe(spark):
+    """Review r6 p2 #3: reversed/empty intervals (corrupted sentinel
+    rows) must be dropped BEFORE the bin sequence — a reversed
+    interval would otherwise materialize a huge descending bin array
+    — and an e==s interval on a bin edge must emit nothing."""
+    from mini_html_parser_spark.operators.joins import range_join
+
+    left = spark.createDataFrame([(1, 5)], "pid long, t long")
+    right = spark.createDataFrame(
+        [
+            (10, 0, 10),                     # normal: matches
+            (11, 1_700_000_000_000_000, 0),  # reversed sentinel
+            (12, 4, 4),                      # empty, on a bin edge
+        ],
+        "wid long, s long, e long",
+    )
+    out = range_join(left, right, "t", "s", "e", bin_width=4)
+    assert [(r["pid"], r["wid"]) for r in out.collect()] == [(1, 10)]
+
+
+def test_bm25_null_text_stats_parity(spark):
+    """Review r6 p2 #4: NULL-text rows are not documents — both entry
+    points (df and precomputed postings) must compute identical
+    (N, avgdl) and therefore identical scores on a corpus containing
+    one."""
+    from mini_html_parser_spark.operators import retrieval as R
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "b c d"), (3, None)],
+        "doc_id long, text string",
+    )
+    direct = R.bm25_topk(df, "b d", k=3).collect()
+    reused = R.bm25_topk(None, "b d", k=3, postings=R.doc_terms(df)).collect()
+    assert direct == reused and len(direct) == 2
+
+
+def test_neardup_against_within_batch_big_bucket(spark):
+    """Review r6 p2 #1: the within-batch pass must run LSH over the
+    SURVIVOR subset — a 130-member duplicate group (above the 128
+    star-edge cap) whose min-id member is itself a corpus duplicate
+    must still collapse to ONE survivor (the full-batch star edges
+    anchored on the removed representative would keep all 129)."""
+    from mini_html_parser_spark.operators import dedup as D
+
+    dup_text = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    batch = spark.createDataFrame(
+        [(i, dup_text) for i in range(130)]
+        + [(500, "completely unrelated fresh document text here")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [(9000, dup_text)], "doc_id long, text string"
+    )
+    out = D.neardup_against(batch, corpus, threshold=0.8)
+    got = sorted(r["doc_id"] for r in out.collect())
+    # every member of the group is a near-dup of corpus doc 9000, so
+    # the cross-corpus pass removes them ALL; the unrelated doc stays
+    assert got == [500]
+
+    # and with a corpus that does NOT contain the group (pure
+    # within-batch): exactly one representative survives
+    out2 = D.neardup_against(
+        batch,
+        spark.createDataFrame([(9001, "nothing shared")], "doc_id long, text string"),
+        threshold=0.8,
+    )
+    got2 = sorted(r["doc_id"] for r in out2.collect())
+    assert got2 == [0, 500]
