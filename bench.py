@@ -303,6 +303,15 @@ def main() -> None:
     # round-4 operators
     timed_ext("dedup_substring", lambda: q_dedup_substring(spark, SF_DIR).count())
     timed_ext("perplexity_scores", lambda: q_perplexity_scores(spark, SF_DIR).count())
+    # round-6 operators (lexical retrieval + range join), tracked
+    # outside the headline like every post-r1 addition
+    from mini_html_parser_spark.queries import (
+        q_bm25_batch_topk,
+        q_events_range_join,
+    )
+
+    timed_ext("bm25_batch_topk", lambda: q_bm25_batch_topk(spark, SF_DIR).count())
+    timed_ext("events_range_join", lambda: q_events_range_join(spark, SF_DIR).count())
 
     # round-5: WARC ingestion throughput (VERDICT r4 #8) — a cached
     # multi-hundred-MB synthetic crawl archive, read+parse+extract
