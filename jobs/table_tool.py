@@ -22,6 +22,8 @@
     python jobs/table_tool.py <table_dir> rollback --snapshot ID
     python jobs/table_tool.py <table_dir> partitions
     python jobs/table_tool.py <table_dir> files
+    python jobs/table_tool.py <source_dir> matview --derived <dir> \
+        [--view postings] [--key doc_id] [--mv-buckets 8]
 
 ``info``/``history``/``evolve``/``vacuum``/``checkpoint``/``tag``/
 ``tags``/``delete-tag`` and the branch commands are metadata-only
@@ -63,7 +65,7 @@ def main(argv=None) -> int:
                                        "create-branch", "publish-branch",
                                        "delete-branch", "branches",
                                        "rollback", "partitions", "files",
-                                       "rewrite"])
+                                       "rewrite", "matview"])
     p.add_argument("--name", default=None,
                    help="tag/delete-tag: release name (e.g. v1.0)")
     p.add_argument("--snapshot", default=None,
@@ -113,6 +115,15 @@ def main(argv=None) -> int:
                         "by interleaved-bit z-value over numeric "
                         "columns so file stats prune on ANY of them "
                         "(mutually exclusive with --sort)")
+    p.add_argument("--derived", default=None,
+                   help="matview: the derived icelite table dir to "
+                        "maintain from this table's changelog")
+    p.add_argument("--view", default="postings",
+                   help="matview: built-in transform (only 'postings')")
+    p.add_argument("--consumer-id", default="matview",
+                   help="matview: changelog consumer checkpoint id")
+    p.add_argument("--mv-buckets", type=int, default=8,
+                   help="matview postings: derived partition buckets")
     p.add_argument("--buckets", default=None, metavar="B[,B...]",
                    help="rewrite: lineage buckets to partially compact "
                         "(fold their small files + their share of the "
@@ -275,6 +286,36 @@ def main(argv=None) -> int:
     # process.
     spark = build_session(app_name=f"icelite-{args.command}")
     spark.sparkContext.setLogLevel("ERROR")
+
+    if args.command == "matview":
+        # one maintenance cycle of a CDC-maintained derived table —
+        # run from cron/scheduler per cadence; exactly-once per cycle
+        # (plans/matview.py), so overlapping/crashed runs are safe
+        if not args.derived:
+            p.error("matview requires --derived")
+        if args.view != "postings":
+            p.error("only --view postings is built in; call "
+                    "plans.matview.maintain_derived with a custom "
+                    "transform for other views")
+        from mini_html_parser_spark.plans.matview import (
+            maintain_derived,
+            postings_transform,
+        )
+
+        rep = maintain_derived(
+            spark, t, IceliteTable(args.derived),
+            postings_transform(
+                n_buckets=args.mv_buckets,
+                text_col=args.text_col,
+                id_col=args.key,
+            ),
+            key_col=args.key,
+            consumer_id=args.consumer_id,
+        )
+        print(json.dumps({
+            "source": args.table, "derived": args.derived, **rep,
+        }))
+        return 0
 
     if args.command == "index":
         rep = t.index_keys(spark, col=args.key, n_bits=args.n_bits)

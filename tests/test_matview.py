@@ -90,3 +90,26 @@ def test_postings_matview_tracks_source_exactly_once(spark, tmp_path):
     }
     # identities survived compaction in the applied set
     assert any(str(i).startswith("mv:") for i in applied_ids(pv))
+
+
+def test_matview_cli(spark, tmp_path, capsys):
+    """table_tool matview: one scheduler-driven maintenance cycle per
+    invocation, exactly-once across repeats."""
+    import json
+
+    from jobs.table_tool import main
+
+    src = IceliteTable(str(tmp_path / "src"))
+    src.commit_append(_docs(spark, [(1, "join scan"), (2, "scan filter")]))
+    derived = str(tmp_path / "pv")
+
+    assert main([str(tmp_path / "src"), "matview", "--derived", derived]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["snapshots_applied"] == 1
+    assert IceliteTable(derived).read(spark).count() > 0
+
+    # second run at tip: no-op
+    assert main([str(tmp_path / "src"), "matview", "--derived", derived]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep == {"source": str(tmp_path / "src"), "derived": derived,
+                   "snapshots_applied": 0, "at_tip": True}
