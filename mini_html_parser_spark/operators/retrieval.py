@@ -303,3 +303,59 @@ def top_terms_per_doc(
         .filter(F.col("rank") <= n)
         .select(id_col, "term", "tfidf", "rank")
     )
+
+
+def bm25_topk_table(
+    table,
+    spark,
+    query: str,
+    k: int = 10,
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 over an icelite POSTINGS table (a doc_terms materialized
+    view — see plans/matview.postings_transform), with manifest-level
+    FILE SKIPPING on the query's terms: ``read(prune=[('term', 'in',
+    ...)])`` drops every data file whose min/max term range provably
+    excludes all query terms before the scan is even built.  After a
+    ``compact(sort_within_buckets=['term'])`` or term z-order rewrite,
+    each file covers a tight term slice and a 2-3-term query reads a
+    handful of files out of a 100-TB index — the icelite stats-prune
+    path doing the job of an inverted index's seek.
+
+    The prune is a superset guarantee (files without stats are kept),
+    and (N, avgdl) must see ALL docs, so stats derive from the
+    UNPRUNED table read while only the scoring scan is pruned.
+    """
+    qterms = tokenize_query(query)
+    if not qterms:
+        raise ValueError("query has no terms after whitespace tokenization")
+    full = table.read(spark).select(id_col, "dl", "term", "tf")
+    stats = (
+        full.select(id_col, "dl")
+        .distinct()
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_docs"),
+            F.avg(F.col("dl").cast("double")).alias("avgdl"),
+        )
+    )
+    pruned = table.read(
+        spark, prune=[("term", "in", *qterms)]
+    ).select(id_col, "dl", "term", "tf")
+    hits = pruned.filter(F.col("term").isin(qterms))
+    dfreq = hits.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    n, avgdl = F.col("n_docs"), F.col("avgdl")
+    tf, dl = F.col("tf").cast("double"), F.col("dl").cast("double")
+    idf = F.log((n - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    score = idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+    return (
+        hits.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.round(F.sum(score), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

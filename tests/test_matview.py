@@ -113,3 +113,51 @@ def test_matview_cli(spark, tmp_path, capsys):
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep == {"source": str(tmp_path / "src"), "derived": derived,
                    "snapshots_applied": 0, "at_tip": True}
+
+
+def test_bm25_over_sorted_postings_table_prunes_files(spark, tmp_path):
+    """Index-accelerated lexical retrieval end-to-end: BM25 over an
+    icelite postings matview with term file-skipping.  After a
+    sort-within-buckets(term) compaction each file covers a tight term
+    slice, so the query's pruned scan reads strictly fewer files while
+    returning EXACTLY the unpruned results (stats pruning is a
+    superset guarantee; (N, avgdl) always computed unpruned)."""
+    from mini_html_parser_spark.operators.retrieval import (
+        bm25_topk,
+        bm25_topk_table,
+    )
+
+    src = IceliteTable(str(tmp_path / "src"))
+    pv = IceliteTable(str(tmp_path / "pv"))
+    tr = postings_transform(n_buckets=2)
+    # several commits => several files per bucket before the rewrite
+    words = ["alpha", "beta", "gamma", "delta", "echo", "foxtrot",
+             "golf", "hotel", "india", "juliet"]
+    for c in range(4):
+        rows = [
+            (c * 100 + i,
+             " ".join(words[(i + j + c) % len(words)] for j in range(6)))
+            for i in range(25)
+        ]
+        src.commit_append(_docs(spark, rows))
+        maintain_derived(spark, src, pv, tr)
+
+    pv.compact(spark, sort_within_buckets=["term"])
+
+    q = "alpha juliet"
+    expect = [
+        (r["doc_id"], r["bm25"])
+        for r in bm25_topk(
+            None, q, k=10,
+            postings=pv.read(spark).select("doc_id", "dl", "term", "tf"),
+        ).collect()
+    ]
+    got_df = bm25_topk_table(pv, spark, q, k=10)
+    got = [(r["doc_id"], r["bm25"]) for r in got_df.collect()]
+    assert got == expect and len(got) == 10
+
+    all_files = len(pv.read(spark).inputFiles())
+    pruned_files = len(
+        pv.read(spark, prune=[("term", "in", "alpha", "juliet")]).inputFiles()
+    )
+    assert 0 < pruned_files < all_files, (pruned_files, all_files)
