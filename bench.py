@@ -98,6 +98,8 @@ def main() -> None:
         q_pipeline_pack_corpus,
         q_dedup_substring,
         q_perplexity_scores,
+        q_bm25_batch_topk,
+        q_events_range_join,
     )
 
     # one local-mode JVM runs the whole workload back-to-back: size the
@@ -305,11 +307,6 @@ def main() -> None:
     timed_ext("perplexity_scores", lambda: q_perplexity_scores(spark, SF_DIR).count())
     # round-6 operators (lexical retrieval + range join), tracked
     # outside the headline like every post-r1 addition
-    from mini_html_parser_spark.queries import (
-        q_bm25_batch_topk,
-        q_events_range_join,
-    )
-
     timed_ext("bm25_batch_topk", lambda: q_bm25_batch_topk(spark, SF_DIR).count())
     timed_ext("events_range_join", lambda: q_events_range_join(spark, SF_DIR).count())
 

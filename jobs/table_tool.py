@@ -52,6 +52,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -120,8 +121,12 @@ def main(argv=None) -> int:
                         "maintain from this table's changelog")
     p.add_argument("--view", default="postings",
                    help="matview: built-in transform (only 'postings')")
-    p.add_argument("--consumer-id", default="matview",
-                   help="matview: changelog consumer checkpoint id")
+    p.add_argument("--consumer-id", default=None,
+                   help="matview: changelog consumer checkpoint id "
+                        "(default: derived from --derived's absolute "
+                        "path, so two views maintained from one source "
+                        "never silently split the changelog between "
+                        "them)")
     p.add_argument("--mv-buckets", type=int, default=8,
                    help="matview postings: derived partition buckets")
     p.add_argument("--buckets", default=None, metavar="B[,B...]",
@@ -302,6 +307,18 @@ def main(argv=None) -> int:
             postings_transform,
         )
 
+        # consumer checkpoints live on the SOURCE keyed by id alone: a
+        # shared default across different --derived targets would make
+        # each cycle's window go to whichever view's cron fires first,
+        # leaving BOTH silently incomplete
+        import hashlib
+
+        consumer = args.consumer_id or (
+            "matview-"
+            + hashlib.md5(
+                os.path.abspath(args.derived).encode()
+            ).hexdigest()[:12]
+        )
         rep = maintain_derived(
             spark, t, IceliteTable(args.derived),
             postings_transform(
@@ -310,7 +327,7 @@ def main(argv=None) -> int:
                 id_col=args.key,
             ),
             key_col=args.key,
-            consumer_id=args.consumer_id,
+            consumer_id=consumer,
         )
         print(json.dumps({
             "source": args.table, "derived": args.derived, **rep,

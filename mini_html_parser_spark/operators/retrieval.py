@@ -100,6 +100,54 @@ def corpus_stats(
     )
 
 
+def stats_from_postings(postings: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(N, avgdl) derived from a postings frame — a caller who
+    pre-built doc_terms must NOT pay a full corpus re-scan per query
+    just for one constant pair.  Complete by construction: split()
+    yields ≥1 element for every non-null-text doc (an all-whitespace
+    doc contributes one empty-string term), so every doc has ≥1
+    postings row and distinct (id, dl) is the exact doc-lengths
+    table."""
+    return (
+        postings.select(id_col, "dl")
+        .distinct()
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_docs"),
+            F.avg(F.col("dl").cast("double")).alias("avgdl"),
+        )
+    )
+
+
+def _bm25_score(k1: float, b: float):
+    """THE BM25 scoring expression — single source; its association
+    order is pinned to the DuckDB oracles (CLAUDE.md round-6
+    invariant), so every entry point must build scores from this
+    Column, never respell it."""
+    n, avgdl = F.col("n_docs"), F.col("avgdl")
+    tf, dl = F.col("tf").cast("double"), F.col("dl").cast("double")
+    idf = F.log((n - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    return idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+
+def _topk_from_hits(
+    hits: DataFrame, stats: DataFrame, id_col: str, k: int,
+    k1: float, b: float,
+) -> DataFrame:
+    """Shared single-query tail: broadcast df + stats joins, rounded
+    sum, TakeOrderedAndProject."""
+    dfreq = hits.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    return (
+        hits.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.round(F.sum(_bm25_score(k1, b)), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def bm25_topk(
     df: DataFrame | None,
     query: str,
@@ -128,40 +176,9 @@ def bm25_topk(
         postings = doc_terms(df, text_col=text_col, id_col=id_col)
         stats = corpus_stats(df, text_col=text_col)
     else:
-        # derive (N, avgdl) from the postings themselves — a caller
-        # who pre-built doc_terms must NOT pay a full corpus re-scan
-        # per query just for one constant pair.  Complete by
-        # construction: split() yields ≥1 element for every doc (an
-        # all-whitespace doc contributes one empty-string term), so
-        # every doc has ≥1 postings row and distinct (id, dl) is the
-        # exact doc-lengths table.
-        stats = (
-            postings.select(id_col, "dl")
-            .distinct()
-            .agg(
-                F.count(F.lit(1)).cast("double").alias("n_docs"),
-                F.avg(F.col("dl").cast("double")).alias("avgdl"),
-            )
-        )
-
+        stats = stats_from_postings(postings, id_col)
     hits = postings.filter(F.col("term").isin(qterms))
-    dfreq = hits.groupBy("term").agg(
-        F.count(F.lit(1)).cast("double").alias("df")
-    )
-
-    n, avgdl = F.col("n_docs"), F.col("avgdl")
-    tf, dl = F.col("tf").cast("double"), F.col("dl").cast("double")
-    idf = F.log((n - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
-    score = idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
-
-    return (
-        hits.join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(stats))
-        .groupBy(id_col)
-        .agg(F.round(F.sum(score), 6).alias("bm25"))
-        .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
-        .limit(k)
-    )
+    return _topk_from_hits(hits, stats, id_col, k, k1, b)
 
 
 def query_terms(
@@ -217,14 +234,7 @@ def bm25_batch_topk(
         postings = doc_terms(df, text_col=text_col, id_col=id_col)
         stats = corpus_stats(df, text_col=text_col)
     else:
-        stats = (
-            postings.select(id_col, "dl")
-            .distinct()
-            .agg(
-                F.count(F.lit(1)).cast("double").alias("n_docs"),
-                F.avg(F.col("dl").cast("double")).alias("avgdl"),
-            )
-        )
+        stats = stats_from_postings(postings, id_col)
     qt = query_terms(queries_df, query_col=query_col, qid_col=qid_col)
     # distinct terms once: df per term is query-independent
     terms = qt.select("term").distinct()
@@ -232,12 +242,6 @@ def bm25_batch_topk(
     dfreq = hits.groupBy("term").agg(
         F.count(F.lit(1)).cast("double").alias("df")
     )
-
-    n, avgdl = F.col("n_docs"), F.col("avgdl")
-    tf, dl = F.col("tf").cast("double"), F.col("dl").cast("double")
-    idf = F.log((n - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
-    score = idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
-
     w = Window.partitionBy(qid_col).orderBy(
         F.col("bm25").desc(), F.col(id_col).asc()
     )
@@ -246,7 +250,7 @@ def bm25_batch_topk(
         .join(F.broadcast(qt), "term")
         .crossJoin(F.broadcast(stats))
         .groupBy(qid_col, id_col)
-        .agg(F.round(F.sum(score), 6).alias("bm25"))
+        .agg(F.round(F.sum(_bm25_score(k1, b)), 6).alias("bm25"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
@@ -313,6 +317,7 @@ def bm25_topk_table(
     k1: float = DEFAULT_K1,
     b: float = DEFAULT_B,
     id_col: str = "doc_id",
+    stats: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 over an icelite POSTINGS table (a doc_terms materialized
     view — see plans/matview.postings_transform), with manifest-level
@@ -326,36 +331,25 @@ def bm25_topk_table(
 
     The prune is a superset guarantee (files without stats are kept),
     and (N, avgdl) must see ALL docs, so stats derive from the
-    UNPRUNED table read while only the scoring scan is pruned.
+    UNPRUNED table read while only the scoring scan is pruned.  Both
+    reads are pinned to the SAME snapshot (a concurrent matview
+    maintenance commit landing between them would otherwise bind
+    stats and hits to different table states).  Pass a precomputed
+    1-row ``stats`` frame (cache :func:`stats_from_postings` of one
+    read per maintenance cycle) to skip even that unpruned (id, dl)
+    pass — the repeated-query shape; per-query cost is then the
+    pruned files only.
     """
     qterms = tokenize_query(query)
     if not qterms:
         raise ValueError("query has no terms after whitespace tokenization")
-    full = table.read(spark).select(id_col, "dl", "term", "tf")
-    stats = (
-        full.select(id_col, "dl")
-        .distinct()
-        .agg(
-            F.count(F.lit(1)).cast("double").alias("n_docs"),
-            F.avg(F.col("dl").cast("double")).alias("avgdl"),
-        )
-    )
+    tip = table.current_snapshot()
+    sid = tip["snapshot_id"] if tip else None
+    if stats is None:
+        full = table.read(spark, as_of_snapshot=sid).select(id_col, "dl")
+        stats = stats_from_postings(full, id_col)
     pruned = table.read(
-        spark, prune=[("term", "in", *qterms)]
+        spark, as_of_snapshot=sid, prune=[("term", "in", *qterms)]
     ).select(id_col, "dl", "term", "tf")
     hits = pruned.filter(F.col("term").isin(qterms))
-    dfreq = hits.groupBy("term").agg(
-        F.count(F.lit(1)).cast("double").alias("df")
-    )
-    n, avgdl = F.col("n_docs"), F.col("avgdl")
-    tf, dl = F.col("tf").cast("double"), F.col("dl").cast("double")
-    idf = F.log((n - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
-    score = idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
-    return (
-        hits.join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(stats))
-        .groupBy(id_col)
-        .agg(F.round(F.sum(score), 6).alias("bm25"))
-        .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
-        .limit(k)
-    )
+    return _topk_from_hits(hits, stats, id_col, k, k1, b)
