@@ -212,7 +212,9 @@ class _DomParser(HTMLParser):
             node = Node(tag, attrib)
         else:
             node = Node(tag)
-        cur.append(node)
+        # inlined cur.append(node) — hottest allocation site
+        node.parent = cur
+        cur.children.append(node)
         if tag not in VOID_ELEMENTS:
             stack.append(node)
 
@@ -224,17 +226,26 @@ class _DomParser(HTMLParser):
     def handle_endtag(self, tag):
         if tag in VOID_ELEMENTS:
             return  # </br> etc. ignored (test_html_parser.py:1003)
+        stack = self.stack
+        # fast path: the end tag matches the innermost open element
+        # (the overwhelmingly common well-formed case); the general
+        # loop below would take i = len-1 and `del stack[i:]` == pop.
+        # ("html"/"body"/"head" end tags can also only match an open
+        # element of the same name, so the same pop is correct.)
+        if len(stack) > 1 and stack[-1].tag == tag:
+            stack.pop()
+            return
         if tag in ("html", "body", "head"):
             # close down to that scope but never drop the body itself
-            for i in range(len(self.stack) - 1, 0, -1):
-                if self.stack[i].tag == tag:
-                    del self.stack[i:]
+            for i in range(len(stack) - 1, 0, -1):
+                if stack[i].tag == tag:
+                    del stack[i:]
                     return
             return
-        for i in range(len(self.stack) - 1, 0, -1):
-            n = self.stack[i]
+        for i in range(len(stack) - 1, 0, -1):
+            n = stack[i]
             if n.tag == tag:
-                del self.stack[i:]
+                del stack[i:]
                 return
             if n.tag in ("body", "head"):
                 return  # never close past body/head on a stray end tag

@@ -48,6 +48,9 @@ from .dom import Node, parse_document
 from .minify import minify_tree
 
 _FAKE_TAGS = (FAKE_TAG_BLOCK, FAKE_TAG_INLINE, FAKE_TAG_BASIC)
+# shared empty attrs/attr_values for attribute-less nodes (never
+# mutated downstream — consumers copy via list()/extend())
+_EMPTY_ATTRS: tuple = ()
 _INLINE_SET = frozenset(INLINE_ELEMENTS_SPACING)
 # \s in unicode mode matches exactly the str.isspace() character class
 _WS_RUN_COLLAPSE = __import__("re").compile(r"(\s)\s+")
@@ -56,7 +59,7 @@ _WS_RUN_COLLAPSE = __import__("re").compile(r"(\s)\s+")
 _MIN_RECURSION = 50_000
 
 
-@dataclass
+@dataclass(slots=True)
 class Span:
     """One emitted span (reference Metadata dataclass, html_parser.py:109-123)."""
 
@@ -85,7 +88,10 @@ class AttributeCleaner:
     """Attribute projection (reference: html_parser.py:126-149)."""
 
     def __init__(self, attrs_to_keep):
-        self.attrs_to_keep = attrs_to_keep
+        # membership-tested per attribute per node: frozenset, not list
+        self.attrs_to_keep = (
+            frozenset(attrs_to_keep) if attrs_to_keep is not None else None
+        )
 
     def __call__(self, attrib: dict) -> tuple[list, list]:
         keep = self.attrs_to_keep
@@ -115,6 +121,26 @@ class TagFilter:
                     f"invalid removal method {t.method!r} for tag {t.tag!r}; "
                     "valid methods are 'top-down' and 'bottom-up'"
                 )
+        self._td_memo: dict = {}
+        self._bu_memo: dict = {}
+        self._alone_drop_set: frozenset | None = None
+
+    def finalize(self) -> None:
+        """Precompute the tag-only span-drop fast path.  Valid when the
+        drop decision cannot depend on span length: every alone-rule
+        has trivial bounds [<=0, inf] (always true for n>=0) and the
+        global alone threshold is disabled (max = -inf never admits
+        any n).  All NAMED_CONFIGS qualify.  Must be called after the
+        last alone-rule registration (the synthetic ``html`` wrapper
+        rule — see _Extractor.__init__)."""
+        inf = float("inf")
+        if self.txt_max_chr_len_alone == -inf and all(
+            r.content_min_char_length <= 0 and r.content_max_char_length == inf
+            for r in self.tags_to_remove_alone.values()
+        ):
+            self._alone_drop_set = frozenset(self.tags_to_remove_alone)
+        else:
+            self._alone_drop_set = None
 
     def drop_span(self, span: Span) -> bool:
         # reference: html_parser.py:195-220
@@ -162,6 +188,12 @@ class TagFilter:
     # when needs_text is True the caller re-asks with the real text.
 
     def decide_top_down(self, tag: str) -> tuple[bool, bool]:
+        r = self._td_memo.get(tag)
+        if r is None:
+            r = self._td_memo[tag] = self._decide_top_down_uncached(tag)
+        return r
+
+    def _decide_top_down_uncached(self, tag: str) -> tuple[bool, bool]:
         rule = self.tags_to_remove_with_content.get(tag)
         if rule is not None and rule.method != "top-down":
             return False, False
@@ -177,6 +209,12 @@ class TagFilter:
         return False, False
 
     def decide_bottom_up(self, tag: str) -> tuple[bool, bool]:
+        r = self._bu_memo.get(tag)
+        if r is None:
+            r = self._bu_memo[tag] = self._decide_bottom_up_uncached(tag)
+        return r
+
+    def _decide_bottom_up_uncached(self, tag: str) -> tuple[bool, bool]:
         rule = self.tags_to_remove_with_content.get(tag)
         if rule is None or rule.method != "bottom-up":
             return False, False
@@ -359,6 +397,18 @@ class _Extractor:
         self.folder = ConsecutiveTagFolder(self.block_elements, cfg.consecutive_tags_to_fold)
         self.attr_cleaner = AttributeCleaner(cfg.attrs_to_keep)
         self.tag_filter = TagFilter(cfg, alone)
+        # the synthetic <html> wrapper's span-drop rule (reference:
+        # html_parser.py:437-443) is registered up-front so the
+        # tag-only drop fast path can be finalized once; run() no
+        # longer mutates the rule table per document (the extractor is
+        # reusable across documents — see make_extract_fn)
+        if cfg.start_parsing_at_tag is not None:
+            self.tag_filter.tags_to_remove_alone["html"] = TagToRemove("html")
+        self.tag_filter.finalize()
+        # per-tag separator action memo for _add_text (1 dict lookup
+        # instead of up to 2 frozenset probes per node event)
+        self._sep_act: dict = {}
+        self._br_newline = cfg.convert_br_tag_to_breaking_line
         self.density_cfg = cfg.density_prune
         self.density_tags = (
             frozenset(cfg.density_prune.candidate_tags)
@@ -474,9 +524,16 @@ class _Extractor:
             self._buf_append(PLAIN_TEXT_SEPARATOR)
 
     def _add_text(self, tag: str, new_text) -> None:
-        if tag in self.block_elements_set:
+        act = self._sep_act.get(tag)
+        if act is None:
+            act = self._sep_act[tag] = (
+                1 if tag in self.block_elements_set
+                else 2 if tag in _INLINE_SET
+                else 0
+            )
+        if act == 1:
             self._append_block_separator()
-        elif tag in _INLINE_SET:
+        elif act == 2:
             self._append_inline_separator()
         if new_text:
             self._append_text_content(new_text)
@@ -514,6 +571,65 @@ class _Extractor:
         if not self.tag_filter.drop_span(span):
             self.spans.append(span)
 
+    def _linearize_fast(self, root: Node) -> None:
+        """``_linearize`` specialized for tag-only span dropping
+        (``TagFilter._alone_drop_set`` is not None — true for all
+        NAMED_CONFIGS, where every alone-rule has trivial bounds and
+        the global alone threshold is disabled).
+
+        ``_char_idx`` is nondecreasing over the DFS, so span events
+        already occur ordered by (char_idx, emission order) — exactly
+        the order ``_renumber`` + the final document-order sort
+        reconstruct.  Relative positions and offsets are therefore
+        assigned inline and the two-phase renumbering machinery is
+        skipped entirely.  Dropped-by-tag spans never consume a
+        position slot (matching ``_renumber``, which only numbers kept
+        spans) and are never materialized at all.
+        """
+        tag = root.tag
+        self.current_tag = tag
+
+        dropped = tag in self.tag_filter._alone_drop_set
+        if not dropped:
+            attrib = root.attrib
+            if attrib:
+                attrs, values = self.attr_cleaner(attrib)
+            else:
+                attrs = values = _EMPTY_ATTRS
+            idx = self._char_idx
+            if idx != self._last_idx:
+                self._last_idx = idx
+                self._ctr = 0
+            if tag in MEDIA_TAGS:
+                span = Span(idx, self._ctr, tag, attrs, values,
+                            kind="media",
+                            media_ref=attrib.get("src", "") if attrib else "")
+            else:
+                span = Span(idx, self._ctr, tag, attrs, values)
+            self._ctr += 1
+            span.offset = self._rank
+            self._rank += 1
+
+        if self._br_newline and tag == "br":
+            self._buf_append("\n")  # reference: html_parser.py:470-472
+
+        self._add_text(tag, root.text)
+        for child in root.children:
+            self._linearize_fast(child)
+        self.current_tag = tag
+
+        if not dropped:
+            idx = self._char_idx
+            if idx != self._last_idx:
+                self._last_idx = idx
+                self._ctr = 0
+            span.char_end_idx = idx
+            span.relative_end_pos = self._ctr
+            self._ctr += 1
+            self.spans.append(span)
+
+        self._add_text(tag, root.tail)
+
     # ---- relative-position renumbering (reference: html_parser.py:474-494)
     @staticmethod
     def _renumber(spans: list) -> None:
@@ -540,10 +656,10 @@ class _Extractor:
             if start is None:
                 return ExtractResult("", [], malformed=True)
             # reference wraps the serialized subtree in a synthetic
-            # <html> and marks it span-removed (html_parser.py:437-443)
+            # <html> and marks it span-removed (html_parser.py:437-443;
+            # the span-drop rule itself is registered in __init__)
             wrapper = Node("html")
             wrapper.append(start)
-            self.tag_filter.tags_to_remove_alone["html"] = TagToRemove("html")
             root = wrapper
 
         minify_tree(root)
@@ -560,10 +676,20 @@ class _Extractor:
 
         self.spans: list[Span] = []
         self._char_idx = 0
-        self._pos_counter: dict = defaultdict(int)
         self._parts: list[str] = []
         self._len = 0
         self._last = ""
+        if self.tag_filter._alone_drop_set is not None:
+            # tag-only span dropping: single-pass linearization with
+            # inline renumbering (see _linearize_fast docstring)
+            self._last_idx = -1
+            self._ctr = 0
+            self._rank = 0
+            self._linearize_fast(root)
+            self.text = "".join(self._parts)
+            return ExtractResult(self.text, self.spans, malformed)
+
+        self._pos_counter: dict = defaultdict(int)
         self._linearize(root)
         self.text = "".join(self._parts)
 
@@ -596,3 +722,29 @@ def extract(html_str: str, cfg: ExtractionConfig | None = None) -> ExtractResult
         return _Extractor(cfg).run(html_str)
     except RecursionError:
         return ExtractResult("", [], malformed=True)
+
+
+def make_extract_fn(cfg: ExtractionConfig | None = None):
+    """Batch entry point: build the extractor ONCE and return a
+    per-document callable with the same contract as :func:`extract`.
+
+    The per-document constructor work (frozensets, rule tables, memo
+    dicts) is paid once per Spark task instead of once per row, and
+    the TagFilter/decide memos stay warm across documents (guide §4.5
+    heavyweight-init-once-per-task).  ``_Extractor.run`` resets all
+    per-document state, so reuse is safe.
+    """
+    if cfg is None:
+        cfg = ExtractionConfig()
+    if sys.getrecursionlimit() < _MIN_RECURSION:
+        sys.setrecursionlimit(_MIN_RECURSION)
+    ex = _Extractor(cfg)
+    run = ex.run
+
+    def extract_one(html_str: str) -> ExtractResult:
+        try:
+            return run(html_str)
+        except RecursionError:
+            return ExtractResult("", [], malformed=True)
+
+    return extract_one

@@ -173,8 +173,14 @@ def scan(html: str, sink) -> None:
             # advance past the name's trailing (?:\s|/(?!>))* — what
             # tagfind_tolerant consumes before the attr loop starts
             # (stdlib's own regex: Unicode \s, unbounded like stdlib —
-            # the k < endpos guards below replicate parse_starttag)
-            k = _TAGNAME_TRAILING_RE.match(html, lt + 1 + len(name)).end()
+            # the k < endpos guards below replicate parse_starttag).
+            # Fast path: nothing between the name and m.end() ⇒ the
+            # trailing match is empty, skip the regex call.
+            name_end = lt + 1 + len(name)
+            if name_end == j:
+                k = j
+            else:
+                k = _TAGNAME_TRAILING_RE.match(html, name_end).end()
             attrs = []
             while k < endpos:
                 am = _ATTR_RE.match(html, k)
@@ -190,19 +196,37 @@ def scan(html: str, sink) -> None:
                     attrvalue = unescape(attrvalue)
                 attrs.append((attrname.lower(), attrvalue))
                 k = am.end()
-            end = html[k:endpos].strip()
-            if end not in (">", "/>"):
-                # junk between the attrs and the '>': the whole span
-                # is RAW text (stdlib parse_starttag, no unescape)
-                sink.handle_data(html[lt:endpos])
+            # end-of-tag check.  Fast path: the attr walk consumed up
+            # to j exactly, so html[k:endpos] is literally ">" (when
+            # nxt was ">") or "/>" (when nxt was "/") — no slice+strip.
+            if k == j:
+                if nxt == ">":
+                    sink.handle_starttag(tag, attrs)
+                    pos = endpos
+                elif nxt == "/":
+                    sink.handle_startendtag(tag, attrs)
+                    pos = endpos
+                    continue
+                else:
+                    # endpos == j: empty span — junk/raw-text path
+                    sink.handle_data(html[lt:endpos])
+                    pos = endpos
+                    continue
+            else:
+                end = html[k:endpos].strip()
+                if end not in (">", "/>"):
+                    # junk between the attrs and the '>': the whole
+                    # span is RAW text (stdlib parse_starttag, no
+                    # unescape)
+                    sink.handle_data(html[lt:endpos])
+                    pos = endpos
+                    continue
+                if end == "/>":
+                    sink.handle_startendtag(tag, attrs)
+                    pos = endpos
+                    continue
+                sink.handle_starttag(tag, attrs)
                 pos = endpos
-                continue
-            if end == "/>":
-                sink.handle_startendtag(tag, attrs)
-                pos = endpos
-                continue
-            sink.handle_starttag(tag, attrs)
-            pos = endpos
 
             if tag in _RAW_TEXT_TAGS:
                 # raw-text mode: only a complete `</\s*tag\s*>` close

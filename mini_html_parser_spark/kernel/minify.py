@@ -68,8 +68,55 @@ def _collapse_ws(node: Node) -> None:
         _collapse_ws(child)
 
 
+def _minify(node: Node, in_pre: bool) -> None:
+    """Fused strip-comments + collapse pass (one tree walk).
+
+    Equivalent to ``_strip_comments(root); _collapse_ws(root)``: both
+    operations are local to a node, and comment tails always merge
+    into a neighbour *before* that neighbour's text/tail is collapsed
+    (the parent strips its comment children before recursing).
+    ``in_pre`` marks descent inside a preserved subtree: comments are
+    still stripped there (as ``_strip_comments`` does), but nothing is
+    collapsed — not even tails, which ``_collapse_ws`` never visits
+    once it has returned at the preserved ancestor.
+    """
+    kids = node.children
+    if kids:
+        kept: list[Node] = []
+        text_extra = None
+        for child in kids:
+            if child.tag == COMMENT_TAG:
+                tail = child.tail
+                if tail:
+                    if kept:
+                        kept[-1].tail = (kept[-1].tail or "") + tail
+                    elif text_extra is None:
+                        text_extra = tail
+                    else:
+                        text_extra += tail
+            else:
+                kept.append(child)
+        if text_extra is not None:
+            node.text = (node.text or "") + text_extra
+        if len(kept) != len(kids):
+            node.children = kids = kept
+
+    if in_pre:
+        for child in kids:
+            _minify(child, True)
+        return
+
+    node.tail = _collapse(node.tail)
+    if node.tag in PRESERVE_WHITESPACE_TAGS:
+        for child in kids:
+            _minify(child, True)
+        return
+    node.text = _collapse(node.text)
+    for child in kids:
+        _minify(child, False)
+
+
 def minify_tree(root: Node) -> Node:
     """In-place minification; returns ``root`` for chaining."""
-    _strip_comments(root)
-    _collapse_ws(root)
+    _minify(root, False)
     return root

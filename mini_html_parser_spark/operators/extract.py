@@ -37,6 +37,7 @@ from pyspark.sql.types import (
 
 from ..kernel import ExtractionConfig, extract
 from ..kernel.config import NAMED_CONFIGS
+from ..kernel.extract import make_extract_fn
 
 # ---- schemas (FIXTURES.md §1/§2) -----------------------------------------
 
@@ -147,6 +148,7 @@ def extract_documents(
     )
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        extract_one = make_extract_fn(cfg)  # once per task (guide §4.5)
         for pdf in batches:
             out = {k: [] for k in
                    ("doc_id", "text", "spans", "n_spans", "malformed", "n_chars")}
@@ -154,7 +156,7 @@ def extract_documents(
                 pdf["spans"].map(assemble_html) if use_spans else pdf[html_col]
             )
             for doc_id, html in zip(pdf["doc_id"], htmls):
-                r = extract(html if isinstance(html, str) else "", cfg)
+                r = extract_one(html if isinstance(html, str) else "")
                 out["doc_id"].append(str(doc_id))
                 out["text"].append(r.text)
                 out["spans"].append([span_to_row(s) for s in r.spans])
@@ -193,6 +195,7 @@ def extract_documents_arrow(
     span_type = arrow_schema.field("spans").type.value_type  # struct
 
     def process(batches):
+        extract_one = make_extract_fn(cfg)  # once per task (guide §4.5)
         for batch in batches:
             doc_ids = batch.column("doc_id").to_pylist()
             spans_in = batch.column("spans").to_pylist()
@@ -209,7 +212,7 @@ def extract_documents_arrow(
             vals_flat: list = []; vals_offsets = [0]
 
             for spans in spans_in:
-                r = extract(assemble_html(spans), cfg)
+                r = extract_one(assemble_html(spans))
                 texts.append(r.text)
                 n_spans.append(len(r.spans))
                 malformed.append(bool(r.malformed))
