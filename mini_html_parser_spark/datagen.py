@@ -84,6 +84,17 @@ _FAMILIES = [
 
 SEED = 42
 
+# ``str.format`` dominates generation cost (one call per ~70-byte
+# fragment; a 2 MB giant doc formats ~28k fragments).  Every family
+# placeholder is the SAME value ``{i}``, so each family pre-splits
+# (via a one-time .format with a sentinel, which also resolves the
+# ``{{``/``}}`` escapes in _BOILER) into literal pieces joined by the
+# id string — ``idstr.join(pieces)`` is byte-identical to
+# ``family.format(i=idstr)`` and ~3× faster.
+_SENTINEL = "\x00"
+_FAMILY_PIECES = [f.format(i=_SENTINEL).split(_SENTINEL) for f in _FAMILIES]
+_N_FAMILIES = len(_FAMILIES)
+
 
 def _doc_spans(seed: int, i: int) -> list[dict]:
     """Spans for document ``i`` — pure function of (seed, i)."""
@@ -102,9 +113,11 @@ def _doc_spans(seed: int, i: int) -> list[dict]:
     parts: list[str] = ["<html><head><title>doc</title></head><body>"]
     size = 0
     k = 0
+    randrange = rng.randrange
+    append = parts.append
     while size < target:
-        frag = _FAMILIES[rng.randrange(len(_FAMILIES))].format(i=f"{i}_{k}")
-        parts.append(frag)
+        frag = f"{i}_{k}".join(_FAMILY_PIECES[randrange(_N_FAMILIES)])
+        append(frag)
         size += len(frag)
         k += 1
     if malformed:

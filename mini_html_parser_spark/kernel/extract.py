@@ -408,6 +408,7 @@ class _Extractor:
         # per-tag separator action memo for _add_text (1 dict lookup
         # instead of up to 2 frozenset probes per node event)
         self._sep_act: dict = {}
+        self._tag_decide: dict = {}
         self._br_newline = cfg.convert_br_tag_to_breaking_line
         self.density_cfg = cfg.density_prune
         self.density_tags = (
@@ -424,28 +425,42 @@ class _Extractor:
     # so a child removing itself never skips its successor), but O(1)
     # per removal instead of list.remove's O(children) identity scan.
     def _clean_tree(self, root: Node) -> bool:
-        self.folder(root)
+        # both fold branches require exactly one child — skip the call
+        # (and its own re-checks) for every other node
+        if len(root.children) == 1:
+            self.folder(root)
 
-        drop, needs_text = self.tag_filter.decide_top_down(root.tag)
+        tag = root.tag
+        # one memoized 4-tuple per tag instead of two dict probes per
+        # node (decisions are pure functions of the tag — TagFilter
+        # decide_* docstrings)
+        d = self._tag_decide.get(tag)
+        if d is None:
+            d = self._tag_decide[tag] = (
+                *self.tag_filter.decide_top_down(tag),
+                *self.tag_filter.decide_bottom_up(tag),
+            )
+        drop, needs_text = d[0], d[1]
         if needs_text:
-            drop = self.tag_filter.drop_subtree_top_down(root.tag, root.subtree_text())
+            drop = self.tag_filter.drop_subtree_top_down(tag, root.subtree_text())
         if drop:
             return True
 
-        kept: list[Node] = []
-        changed = False
-        for child in root.children:
-            if self._clean_tree(child):
-                _splice_tail_on_removal(child, kept, root)
-                changed = True
-            else:
-                kept.append(child)
-        if changed:
-            root.children = kept
+        if root.children:
+            kept: list[Node] = []
+            changed = False
+            for child in root.children:
+                if self._clean_tree(child):
+                    _splice_tail_on_removal(child, kept, root)
+                    changed = True
+                else:
+                    kept.append(child)
+            if changed:
+                root.children = kept
 
-        drop, needs_text = self.tag_filter.decide_bottom_up(root.tag)
+        drop, needs_text = d[2], d[3]
         if needs_text:
-            drop = self.tag_filter.drop_subtree_bottom_up(root.tag, root.subtree_text())
+            drop = self.tag_filter.drop_subtree_bottom_up(tag, root.subtree_text())
         if drop:
             return True
 

@@ -274,13 +274,30 @@ def range_join(
     # reversed interval (e.g. end=0) would materialize a multi-million
     # element DESCENDING bin array on an executor (review r6 pass 2).
     right = right.filter(e > s)
+    # Bin ids via EXACT integer arithmetic (ADVICE r6): the previous
+    # F.floor(col / bin_width) went through double division, which can
+    # assign point and interval to DIFFERENT bins once |value| nears
+    # 2^53 (epoch nanoseconds) — silently DROPPING matching pairs,
+    # because the residual filter only removes false positives.
+    # floor_div(x, w) = (x - pmod(x, w)) div w is exact over the full
+    # int64 range (pmod is non-negative, so the numerator is a
+    # multiple of w and `div` truncation equals floor).  Domain
+    # contract: binning columns are integral-valued (cast timestamps
+    # to epoch seconds/micros/nanos upstream — already the documented
+    # contract; the exclusive-end `e - 1` arithmetic assumes it too).
+    w = int(bin_width)
+
+    def _floor_bin(expr_sql: str) -> F.Column:
+        x = f"CAST(({expr_sql}) AS BIGINT)"
+        return F.expr(f"({x} - pmod({x}, {w})) div {w}")
+
     # last covered bin: (end - 1) // w — end is exclusive, so an
     # interval ending exactly on a bin edge must NOT claim that bin
     bins = F.sequence(
-        F.floor(s / bin_width), F.floor((e - 1) / bin_width)
+        _floor_bin(f"`{start_col}`"), _floor_bin(f"`{end_col}` - 1")
     )
     r_binned = right.withColumn("_bin", F.explode(bins))
-    l_binned = left.withColumn("_bin", F.floor(p / bin_width))
+    l_binned = left.withColumn("_bin", _floor_bin(f"`{point_col}`"))
     on = ["_bin", *key_cols]
     out_cols = [
         *[F.col(c) for c in left.columns],

@@ -173,12 +173,41 @@ def bm25_topk(
     if postings is None:
         if df is None:
             raise ValueError("bm25_topk needs df or postings")
-        postings = doc_terms(df, text_col=text_col, id_col=id_col)
+        # term filter BEFORE the tf aggregate (guide §2.3): term is a
+        # group key, so filtering the exploded token stream first is
+        # identical — and the partial-agg shuffle then carries only the
+        # |q| query terms' rows instead of the whole corpus vocabulary
+        hits = _query_hits(df, qterms, text_col, id_col)
         stats = corpus_stats(df, text_col=text_col)
     else:
         stats = stats_from_postings(postings, id_col)
-    hits = postings.filter(F.col("term").isin(qterms))
+        hits = postings.filter(F.col("term").isin(qterms))
     return _topk_from_hits(hits, stats, id_col, k, k1, b)
+
+
+def _exploded_terms(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """``(id, dl, term)`` token stream — the pre-aggregation shape of
+    :func:`doc_terms` (same dl/explode semantics)."""
+    toks = F.split(F.trim(F.col(text_col)), WS_RE)
+    return df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("dl"),
+        F.explode(toks).alias("term"),
+    )
+
+
+def _query_hits(
+    df: DataFrame, qterms: list[str], text_col: str, id_col: str
+) -> DataFrame:
+    """tf rows for just ``qterms``, with the filter below the
+    aggregate: equivalent to ``doc_terms(df).filter(term.isin(qterms))``
+    because ``term`` is a group key, but the shuffle is |q|-terms-sized."""
+    return (
+        _exploded_terms(df, text_col, id_col)
+        .filter(F.col("term").isin(qterms))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
 
 
 def query_terms(
@@ -228,17 +257,27 @@ def bm25_batch_topk(
     """
     from pyspark.sql import Window
 
-    if postings is None:
-        if df is None:
-            raise ValueError("bm25_batch_topk needs df or postings")
-        postings = doc_terms(df, text_col=text_col, id_col=id_col)
-        stats = corpus_stats(df, text_col=text_col)
-    else:
-        stats = stats_from_postings(postings, id_col)
     qt = query_terms(queries_df, query_col=query_col, qid_col=qid_col)
     # distinct terms once: df per term is query-independent
     terms = qt.select("term").distinct()
-    hits = postings.join(F.broadcast(terms), "term")
+    if postings is None:
+        if df is None:
+            raise ValueError("bm25_batch_topk needs df or postings")
+        # broadcast-semi the query terms into the token stream BEFORE
+        # the tf aggregate (guide §2.3/§3.2): term is a group key, so
+        # this is row-identical to aggregating the full vocabulary and
+        # joining after — but the partial-agg shuffle carries only the
+        # eval set's terms instead of one row per distinct (doc, term)
+        hits = (
+            _exploded_terms(df, text_col, id_col)
+            .join(F.broadcast(terms), "term")
+            .groupBy(id_col, "dl", "term")
+            .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        )
+        stats = corpus_stats(df, text_col=text_col)
+    else:
+        stats = stats_from_postings(postings, id_col)
+        hits = postings.join(F.broadcast(terms), "term")
     dfreq = hits.groupBy("term").agg(
         F.count(F.lit(1)).cast("double").alias("df")
     )

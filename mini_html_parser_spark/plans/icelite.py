@@ -101,6 +101,22 @@ def _bloom_might_contain(bm: bytes, m: int, k: int, h1: int, h2: int) -> bool:
     return True
 
 
+def _parquet_dir_readable(path: str) -> bool:
+    """True when ``path`` holds at least one committed parquet part
+    file.  A Bloom-index sidecar directory can be missing or contain
+    only ``_temporary`` droppings during the entire first build or
+    after a crash between the durable params-meta link and the bitmap
+    append (ADVICE r6, medium); callers must degrade to the unindexed
+    superset path instead of letting ``spark.read.parquet`` throw
+    AnalysisException on the empty listing."""
+    if not os.path.isdir(path):
+        return False
+    return any(
+        name.startswith("part-") and not name.endswith(".crc")
+        for name in os.listdir(path)
+    )
+
+
 def _file_may_match(stats: dict | None, prune, rename: dict) -> bool:
     """Conjunction of ``prune`` predicates against one file's recorded
     column bounds.  ``rename`` maps CURRENT column names to the
@@ -2493,7 +2509,7 @@ class IceliteTable:
         drop = self._replaced_map(live)
         snaps = self._data_manifests(live)
         done: set[str] = set()
-        if os.path.isdir(idx_dir):
+        if _parquet_dir_readable(idx_dir):
             done = {
                 r["f"]
                 for r in spark.read.parquet(idx_dir).select("f").collect()
@@ -2575,6 +2591,17 @@ class IceliteTable:
         checks = []
         for col, _op, *vals in preds:
             meta_path, idx_dir = self._key_index_paths(col)
+            # The params meta file commits BEFORE the bitmap sidecar is
+            # built (index_keys ordering), so during the first index
+            # build — or permanently after a crash between the meta
+            # link and the bitmap append — idx_dir may be missing or
+            # hold only _temporary droppings.  A missing/empty sidecar
+            # must degrade to "all files unindexed-kept" (the same
+            # superset guarantee unindexed files already get), not
+            # throw AnalysisException from spark.read.parquet
+            # (ADVICE r6, medium).
+            if not _parquet_dir_readable(idx_dir):
+                continue
             with open(meta_path) as f:
                 meta = json.load(f)
             m, kk = meta["n_bits"], meta["k"]
@@ -2622,6 +2649,9 @@ class IceliteTable:
                 .collect()
             }
             checks.append(flags)
+
+        if not checks:
+            return None  # every candidate index was mid-build/crashed
 
         def keep(path: str) -> bool:
             suffix = "/".join(os.path.normpath(path).split(os.sep)[-3:])

@@ -1763,7 +1763,22 @@ def q_pipeline_clean_corpus(spark, sf_dir):
     lang = text_analysis.language_id(survivors)
     qual = text_analysis.quality_score(lang)
     rep = text_analysis.repetition_ratio(qual)
-    kept = rep.filter(
+    # Materialization fence (r7): without it the optimizer pushes the
+    # filter below the projection, inlining every derived column's
+    # expression tree into the pushed condition — the 16 marker
+    # replaces, ~8 split()s and the 3-gram zip/distinct then evaluate
+    # TWICE per row (once in the pushed Filter, once in the Project
+    # feeding the agg), and codegen subexpression elimination can't
+    # recover the copies that sit inside conditional branches.  A slim
+    # lazy localCheckpoint (6 narrow columns, no text) computes every
+    # feature exactly once per run — nothing persists across
+    # invocations (fresh lineage per call).  Measured 2.9 s → 1.8 s at
+    # sf0.1; identical rows.
+    slim = rep.select(
+        "doc_id", "detected_lang", "n_tokens", "punct_ratio",
+        "quality_ok", "repetition_ratio",
+    ).localCheckpoint(eager=False)
+    kept = slim.filter(
         (F.col("detected_lang") != "und")
         & F.col("quality_ok")
         & (F.col("repetition_ratio") < 0.5)

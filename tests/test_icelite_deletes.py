@@ -672,6 +672,41 @@ def test_key_index_unindexed_files_always_kept(spark, tmp_path):
     ] == [150]
 
 
+def test_key_index_meta_without_bitmaps_degrades_to_unpruned(spark, tmp_path):
+    """ADVICE r6 (medium): index_keys durably writes the params meta
+    BEFORE the bitmap sidecar exists, so during the first build — or
+    after a crash between the meta link and the bitmap append — a
+    read(prune=[(col,'in',...)]) must treat every file as
+    unindexed-kept (superset guarantee), not throw AnalysisException
+    from reading a missing/empty sidecar directory."""
+    import os
+    import shutil
+
+    t = IceliteTable(str(tmp_path / "t"))
+    t.commit_append(_df(spark, 0, 100, n_buckets=4))
+    t.index_keys(spark, col="doc_id")
+    meta_path, idx_dir = t._key_index_paths("doc_id")
+
+    # crash window 1: meta present, sidecar dir gone entirely
+    shutil.rmtree(idx_dir)
+    pruned = t.read(spark, prune=[("doc_id", "in", 7)])
+    assert [
+        r["doc_id"] for r in pruned.filter(F.col("doc_id") == 7).collect()
+    ] == [7]
+    assert len(pruned.inputFiles()) >= 4  # nothing pruned, nothing lost
+
+    # crash window 2: sidecar dir exists but holds only _temporary
+    os.makedirs(os.path.join(idx_dir, "_temporary"), exist_ok=True)
+    pruned2 = t.read(spark, prune=[("doc_id", "in", 7)])
+    assert pruned2.filter(F.col("doc_id") == 7).count() == 1
+
+    # a re-run completes the index and pruning tightens again
+    t.index_keys(spark, col="doc_id")
+    tight = t.read(spark, prune=[("doc_id", "in", 7)])
+    assert len(tight.inputFiles()) < 4
+    assert tight.filter(F.col("doc_id") == 7).count() == 1
+
+
 def test_key_index_string_column(spark, tmp_path):
     """String keys hash through the same JVM xxhash64 path; literal
     probes are cast to the column's declared type (int32 vs int64
