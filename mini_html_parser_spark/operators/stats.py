@@ -26,7 +26,9 @@ _STAT_COLS = [
 ]
 
 
-def span_rows(extracted: DataFrame, tokenizer: str = "bytes") -> DataFrame:
+def span_rows(
+    extracted: DataFrame, tokenizer: str = "bytes", slim: bool = False
+) -> DataFrame:
     """Exploded spans + derived columns (reference B11–B16).
 
     ``text_length = char_end_idx - char_start_idx`` with null end
@@ -50,7 +52,7 @@ def span_rows(extracted: DataFrame, tokenizer: str = "bytes") -> DataFrame:
     # with O(1) indexing, so one pass over each doc's spans is linear.
     if tokenizer not in ("bytes", "whitespace", "bpe", "bpe_fixpoint"):
         raise ValueError(f"unknown tokenizer {tokenizer!r}")
-    return _span_rows_vectorized(extracted, tokenizer)
+    return _span_rows_vectorized(extracted, tokenizer, slim)
 
 
 _SPAN_ROW_SCHEMA = (
@@ -69,7 +71,9 @@ _UNICODE_WS = (
 )
 
 
-def _span_rows_vectorized(extracted: DataFrame, tokenizer: str) -> DataFrame:
+def _span_rows_vectorized(
+    extracted: DataFrame, tokenizer: str, slim: bool = False
+) -> DataFrame:
     """``span_rows`` with no per-span Python dict walk, any tokenizer.
 
     Spans' start/end/tag arrive as per-doc ARRAYS (JVM ``transform``
@@ -122,8 +126,16 @@ def _span_rows_vectorized(extracted: DataFrame, tokenizer: str) -> DataFrame:
     )
 
     def slice_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = ("doc_id", "tag", "char_start_idx", "char_end_idx",
-                "text_length", "self_closing", "token_length")
+        # slim: an aggregating caller (span_stats) never reads the raw
+        # char offsets — don't assemble or ship them across the Arrow
+        # boundary (guide §4.1: pass only the columns the consumer
+        # needs; Spark can't prune INSIDE an opaque Python stage)
+        cols = (
+            ("doc_id", "tag", "text_length", "self_closing", "token_length")
+            if slim else
+            ("doc_id", "tag", "char_start_idx", "char_end_idx",
+             "text_length", "self_closing", "token_length")
+        )
         for pdf in batches:
             doc_ids, counts = [], []
             tag_parts, s_parts, e_parts, tok_parts = [], [], [], []
@@ -197,7 +209,7 @@ def _span_rows_vectorized(extracted: DataFrame, tokenizer: str) -> DataFrame:
                 continue
             s_all = np.concatenate(s_parts)
             e_all = np.concatenate(e_parts)
-            yield pd.DataFrame({
+            out = {
                 "doc_id": np.repeat(np.asarray(doc_ids, dtype=object), counts),
                 "tag": np.concatenate(tag_parts),
                 "char_start_idx": s_all.astype(np.int32),
@@ -205,15 +217,20 @@ def _span_rows_vectorized(extracted: DataFrame, tokenizer: str) -> DataFrame:
                 "text_length": (e_all - s_all).astype(np.float64),
                 "self_closing": (e_all == s_all).astype(np.int32),
                 "token_length": np.concatenate(tok_parts).astype(np.float64),
-            })
+            }
+            yield pd.DataFrame({k: out[k] for k in cols})
 
-    return pre.mapInPandas(slice_batches, schema=_SPAN_ROW_SCHEMA)
+    schema = (
+        "doc_id string, tag string, text_length double, "
+        "self_closing int, token_length double"
+    ) if slim else _SPAN_ROW_SCHEMA
+    return pre.mapInPandas(slice_batches, schema=schema)
 
 
 def span_stats(extracted: DataFrame, tokenizer: str = "bytes") -> DataFrame:
     """Per-(doc, tag) statistics (reference phase 1, B18/B19;
     compute_aggregate_stats.py:72-90).  Exact median to match pandas."""
-    rows = span_rows(extracted, tokenizer)
+    rows = span_rows(extracted, tokenizer, slim=True)
     agg = rows.groupBy("doc_id", "tag").agg(
         F.count("*").alias("count_per_doc"),
         F.avg("text_length").alias("text_length_mean"),
