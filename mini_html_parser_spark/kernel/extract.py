@@ -43,9 +43,10 @@ from .constants import (
     MEDIA_TAGS,
     PLAIN_TEXT_SEPARATOR,
     PRE_TAG,
+    PRESERVE_WHITESPACE_TAGS,
 )
-from .dom import Node, parse_document
-from .minify import minify_tree
+from .dom import COMMENT_TAG, Node, parse_document
+from .minify import _collapse, minify_tree
 
 _FAKE_TAGS = (FAKE_TAG_BLOCK, FAKE_TAG_INLINE, FAKE_TAG_BASIC)
 # shared empty attrs/attr_values for attribute-less nodes (never
@@ -410,6 +411,21 @@ class _Extractor:
         self._sep_act: dict = {}
         self._tag_decide: dict = {}
         self._br_newline = cfg.convert_br_tag_to_breaking_line
+        # the minify pass can fuse into the rewrite walk only when NO
+        # subtree-removal decision reads the subtree text (descendants
+        # are not yet minified when a fused top-down decision fires):
+        # every with-content rule has trivial bounds and the global
+        # with-content threshold is disabled — true for all
+        # NAMED_CONFIGS
+        inf = float("inf")
+        self._fused_rewrite_ok = (
+            self.tag_filter.txt_max_chr_len_with_content == -inf
+            and all(
+                t.content_min_char_length <= 0
+                and t.content_max_char_length == inf
+                for t in self.tag_filter.tags_to_remove_with_content.values()
+            )
+        )
         self.density_cfg = cfg.density_prune
         self.density_tags = (
             frozenset(cfg.density_prune.candidate_tags)
@@ -475,6 +491,98 @@ class _Extractor:
         # the cleaned subtree per candidate — O(depth × size) worst
         # case on nested-div chains, O(size) on typical trees.
         if self.density_cfg is not None and root.tag in self.density_tags:
+            n_text, n_link = _text_and_link_chars(root)
+            dp = self.density_cfg
+            if (n_text > 0 and n_link / n_text >= dp.max_link_density) or (
+                n_text < dp.min_text_length and n_link > 0
+            ):
+                return True
+        return False
+
+    def _minify_clean_tree(self, root: Node, in_pre: bool) -> bool:
+        """Fused minify + rewrite pass: ONE traversal instead of
+        minify_tree's walk followed by _clean_tree's, and subtrees
+        dropped top-down are never minified at all (their contents are
+        about to be deleted — script/style/header/footer/form bodies
+        under boilerplate_strip).
+
+        Validity (``_fused_rewrite_ok``): every subtree-removal
+        decision must be text-free, because descendants are not yet
+        minified when this node's top-down decision fires.  Ordering
+        equivalence with minify-then-clean for the remaining steps:
+
+        * comment-strip/collapse are node-local, and a comment tail
+          always merges into its neighbour raw, before that
+          neighbour's own visit collapses it;
+        * the fold rewriter reads only tags/attribs (minify-independent);
+        * a removed child's tail was collapsed at the child's own
+          entry (the minify-local step runs before the drop verdict),
+          and splice targets (previous kept sibling's tail / this
+          node's text) were collapsed at their visits — so every
+          splice concatenates exactly the strings the unfused order
+          concatenates;
+        * inside preserved (``<pre>``) subtrees nothing collapses but
+          comments still strip and rewrite rules still apply, exactly
+          as in the unfused order;
+        * the density score runs post-children over the cleaned,
+          minified subtree, as before.
+        """
+        kids = root.children
+        if kids:
+            kept0: list[Node] = []
+            text_extra = None
+            for child in kids:
+                if child.tag == COMMENT_TAG:
+                    tail = child.tail
+                    if tail:
+                        if kept0:
+                            kept0[-1].tail = (kept0[-1].tail or "") + tail
+                        elif text_extra is None:
+                            text_extra = tail
+                        else:
+                            text_extra += tail
+                else:
+                    kept0.append(child)
+            if text_extra is not None:
+                root.text = (root.text or "") + text_extra
+            if len(kept0) != len(kids):
+                root.children = kids = kept0
+        if not in_pre:
+            root.tail = _collapse(root.tail)
+            if root.tag in PRESERVE_WHITESPACE_TAGS:
+                in_pre = True
+            else:
+                root.text = _collapse(root.text)
+
+        if len(kids) == 1:
+            self.folder(root)
+
+        tag = root.tag
+        d = self._tag_decide.get(tag)
+        if d is None:
+            d = self._tag_decide[tag] = (
+                *self.tag_filter.decide_top_down(tag),
+                *self.tag_filter.decide_bottom_up(tag),
+            )
+        if d[0]:  # d[1]/d[3] are always False under _fused_rewrite_ok
+            return True
+
+        if kids:
+            kept: list[Node] = []
+            changed = False
+            for child in kids:
+                if self._minify_clean_tree(child, in_pre):
+                    _splice_tail_on_removal(child, kept, root)
+                    changed = True
+                else:
+                    kept.append(child)
+            if changed:
+                root.children = kept
+
+        if d[2]:
+            return True
+
+        if self.density_cfg is not None and tag in self.density_tags:
             n_text, n_link = _text_and_link_chars(root)
             dp = self.density_cfg
             if (n_text > 0 and n_link / n_text >= dp.max_link_density) or (
@@ -677,8 +785,6 @@ class _Extractor:
             wrapper.append(start)
             root = wrapper
 
-        minify_tree(root)
-
         # the whole rewrite pass is a no-op when the config has no
         # fold tags, no with-content rules and no global thresholds
         # (keep_everything): skip the traversal
@@ -687,7 +793,14 @@ class _Extractor:
             or self.tag_filter.tags_to_remove_with_content
             or self.tag_filter.txt_max_chr_len_with_content > -float("inf")
         ):
-            self._clean_tree(root)  # root itself is never removable here
+            # root itself is never removable here
+            if self._fused_rewrite_ok:
+                self._minify_clean_tree(root, False)
+            else:
+                minify_tree(root)
+                self._clean_tree(root)
+        else:
+            minify_tree(root)
 
         self.spans: list[Span] = []
         self._char_idx = 0
