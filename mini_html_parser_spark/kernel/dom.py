@@ -253,9 +253,23 @@ class _DomParser(HTMLParser):
         self.malformed = True
 
     def handle_data(self, data):
+        # _append_text inlined (hottest text path: one call and one
+        # stack probe saved per text run)
         if not data:
             return
-        self._append_text(data)
+        cur = self.stack[-1]
+        if cur is self.root:
+            if self.body is None and not data.strip():
+                return
+            cur = self._ensure_body()
+            if self.body not in self.stack:
+                self.stack.append(self.body)
+        children = cur.children
+        if children:
+            last = children[-1]
+            last.tail = (last.tail or "") + data
+        else:
+            cur.text = (cur.text or "") + data
 
     def handle_comment(self, data):
         cur = self._cur()

@@ -114,12 +114,19 @@ def scan(html: str, sink) -> None:
     pos = 0
     n = len(html)
     find = html.find
+    # hoist sink method lookups out of the per-construct loop (one
+    # attribute resolution per event otherwise)
+    handle_starttag = sink.handle_starttag
+    handle_startendtag = sink.handle_startendtag
+    handle_endtag = sink.handle_endtag
+    handle_data = sink.handle_data
+    handle_comment = sink.handle_comment
 
     def flush_text(chunk: str) -> None:
         if chunk:
             if "&" in chunk:
                 chunk = unescape(chunk)
-            sink.handle_data(chunk)
+            handle_data(chunk)
 
     def eof_recover(lt: int) -> int:
         """stdlib goahead(end=1) recovery for an incomplete construct
@@ -201,15 +208,15 @@ def scan(html: str, sink) -> None:
             # nxt was ">") or "/>" (when nxt was "/") — no slice+strip.
             if k == j:
                 if nxt == ">":
-                    sink.handle_starttag(tag, attrs)
+                    handle_starttag(tag, attrs)
                     pos = endpos
                 elif nxt == "/":
-                    sink.handle_startendtag(tag, attrs)
+                    handle_startendtag(tag, attrs)
                     pos = endpos
                     continue
                 else:
                     # endpos == j: empty span — junk/raw-text path
-                    sink.handle_data(html[lt:endpos])
+                    handle_data(html[lt:endpos])
                     pos = endpos
                     continue
             else:
@@ -218,14 +225,14 @@ def scan(html: str, sink) -> None:
                     # junk between the attrs and the '>': the whole
                     # span is RAW text (stdlib parse_starttag, no
                     # unescape)
-                    sink.handle_data(html[lt:endpos])
+                    handle_data(html[lt:endpos])
                     pos = endpos
                     continue
                 if end == "/>":
-                    sink.handle_startendtag(tag, attrs)
+                    handle_startendtag(tag, attrs)
                     pos = endpos
                     continue
-                sink.handle_starttag(tag, attrs)
+                handle_starttag(tag, attrs)
                 pos = endpos
 
             if tag in _RAW_TEXT_TAGS:
@@ -239,8 +246,8 @@ def scan(html: str, sink) -> None:
                     pos = n
                     continue
                 if close.start() > pos:
-                    sink.handle_data(html[pos:close.start()])
-                sink.handle_endtag(tag)
+                    handle_data(html[pos:close.start()])
+                handle_endtag(tag)
                 pos = close.end()
             continue
 
@@ -249,7 +256,7 @@ def scan(html: str, sink) -> None:
         if c == "/":
             # '</>' → literal '>' (lxml recovery; dom.parse_endtag parity)
             if html.startswith("</>", lt):
-                sink.handle_data(">")
+                handle_data(">")
                 sink.malformed = True
                 pos = lt + 3
                 continue
@@ -260,18 +267,18 @@ def scan(html: str, sink) -> None:
             m_end = _ENDTAG_RE.match(html, lt)
             if m_end is not None:
                 # '</ div >' style included (stdlib endtagfind)
-                sink.handle_endtag(m_end.group(1).lower())
+                handle_endtag(m_end.group(1).lower())
                 pos = m_end.end()
                 continue
             m_name = _TAGFIND_RE.match(html, lt + 2)
             if m_name is not None:
                 # '</div x>': take the name, skip to the next '>'
-                sink.handle_endtag(m_name.group(1).lower())
+                handle_endtag(m_name.group(1).lower())
                 pos = find(">", m_name.end()) + 1
                 continue
             # '</' not followed by a tag name: bogus comment
             # (stdlib parse_bogus_comment; '</1>x' extracts to 'x')
-            sink.handle_comment(html[lt + 2:gt])
+            handle_comment(html[lt + 2:gt])
             pos = gt + 1
             continue
 
@@ -283,7 +290,7 @@ def scan(html: str, sink) -> None:
                     # unterminated comment: goahead(end=1) recovery
                     pos = eof_recover(lt)
                     continue
-                sink.handle_comment(html[lt + 4:end.start()])
+                handle_comment(html[lt + 4:end.start()])
                 pos = end.end()
                 continue
             if html.startswith("<![", lt):
@@ -304,7 +311,7 @@ def scan(html: str, sink) -> None:
             if gt < 0:
                 pos = eof_recover(lt)
                 continue
-            sink.handle_comment(html[lt + 2:gt])
+            handle_comment(html[lt + 2:gt])
             pos = gt + 1
             continue
 
