@@ -94,6 +94,9 @@ SEED = 42
 _SENTINEL = "\x00"
 _FAMILY_PIECES = [f.format(i=_SENTINEL).split(_SENTINEL) for f in _FAMILIES]
 _N_FAMILIES = len(_FAMILIES)
+# piece-count dispatch: 1 piece = no placeholder (the fragment is a
+# constant), 2 pieces = single placeholder (plain concat beats join)
+_FAMILY_NPIECES = [len(p) for p in _FAMILY_PIECES]
 
 
 def _doc_spans(seed: int, i: int) -> list[dict]:
@@ -115,8 +118,17 @@ def _doc_spans(seed: int, i: int) -> list[dict]:
     k = 0
     randrange = rng.randrange
     append = parts.append
+    istr = f"{i}_"
     while size < target:
-        frag = f"{i}_{k}".join(_FAMILY_PIECES[randrange(_N_FAMILIES)])
+        fam = randrange(_N_FAMILIES)
+        np_ = _FAMILY_NPIECES[fam]
+        pieces = _FAMILY_PIECES[fam]
+        if np_ == 2:
+            frag = pieces[0] + istr + str(k) + pieces[1]
+        elif np_ == 1:
+            frag = pieces[0]
+        else:
+            frag = (istr + str(k)).join(pieces)
         append(frag)
         size += len(frag)
         k += 1
