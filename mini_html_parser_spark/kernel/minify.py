@@ -32,6 +32,17 @@ _WS_RUN = re.compile(r"[ \t\n\r\f\v]+")
 def _collapse(s: str | None) -> str | None:
     if not s:
         return s
+    # The run pattern matches SINGLE spaces too, so the sub() path
+    # rebuilds (allocates) every string containing any whitespace even
+    # when nothing changes.  A string with no double-space and none of
+    # the other five ASCII whitespace chars is already collapsed —
+    # six C-speed membership scans beat one regex NFA pass + copy on
+    # the (dominant) already-collapsed case.
+    if (
+        "  " not in s and "\t" not in s and "\n" not in s
+        and "\r" not in s and "\f" not in s and "\v" not in s
+    ):
+        return s
     return _WS_RUN.sub(" ", s)
 
 
