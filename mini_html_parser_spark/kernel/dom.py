@@ -22,6 +22,8 @@ from .constants import AUTO_CLOSE, HEAD_TAGS, VOID_ELEMENTS
 
 COMMENT_TAG = "!comment"
 
+_new_node = object.__new__
+
 
 class Node:
     __slots__ = ("tag", "attrib", "text", "tail", "children", "parent")
@@ -209,10 +211,16 @@ class _DomParser(HTMLParser):
             for k, v in attrs:
                 if k not in attrib and k and (k[0].isalpha() or k[0] in "_:"):
                     attrib[k] = v if v is not None else ""
-            node = Node(tag, attrib)
         else:
-            node = Node(tag)
-        # inlined cur.append(node) — hottest allocation site
+            attrib = {}
+        # hottest allocation site: bare __new__ + direct slot stores
+        # (skips the __init__ frame), inlined cur.append(node)
+        node = _new_node(Node)
+        node.tag = tag
+        node.attrib = attrib
+        node.text = None
+        node.tail = None
+        node.children = []
         node.parent = cur
         cur.children.append(node)
         if tag not in VOID_ELEMENTS:
