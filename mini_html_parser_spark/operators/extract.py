@@ -205,11 +205,7 @@ def extract_documents_arrow(
             malformed: list = []
             n_chars: list = []
             span_offsets = [0]
-            f_key: list = []; f_type: list = []
-            f_cs: list = []; f_rs: list = []; f_ce: list = []; f_re: list = []
-            f_val: list = []; f_kind: list = []; f_ref: list = []; f_off: list = []
-            attrs_flat: list = []; attrs_offsets = [0]
-            vals_flat: list = []; vals_offsets = [0]
+            all_spans: list = []
 
             for spans in spans_in:
                 r = extract_one(assemble_html(spans))
@@ -217,33 +213,43 @@ def extract_documents_arrow(
                 n_spans.append(len(r.spans))
                 malformed.append(bool(r.malformed))
                 n_chars.append(len(r.text))
-                for s in r.spans:
-                    f_key.append(s.key); f_type.append(s.type)
-                    f_cs.append(s.char_start_idx); f_rs.append(s.relative_start_pos)
-                    f_ce.append(s.char_end_idx); f_re.append(s.relative_end_pos)
-                    f_val.append(s.value); f_kind.append(s.kind)
-                    f_ref.append(s.media_ref); f_off.append(s.offset)
-                    attrs_flat.extend(s.attrs)
-                    attrs_offsets.append(len(attrs_flat))
-                    vals_flat.extend(v if v is not None else "" for v in s.attr_values)
-                    vals_offsets.append(len(vals_flat))
+                all_spans.extend(r.spans)
                 span_offsets.append(span_offsets[-1] + len(r.spans))
 
+            # column assembly in bulk comprehensions (~35 % of the
+            # operator's non-kernel time was the per-span append loop)
+            attrs_flat: list = []; attrs_offsets = [0]
+            vals_flat: list = []; vals_offsets = [0]
+            ao = attrs_offsets.append; vo = vals_offsets.append
+            ae = attrs_flat.extend; ve = vals_flat.extend
+            for s in all_spans:
+                # attr values from the kernel are never None (the DOM
+                # sink normalizes valueless attrs to "" at parse time)
+                ae(s.attrs); ao(len(attrs_flat))
+                ve(s.attr_values); vo(len(vals_flat))
+
+            n_all = len(all_spans)
             str_t = pa.string()
             struct = pa.StructArray.from_arrays(
                 [
-                    pa.array(f_key, str_t), pa.array(f_type, str_t),
-                    pa.array(f_cs, pa.int32()), pa.array(f_rs, pa.int32()),
-                    pa.array(f_ce, pa.int32()), pa.array(f_re, pa.int32()),
-                    pa.array(f_val, str_t),
+                    # key/type are dataclass constants ("html"/"local")
+                    # on every span the kernel emits
+                    pa.array(["html"] * n_all, str_t),
+                    pa.array(["local"] * n_all, str_t),
+                    pa.array([s.char_start_idx for s in all_spans], pa.int32()),
+                    pa.array([s.relative_start_pos for s in all_spans], pa.int32()),
+                    pa.array([s.char_end_idx for s in all_spans], pa.int32()),
+                    pa.array([s.relative_end_pos for s in all_spans], pa.int32()),
+                    pa.array([s.value for s in all_spans], str_t),
                     pa.ListArray.from_arrays(
                         pa.array(attrs_offsets, pa.int32()), pa.array(attrs_flat, str_t)
                     ),
                     pa.ListArray.from_arrays(
                         pa.array(vals_offsets, pa.int32()), pa.array(vals_flat, str_t)
                     ),
-                    pa.array(f_kind, str_t), pa.array(f_ref, str_t),
-                    pa.array(f_off, pa.int32()),
+                    pa.array([s.kind for s in all_spans], str_t),
+                    pa.array([s.media_ref for s in all_spans], str_t),
+                    pa.array([s.offset for s in all_spans], pa.int32()),
                 ],
                 fields=list(span_type),
             )
