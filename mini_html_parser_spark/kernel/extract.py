@@ -712,7 +712,7 @@ class _Extractor:
         tag = root.tag
         self.current_tag = tag
 
-        dropped = tag in self.tag_filter._alone_drop_set
+        dropped = tag in self._drop_set
         if not dropped:
             attrib = root.attrib
             if attrib:
@@ -813,6 +813,7 @@ class _Extractor:
             self._last_idx = -1
             self._ctr = 0
             self._rank = 0
+            self._drop_set = self.tag_filter._alone_drop_set
             self._linearize_fast(root)
             self.text = "".join(self._parts)
             return ExtractResult(self.text, self.spans, malformed)
