@@ -736,7 +736,24 @@ class _Extractor:
         if self._br_newline and tag == "br":
             self._buf_append("\n")  # reference: html_parser.py:470-472
 
-        self._add_text(tag, root.text)
+        # _add_text inlined (the two hottest call sites; the general
+        # _linearize path keeps the method)
+        act = self._sep_act.get(tag)
+        if act is None:
+            act = self._sep_act[tag] = (
+                1 if tag in self.block_elements_set
+                else 2 if tag in _INLINE_SET
+                else 0
+            )
+        if act == 1:
+            self._append_block_separator()
+        elif act == 2:
+            self._append_inline_separator()
+        text = root.text
+        if text:
+            self._append_text_content(text)
+        self._char_idx = self._len
+
         for child in root.children:
             self._linearize_fast(child)
         self.current_tag = tag
@@ -751,7 +768,14 @@ class _Extractor:
             self._ctr += 1
             self.spans.append(span)
 
-        self._add_text(tag, root.tail)
+        if act == 1:
+            self._append_block_separator()
+        elif act == 2:
+            self._append_inline_separator()
+        tail = root.tail
+        if tail:
+            self._append_text_content(tail)
+        self._char_idx = self._len
 
     # ---- relative-position renumbering (reference: html_parser.py:474-494)
     @staticmethod
